@@ -1,0 +1,277 @@
+"""Regex masking + template normalization — the parse stage's core functions.
+
+Semantics re-expressed (not ported) from the reference's masking pipeline
+(`/root/reference/internal/patterns/patterns.go:72-252`) and variable-token
+heuristics (`/root/reference/pkg/autotemplate/tokenize.go:31-152`): ordered
+regex -> placeholder rewrites with a cheap required-substring pre-check,
+followed by token-level generalization of high-entropy tokens to ``<*>`` and
+collapse of consecutive wildcards (`.../pkg/autotemplate/miner.go:415-434`).
+
+Two equivalent implementations are provided and property-tested against each
+other (tests/test_masking.py):
+
+* :func:`template_expr` — a pure Catalyst column expression
+  (``regexp_replace`` chain + ``transform(split(...))`` lambda). This is the
+  default engine: it stays inside whole-stage codegen on the JVM, so the hot
+  path has zero Python.
+* :func:`mask_series` / :func:`template_series` — vectorized pandas versions
+  used by the pandas-UDF parse engine and by the deterministic
+  truth-generation in ``datagen.py`` (which is what the DuckDB oracle checks
+  the distributed pipeline against).
+
+Deliberate deviations from the reference, chosen for order-independence and
+engine-parity (documented per SURVEY.md §7):
+
+* Tokenization is whitespace-only *after* masking (the reference also splits
+  on ``:=/[](),"``; those delimiters are handled here by masking the
+  high-entropy parts in place, e.g. ``user:session:<ID>``).
+* An ISO-8601 timestamp mask is added (the reference only masks the
+  ``YYYY/MM/DD`` form; transcripts use ISO).
+* ``hex_id`` drops the ``\\b`` word-boundary so hex runs embedded in tokens
+  like ``txn_abcdef123456`` are masked (the reference would leak these into
+  per-unique-value templates).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Mask pattern table — ONE definition, compiled for both engines.
+# `regex` must be valid for BOTH java.util.regex and Python `re`.
+# `repl` uses $1-style group refs (converted to \1 for Python).
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MaskPattern:
+    name: str
+    regex: str
+    repl: str
+    required_substring: str = ""  # cheap contains() guard before the regex
+
+
+MASK_PATTERNS: tuple[MaskPattern, ...] = (
+    # ISO-ish timestamps first so their digit groups don't feed later rules.
+    MaskPattern(
+        "timestamp_iso",
+        r"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(?:\.\d+)?Z?",
+        "<TIMESTAMP>",
+        "-",
+    ),
+    MaskPattern(
+        "timestamp_slash",
+        r"\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2}",
+        "<TIMESTAMP>",
+        "/",
+    ),
+    # Quoted referrer URL must run before the request-line pattern.
+    MaskPattern("quoted_url", r'"https?://[^"]*"', "<URL>", '"'),
+    # Access-log request line + the status code immediately following it.
+    MaskPattern(
+        "http_request_line",
+        r'"(GET|POST|PUT|PATCH|DELETE|HEAD|OPTIONS)\s+\S+\s+HTTP/[0-9.]+"\s+[1-5][0-9]{2}\b',
+        "$1 <URI> <STATUSCODE>",
+        '"',
+    ),
+    MaskPattern(
+        "uuid",
+        r"\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\b",
+        "<ID>",
+        "-",
+    ),
+    MaskPattern(
+        "email",
+        r"\b[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}\b",
+        "<EMAIL>",
+        "@",
+    ),
+    MaskPattern("url", r"https?://\S+", "<URL>", "://"),
+    # HTTP verb + path: keep the verb and up to two literal segments.
+    MaskPattern(
+        "http_path",
+        r"\b(GET|POST|PUT|PATCH|DELETE|HEAD|OPTIONS)\s+((?:/[a-zA-Z][a-zA-Z0-9._~-]*){1,2})/\S*",
+        "$1 $2/<PATH>",
+        "/",
+    ),
+    # Bare absolute path containing a numeric segment.
+    MaskPattern(
+        "path_with_id",
+        r"(^|\s)(/(?:[a-zA-Z0-9._~-]+/)*[0-9][a-zA-Z0-9._~-]*(?:/[a-zA-Z0-9._~-]*)*)(\s|$)",
+        "$1<PATH>$3",
+        "/",
+    ),
+    # Query strings are stripped entirely.
+    MaskPattern("query_string", r"\?\S*", "", "?"),
+    MaskPattern("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>", "."),
+    # Durations / sizes before the bare hex/number rules.
+    MaskPattern(
+        "duration", r"\b\d+(?:\.\d+)?(?:µs|us|ns|ms)\b", "<DURATION>", ""
+    ),
+    MaskPattern("size", r"\b\d+(?:\.\d+)?(?:B|KB|MB|GB|TB)\b", "<SIZE>", ""),
+    # Hex ids >= 8 chars, no word boundary (see module docstring).
+    MaskPattern("hex_id", r"[0-9a-f]{8,}", "<ID>", ""),
+    # key=1234 style values.
+    MaskPattern("eq_number", r"=\d+\b", "=<*>", "="),
+    # Trailing-digit identifiers (user_123, db-prod-07, shard-3). The
+    # reference's Drain similarity matching (miner.go:357-387) generalizes
+    # these into one cluster at runtime; the deterministic mode must mask
+    # them up front to reach the same template granularity.
+    MaskPattern("trailing_num_id", r"(?<=[A-Za-z_-])\d+\b", "<*>", ""),
+)
+
+_GROUP_REF = re.compile(r"\$(\d)")
+
+
+def _py_repl(repl: str) -> str:
+    return _GROUP_REF.sub(r"\\\1", repl)
+
+
+_COMPILED = tuple(
+    (p, re.compile(p.regex), _py_repl(p.repl)) for p in MASK_PATTERNS
+)
+
+# ---------------------------------------------------------------------------
+# Token generalization rules (reference: tokenize.go:31-152).
+# A post-mask whitespace token becomes `<*>` when any rule fires.
+# ---------------------------------------------------------------------------
+
+LONG_TOKEN_THRESHOLD = 30
+
+_PURE_NUMBER = re.compile(r"^-?\d+(?:\.\d+)?$")
+_NUM_UNIT = re.compile(
+    r"^\d+(?:\.\d+)?(?:ms|s|m|h|us|ns|B|KB|MB|GB|TB|b|kb|mb|gb|k|K|M|G)$"
+)
+_HEXISH = re.compile(r"^[0-9a-fA-F-]{8,}$")
+_TIMEISH = re.compile(r"^\d[\d:.TZ-]{3,}$")
+_NON_DIGIT = re.compile(r"\D")
+
+
+def is_variable_token(t: str) -> bool:
+    """Python twin of the Catalyst lambda inside :func:`template_expr`."""
+    n = len(t)
+    if n == 0:
+        return False
+    if n > LONG_TOKEN_THRESHOLD:
+        return True
+    if _PURE_NUMBER.match(t) or _NUM_UNIT.match(t):
+        return True
+    if _HEXISH.match(t) and any(c in "0123456789abcdefABCDEF" for c in t):
+        return True
+    if _TIMEISH.match(t) and ("-" in t or ":" in t or "T" in t):
+        return True
+    if n >= 4:
+        digits = len(_NON_DIGIT.sub("", t))
+        if digits * 100 >= 60 * n:
+            return True
+    return False
+
+
+_COLLAPSE_WILDCARD = re.compile(r"<\*>(?: <\*>)+")
+_WS = re.compile(r"\s+")
+
+
+def mask_text(s: str) -> str:
+    """Apply the full mask chain to one string (scalar reference impl)."""
+    for pat, rx, repl in _COMPILED:
+        if pat.required_substring and pat.required_substring not in s:
+            continue
+        s = rx.sub(repl, s)
+    return s
+
+
+def template_of(s: str) -> str:
+    """Scalar reference implementation: mask + tokenize + generalize."""
+    masked = mask_text(s)
+    toks = [t for t in _WS.split(masked.strip()) if t]
+    out = ["<*>" if is_variable_token(t) else t for t in toks]
+    joined = " ".join(out)
+    return _COLLAPSE_WILDCARD.sub("<*>", joined)
+
+
+def mask_series(s):
+    """Vectorized pandas implementation of the mask chain."""
+    s = s.fillna("")
+    for pat, rx, repl in _COMPILED:
+        if pat.required_substring:
+            m = s.str.contains(pat.required_substring, regex=False)
+            if not m.any():
+                continue
+            s = s.where(~m, s.str.replace(rx, repl, regex=True))
+        else:
+            s = s.str.replace(rx, repl, regex=True)
+    return s
+
+
+def template_series(s):
+    """Vectorized-ish pandas implementation of :func:`template_of`.
+
+    The mask chain is fully vectorized; token generalization runs per token
+    inside the Arrow batch (acceptable: this engine is the secondary one,
+    used for truth generation and the `pandas` parse mode).
+    """
+    masked = mask_series(s)
+
+    def norm(x: str) -> str:
+        toks = [t for t in _WS.split(x.strip()) if t]
+        joined = " ".join("<*>" if is_variable_token(t) else t for t in toks)
+        return _COLLAPSE_WILDCARD.sub("<*>", joined)
+
+    return masked.map(norm)
+
+
+# ---------------------------------------------------------------------------
+# Catalyst engine — the default. Entire chain compiles into whole-stage
+# codegen; `.explain` shows a single Project with no Python evaluation.
+# ---------------------------------------------------------------------------
+
+
+def _j(regex: str) -> str:
+    """Regexes in this module are already valid Java regexes."""
+    return regex
+
+
+def mask_expr(col: Column) -> Column:
+    """Catalyst column: the ordered mask chain via `regexp_replace`.
+
+    The reference's RequiredSubstring fast path (`patterns.go:31`) is *not*
+    replicated here: a conditional per pattern would reference the running
+    expression three times per level (exponential tree growth — measured:
+    Catalyst analysis hangs past ~12 levels), while a plain chain is linear
+    and a no-match `regexp_replace` is already the identity. The pandas
+    engine keeps the guard, where it is a genuine vectorized win.
+    """
+    c = F.coalesce(col, F.lit(""))
+    for p in MASK_PATTERNS:
+        c = F.regexp_replace(c, F.lit(_j(p.regex)), F.lit(p.repl))
+    return c
+
+
+def _variable_token_pred(t: Column) -> Column:
+    """Catalyst twin of :func:`is_variable_token` (same rule order)."""
+    n = F.length(t)
+    digits = F.length(F.regexp_replace(t, r"\D", ""))
+    return (
+        (n > LONG_TOKEN_THRESHOLD)
+        | t.rlike(r"^-?\d+(\.\d+)?$")
+        | t.rlike(r"^\d+(\.\d+)?(ms|s|m|h|us|ns|B|KB|MB|GB|TB|b|kb|mb|gb|k|K|M|G)$")
+        | (t.rlike(r"^[0-9a-fA-F-]{8,}$") & t.rlike(r"[0-9a-fA-F]"))
+        | (t.rlike(r"^\d[\d:.TZ-]{3,}$") & t.rlike(r"[-:T]"))
+        | ((n >= 4) & (digits * 100 >= 60 * n))
+    )
+
+
+def template_expr(col: Column) -> Column:
+    """Catalyst column: full template extraction (mask -> tokens -> <*>)."""
+    masked = mask_expr(col)
+    toks = F.split(F.trim(masked), r"\s+")
+    toks = F.filter(toks, lambda t: t != F.lit(""))
+    gen = F.transform(
+        toks, lambda t: F.when(_variable_token_pred(t), F.lit("<*>")).otherwise(t)
+    )
+    joined = F.array_join(gen, " ")
+    return F.regexp_replace(joined, r"<\*>( <\*>)+", "<*>")

@@ -1,0 +1,72 @@
+"""Route stage: classify enriched turns by signal class and fan out to sinks.
+
+Reference analogue: the receiver's dispatch-by-signal-type into per-signal
+stores (`/root/reference/internal/receiver/http.go:171-173`,
+`internal/storage/memory/store.go:17-33`). Signal classes follow the north
+rule (chat / tool-call / error); predicates are exhaustive and disjoint so
+per-sink routed-row counts must sum to the input row count (FIXTURES.md §4).
+
+At scale the fan-out writes are bucketed on ``conv_id`` so downstream
+per-conversation reads and joins are co-located without a shuffle.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SINKS = ("tool_call", "error", "chat")
+
+SINK_COLUMNS = {
+    "chat": ("conv_id", "turn_idx", "role", "role_class", "severity", "template", "text", "ts"),
+    "error": ("conv_id", "turn_idx", "role", "role_class", "severity", "template", "text", "ts"),
+    "tool_call": (
+        "conv_id", "turn_idx", "role", "role_class", "severity", "template",
+        "text", "ts", "tool", "tool_family", "is_privileged",
+    ),
+}
+
+
+def sink_expr():
+    """Single Catalyst expression: which sink does a row belong to."""
+    return (
+        F.when(F.col("tool").isNotNull(), F.lit("tool_call"))
+        .when(F.col("severity") == "ERROR", F.lit("error"))
+        .otherwise(F.lit("chat"))
+    )
+
+
+def route_turns(enriched: DataFrame) -> DataFrame:
+    """Append the `sink` column (one pass; no data movement)."""
+    return enriched.withColumn("sink", sink_expr())
+
+
+def split_sinks(routed: DataFrame) -> dict[str, DataFrame]:
+    """One filtered projection per sink (Catalyst pushes the filter down)."""
+    return {
+        name: routed.where(F.col("sink") == name).select(*SINK_COLUMNS[name])
+        for name in SINKS
+    }
+
+
+def write_sinks(
+    routed: DataFrame,
+    out_dir: str,
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> dict[str, str]:
+    """Fan out to per-sink parquet tables, repartitioned by conv_id.
+
+    On a real cluster these are Iceberg tables with a
+    ``bucket(n, conv_id)`` partition transform (`write.distribution-mode =
+    hash`); the container has no Iceberg runtime, so parquet + an explicit
+    ``repartition(n, conv_id)`` models the same co-location property.
+    """
+    paths = {}
+    for name, df in split_sinks(routed).items():
+        path = str(Path(out_dir) / f"sink_{name}")
+        df.repartition(n_buckets, "conv_id").write.mode(mode).parquet(path)
+        paths[name] = path
+    return paths
