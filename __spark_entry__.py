@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship pipeline at sf0.001.
+``queries()`` exposes every implemented operator as (spark, sf_dir) ->
+DataFrame; ``oracle_sql()`` gives the DuckDB-equivalent SQL over the same
+parquet inputs (pipeline inputs are the deterministic synthetic transcripts
+materialized by ``datagen.ensure_dataset``; training-data ops run over the
+driver's documents/embeddings tables).
+
+Design of the oracle: the Spark pipeline's parse stage runs the *Catalyst*
+engine, while the truth tables were produced at generation time by the
+independent *pandas* implementation — so a passing hash-match cross-checks
+two separate implementations end-to-end, plus DuckDB re-deriving the
+enrich/route/aggregate logic in plain SQL.
 """
 
 from __future__ import annotations
@@ -12,27 +19,544 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_cardinality_checker_spark.plans.pipeline import routed_turns
+
+    return routed_turns(spark, sf_dir, engine="sql")
+
+
+def _key_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_cardinality_checker_spark.operators.aggregate import key_stats
+
+    return key_stats(_routed(spark, sf_dir), exact=True).withColumn(
+        "has_invalid_utf8", F.col("has_invalid_utf8").cast("int")
+    )
+
+
+def _oracle_prefix(sf_dir: str = SF01) -> str:
+    """Shared DuckDB CTEs re-deriving parse/enrich/route independently."""
+    from otlp_cardinality_checker_spark.sources.transcripts import truth_paths
+
+    p = truth_paths(sf_dir)
+    return f"""
+WITH parsed AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+    CASE WHEN contains(lower(coalesce(text,'')), 'error') THEN 'ERROR'
+         WHEN contains(lower(coalesce(text,'')), 'warn')  THEN 'WARN'
+         WHEN contains(lower(coalesce(text,'')), 'info')  THEN 'INFO'
+         WHEN contains(lower(coalesce(text,'')), 'debug') THEN 'DEBUG'
+         ELSE 'UNSET' END AS severity_inferred
+  FROM read_parquet('{p["transcripts"]}')
+), enriched AS (
+  SELECT pp.*, r.role_class,
+    CASE WHEN pp.severity_inferred = 'UNSET'
+         THEN coalesce(r.severity_default, 'UNSET')
+         ELSE pp.severity_inferred END AS severity,
+    coalesce(r.role_class, 'unknown_service') AS service
+  FROM parsed pp LEFT JOIN read_parquet('{p["role_dim"]}') r ON pp.role = r.role
+), routed AS (
+  SELECT e.*,
+    CASE WHEN e.tool IS NOT NULL THEN 'tool_call'
+         WHEN e.severity = 'ERROR' THEN 'error'
+         ELSE 'chat' END AS sink
+  FROM enriched e
+), rattrs AS (
+  SELECT r.sink, a.conv_id, a.turn_idx, r.ts, a."key", a."value"
+  FROM read_parquet('{p["truth_attrs"]}') a
+  JOIN routed r ON a.conv_id = r.conv_id AND a.turn_idx = r.turn_idx
+), rtruth AS (
+  SELECT r.*, t.template
+  FROM routed r
+  JOIN read_parquet('{p["truth"]}') t
+    ON r.conv_id = t.conv_id AND r.turn_idx = t.turn_idx
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# pipeline queries (transcripts)
+# ---------------------------------------------------------------------------
+
+
+def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _routed(spark, sf_dir)
+        .groupBy("sink")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def _sink_turns(sink: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return (
+            _routed(spark, sf_dir)
+            .where(F.col("sink") == sink)
+            .select("conv_id", "turn_idx", "text")
+        )
+
+    return q
+
+
+def q_severity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_cardinality_checker_spark.operators.parse import parse_turns
+    from otlp_cardinality_checker_spark.sources.transcripts import load_transcripts
+
+    return (
+        parse_turns(load_transcripts(spark, sf_dir))
+        .groupBy("severity_inferred")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q_service_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_cardinality_checker_spark.operators.aggregate import service_stats
+
+    return service_stats(_routed(spark, sf_dir))
+
+
+def q_key_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _key_stats_exact(spark, sf_dir)
+
+
+def q_template_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_cardinality_checker_spark.operators.aggregate import template_stats
+
+    return template_stats(_routed(spark, sf_dir))
+
+
+def q_attribute_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_cardinality_checker_spark.operators.aggregate import (
+        attribute_catalog,
+    )
+
+    return attribute_catalog(_routed(spark, sf_dir), exact=True).withColumn(
+        "has_invalid_utf8", F.col("has_invalid_utf8").cast("int")
+    )
+
+
+def q_watched_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_cardinality_checker_spark.operators.aggregate import watched_values
+
+    return watched_values(_routed(spark, sf_dir)).withColumn(
+        "overflow", F.col("overflow").cast("int")
+    )
+
+
+def q_active_series_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_cardinality_checker_spark.operators.aggregate import active_series
+
+    return active_series(_routed(spark, sf_dir), exact=True)
+
+
+def q_high_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_cardinality_checker_spark.operators.aggregate import (
+        high_cardinality_keys,
+    )
+
+    return high_cardinality_keys(
+        _key_stats_exact(spark, sf_dir), threshold=50
+    ).select("sink", "key", "count", "est_cardinality")
+
+
+def q_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_cardinality_checker_spark.operators.aggregate import (
+        metadata_complexity,
+    )
+
+    return metadata_complexity(_key_stats_exact(spark, sf_dir))
+
+
+def q_session_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_cardinality_checker_spark.operators.aggregate import key_stats
+    from otlp_cardinality_checker_spark.operators.sessions import diff_key_stats
+
+    routed = _routed(spark, sf_dir)
+    a = key_stats(routed.where(F.col("turn_idx") < 13), exact=True)
+    b = key_stats(routed, exact=True)
+    return diff_key_stats(a, b)
+
+
+def q_session_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive merge of two half-sessions must equal the full aggregate."""
+    from otlp_cardinality_checker_spark.operators.aggregate import SAMPLE_CAP
+    from otlp_cardinality_checker_spark.operators.aggregate import exploded_attrs
+
+    routed = _routed(spark, sf_dir)
+
+    def snap(df: DataFrame) -> DataFrame:
+        return exploded_attrs(df).groupBy("sink", "key").agg(
+            F.count(F.lit(1)).alias("count"),
+            F.slice(F.sort_array(F.collect_set("value")), 1, SAMPLE_CAP).alias(
+                "samples"
+            ),
+        )
+
+    a = snap(routed.where(F.col("turn_idx") < 13))
+    b = snap(routed.where(F.col("turn_idx") >= 13))
+    return (
+        a.unionByName(b)
+        .groupBy("sink", "key")
+        .agg(
+            F.sum("count").alias("count"),
+            F.array_join(
+                F.slice(
+                    F.array_sort(
+                        F.array_distinct(F.flatten(F.collect_list("samples")))
+                    ),
+                    1,
+                    SAMPLE_CAP,
+                ),
+                "|",
+            ).alias("value_samples"),
+        )
+    )
+
+
+def q_enriched_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join enrich check: per tool-family privileged counts."""
+    return (
+        _routed(spark, sf_dir)
+        .where(F.col("tool").isNotNull())
+        .groupBy("tool_family")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("is_privileged").cast("int")).alias("n_privileged"),
+            F.count_distinct("tool").alias("n_tools"),
+        )
+    )
+
+
+def q_template_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_cardinality_checker_spark.operators.aggregate import template_stats
+
+    t = template_stats(_routed(spark, sf_dir))
+    return (
+        t.groupBy("template")
+        .agg(F.sum("count").alias("count"))
+        .orderBy(F.desc("count"), F.asc("template"))
+        .limit(20)
+    )
+
+
+def q_paginated_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """limit/offset pagination via row_number (reference server.go:90-123)."""
+    from pyspark.sql import Window
+
+    ks = _key_stats_exact(spark, sf_dir).select("sink", "key", "count")
+    w = Window.orderBy(F.asc("sink"), F.asc("key"))
+    return (
+        ks.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") > 5) & (F.col("rn") <= 25))
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data ops (documents / embeddings driver tables)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_cardinality_checker_spark.operators.dedup import exact_dedup_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup_stats(docs)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        quality_scores,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_scores(docs)
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        token_count_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_count_stats(docs)
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprints(docs)
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full parse->enrich->route->aggregate at sf0.001."""
+    return _key_stats_exact(spark, SF001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "route_counts": q_route_counts,
+        "sink_chat_turns": _sink_turns("chat"),
+        "sink_error_turns": _sink_turns("error"),
+        "sink_tool_call_turns": _sink_turns("tool_call"),
+        "severity_counts": q_severity_counts,
+        "service_stats": q_service_stats,
+        "key_stats_exact": q_key_stats_exact,
+        "template_stats": q_template_stats,
+        "attribute_catalog": q_attribute_catalog,
+        "watched_values": q_watched_values,
+        "active_series_exact": q_active_series_exact,
+        "high_cardinality": q_high_cardinality,
+        "complexity": q_complexity,
+        "session_diff": q_session_diff,
+        "session_merge": q_session_merge,
+        "enriched_tool_stats": q_enriched_tool_stats,
+        "template_topk": q_template_topk,
+        "paginated_keys": q_paginated_keys,
+        "dedup_exact": q_dedup_exact,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "doc_fingerprints": q_doc_fingerprints,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pre = _oracle_prefix()
+
+    def sink_turns_sql(sink: str) -> str:
+        return (
+            pre
+            + f"SELECT conv_id, turn_idx, text FROM routed WHERE sink = '{sink}'"
+        )
+
+    key_stats_sql = (
+        pre
+        + """
+, totals AS (SELECT sink, count(*) AS sink_rows FROM routed GROUP BY sink)
+SELECT a.sink, a."key", count(*) AS count,
+       count(DISTINCT a."value") AS est_cardinality,
+       array_to_string((list_sort(list(DISTINCT a."value")))[1:10], '|') AS value_samples,
+       max(CASE WHEN contains(a."value", '�') THEN 1 ELSE 0 END) AS has_invalid_utf8,
+       round(count(*) * 100.0 / any_value(t.sink_rows), 4) AS pct
+FROM rattrs a JOIN totals t ON a.sink = t.sink
+GROUP BY a.sink, a."key"
+"""
+    )
+
+    diff_sql = (
+        pre
+        + """
+, a AS (
+  SELECT sink, "key", count(*) AS count_from,
+         count(DISTINCT "value") AS card_from
+  FROM rattrs WHERE turn_idx < 13 GROUP BY sink, "key"
+), b AS (
+  SELECT sink, "key", count(*) AS count_to,
+         count(DISTINCT "value") AS card_to
+  FROM rattrs GROUP BY sink, "key"
+), j AS (
+  SELECT coalesce(a.sink, b.sink) AS sink, coalesce(a."key", b."key") AS "key",
+         a.count_from, b.count_to, a.card_from, b.card_to
+  FROM a FULL OUTER JOIN b ON a.sink = b.sink AND a."key" = b."key"
+)
+SELECT sink, "key",
+  CASE WHEN count_from IS NULL THEN 'added'
+       WHEN count_to IS NULL THEN 'removed'
+       WHEN count_from != count_to OR card_from != card_to THEN 'changed'
+       ELSE 'unchanged' END AS change_type,
+  CASE WHEN count_from IS NULL AND card_to >= 1000 THEN 'warning'
+       WHEN count_from IS NOT NULL AND count_to IS NOT NULL
+            AND (count_from != count_to OR card_from != card_to)
+            AND card_to / nullif(card_from, 0) >= 10.0 THEN 'critical'
+       WHEN count_from IS NOT NULL AND count_to IS NOT NULL
+            AND (count_from != count_to OR card_from != card_to)
+            AND card_to / nullif(card_from, 0) >= 2.0 THEN 'warning'
+       ELSE 'info' END AS severity,
+  count_from, count_to, card_from, card_to
+FROM j
+"""
+    )
+
+    merge_sql = (
+        pre
+        + """
+, a AS (
+  SELECT sink, "key", count(*) AS count,
+         (list_sort(list(DISTINCT "value")))[1:10] AS samples
+  FROM rattrs WHERE turn_idx < 13 GROUP BY sink, "key"
+), b AS (
+  SELECT sink, "key", count(*) AS count,
+         (list_sort(list(DISTINCT "value")))[1:10] AS samples
+  FROM rattrs WHERE turn_idx >= 13 GROUP BY sink, "key"
+), u AS (
+  SELECT * FROM a UNION ALL SELECT * FROM b
+)
+SELECT sink, "key", sum(count) AS count,
+       array_to_string(
+         (list_sort(list_distinct(flatten(list(samples)))))[1:10], '|'
+       ) AS value_samples
+FROM u GROUP BY sink, "key"
+"""
+    )
+
+    return {
+        "route_counts": pre
+        + "SELECT sink, count(*) AS n_rows FROM routed GROUP BY sink",
+        "sink_chat_turns": sink_turns_sql("chat"),
+        "sink_error_turns": sink_turns_sql("error"),
+        "sink_tool_call_turns": sink_turns_sql("tool_call"),
+        "severity_counts": pre
+        + "SELECT severity_inferred, count(*) AS n_rows FROM parsed GROUP BY severity_inferred",
+        "service_stats": pre
+        + """
+SELECT sink, role, severity, count(*) AS sample_count,
+       count(DISTINCT conv_id) AS n_conversations
+FROM routed GROUP BY sink, role, severity
+""",
+        "key_stats_exact": key_stats_sql,
+        "template_stats": pre
+        + """
+SELECT role, severity, template, count(*) AS count,
+       arg_min(text, conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')) AS example,
+       round(count(*) * 100.0 /
+             sum(count(*)) OVER (PARTITION BY role, severity), 4) AS pct
+FROM rtruth GROUP BY role, severity, template
+""",
+        "attribute_catalog": pre
+        + """
+SELECT "key", count(*) AS count,
+       count(DISTINCT "value") AS est_cardinality,
+       array_to_string(list_sort(list(DISTINCT sink)), '|') AS signal_types,
+       array_to_string((list_sort(list(DISTINCT "value")))[1:10], '|') AS value_samples,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+       max(CASE WHEN contains("value", '�') THEN 1 ELSE 0 END) AS has_invalid_utf8
+FROM rattrs GROUP BY "key"
+""",
+        "watched_values": pre
+        + """
+, freq AS (
+  SELECT "key", "value", count(*) AS count
+  FROM rattrs WHERE "key" IN ('user_id', 'tool_name')
+  GROUP BY "key", "value"
+)
+SELECT "key", "value", count,
+       CASE WHEN count(*) OVER (PARTITION BY "key") > 10000 THEN 1 ELSE 0 END AS overflow
+FROM freq
+QUALIFY row_number() OVER (PARTITION BY "key" ORDER BY count DESC, "value" ASC) <= 10000
+""",
+        "active_series_exact": pre
+        + """
+, fps AS (
+  SELECT r.sink,
+    'R:role=' || r.role || ',R:service=' || r.service || ',' ||
+    coalesce(a.attrstr, '') AS fingerprint
+  FROM routed r
+  LEFT JOIN (
+    SELECT conv_id, turn_idx,
+           string_agg('D:' || "key" || '=' || "value", ',' ORDER BY "key") AS attrstr
+    FROM rattrs GROUP BY conv_id, turn_idx
+  ) a ON r.conv_id = a.conv_id AND r.turn_idx = a.turn_idx
+)
+SELECT sink, count(DISTINCT fingerprint) AS active_series,
+       count(*) AS sample_count
+FROM fps GROUP BY sink
+""",
+        "high_cardinality": pre
+        + """
+, ks AS (
+  SELECT sink, "key", count(*) AS count,
+         count(DISTINCT "value") AS est_cardinality
+  FROM rattrs GROUP BY sink, "key"
+)
+SELECT sink, "key", count, est_cardinality FROM ks
+WHERE est_cardinality >= 50
+ORDER BY est_cardinality DESC, sink ASC, "key" ASC LIMIT 1000
+""",
+        "complexity": pre
+        + """
+, ks AS (
+  SELECT sink, "key", count(DISTINCT "value") AS est_cardinality
+  FROM rattrs GROUP BY sink, "key"
+)
+SELECT sink, count(*) AS total_keys, max(est_cardinality) AS max_cardinality,
+       sum(CASE WHEN est_cardinality >= 100 THEN 1 ELSE 0 END) AS high_card_count,
+       count(*) * max(est_cardinality) AS complexity_score
+FROM ks GROUP BY sink
+""",
+        "session_diff": diff_sql,
+        "session_merge": merge_sql,
+        "enriched_tool_stats": _oracle_prefix()
+        + f"""
+SELECT d.tool_family, count(*) AS n_rows,
+       sum(CASE WHEN d.is_privileged THEN 1 ELSE 0 END) AS n_privileged,
+       count(DISTINCT r.tool) AS n_tools
+FROM routed r JOIN read_parquet('{_tool_dim_path()}') d ON r.tool = d.tool
+GROUP BY d.tool_family
+""",
+        "template_topk": pre
+        + """
+SELECT template, count(*) AS count FROM rtruth
+GROUP BY template ORDER BY count DESC, template ASC LIMIT 20
+""",
+        "paginated_keys": pre
+        + """
+, ks AS (
+  SELECT sink, "key", count(*) AS count FROM rattrs GROUP BY sink, "key"
+)
+SELECT sink, "key", count, rn FROM (
+  SELECT *, row_number() OVER (ORDER BY sink ASC, "key" ASC) AS rn FROM ks
+) WHERE rn > 5 AND rn <= 25
+""",
+        "dedup_exact": """
+SELECT md5(text) AS text_hash, count(*) AS n_copies,
+       min(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text)
+""",
+        "text_quality": """
+SELECT doc_id,
+  length(text) AS n_chars_actual,
+  length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS n_tokens,
+  round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1), 4) AS alpha_ratio,
+  round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1), 4) AS digit_ratio,
+  round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1), 4) AS punct_ratio
+FROM documents
+""",
+        "token_counts": """
+SELECT lang,
+  count(*) AS n_docs,
+  sum(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1) AS total_tokens,
+  max(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1) AS max_tokens
+FROM documents GROUP BY lang
+""",
+        "doc_fingerprints": """
+SELECT doc_id,
+  md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""",
+    }
+
+
+def _tool_dim_path() -> str:
+    from otlp_cardinality_checker_spark.sources.transcripts import truth_paths
+
+    return truth_paths(SF01)["tool_dim"]

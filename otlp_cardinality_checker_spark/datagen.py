@@ -32,6 +32,7 @@ from .functions.masking import template_of
 from .functions.severity import severity_of
 
 SEED = 42
+GEN_VERSION = 2  # bump when generation rules change -> fixtures regenerate
 TURNS_PER_CONV = 25
 CARDINALITY_UID = 500  # mirrors reference scripts/test-hll-cardinality.sh
 DATA_ROOT = Path(os.environ.get("SPARK_GRAFT_DATA_ROOT", "/root/repo/.data"))
@@ -122,7 +123,10 @@ def generate_transcripts(n_turns: int, with_truth: bool = True):
     roles = [_role_of(int(i)) for i in idx]
     tools = [_tool_of(int(i)) if r == "tool" else None for i, r in zip(idx, roles)]
     texts = [_text_of(int(i), r, t) for i, r, t in zip(idx, roles, tools)]
-    ts = pd.Timestamp("2026-01-01T00:00:00") + pd.to_timedelta(idx, unit="s")
+    # microsecond precision: Spark cannot read parquet TIMESTAMP(NANOS)
+    ts = (
+        pd.Timestamp("2026-01-01T00:00:00") + pd.to_timedelta(idx, unit="s")
+    ).astype("datetime64[us]")
 
     transcripts = pd.DataFrame(
         {
@@ -212,7 +216,7 @@ def ensure_dataset(sf_dir: str, with_truth: bool = True) -> Path:
     tool_dim.parquet and (optionally) truth.parquet / truth_attrs.parquet.
     """
     n = n_turns_for_sf(sf_dir)
-    out = DATA_ROOT / f"n{n}"
+    out = DATA_ROOT / f"v{GEN_VERSION}_n{n}"
     marker = out / ("_SUCCESS_TRUTH" if with_truth else "_SUCCESS")
     if marker.exists() or (with_truth is False and (out / "_SUCCESS_TRUTH").exists()):
         return out

@@ -1,0 +1,271 @@
+"""Aggregate stage: mergeable per-key statistics (SURVEY.md §2.4).
+
+Every aggregate here is the Spark-native form of the reference's
+partial+final merge design (`MergeKeyMetadata`,
+`/root/reference/pkg/models/metadata.go:510-556`): hash aggregation with
+map-side combine, so the semantics distribute exactly.
+
+Cardinality estimation has two modes:
+
+* ``exact=True`` — ``count_distinct``: used by the DuckDB-oracle parity
+  queries (estimates can never hash-match across engines) and mirrors the
+  reference's exact region for <=10 uniques (`metadata.go:442-450`).
+* ``exact=False`` — **salted two-stage HLL**: stage 1 groups by
+  ``(group, salt = pmod(hash(conv_id), n_salt))`` computing
+  ``hll_sketch_agg`` partials, stage 2 unions with ``hll_union_agg``.
+  Mergeability of the sketch (reference `hll.go:156-168`) is what makes the
+  salted split exact-in-distribution; the salt defeats hot-key skew (few
+  roles/tools at 10^12 turns) by fanning one hot group across n_salt
+  reducers.
+
+First-N value samples: the reference keeps the first 10 unique values and
+*sorts them at output* (`metadata.go:428-436`), so the deterministic
+distributable equivalent is the 10 lexicographically-smallest distinct
+values: min-10 of per-partition min-10s == global min-10.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SAMPLE_CAP = 10
+WATCHED_VALUE_CAP = 10_000
+HIGH_CARDINALITY_DEFAULT_THRESHOLD = 100
+HLL_LG_K = 12  # ~1.6% rel. err (reference uses precision 10 ≈ same class)
+
+
+def exploded_attrs(routed: DataFrame) -> DataFrame:
+    """Long-form (sink, conv_id, turn_idx, ts, key, value) attribute rows."""
+    return routed.select(
+        "sink",
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.explode("attrs").alias("key", "value"),
+    )
+
+
+def _samples_expr(value: str = "value") -> F.Column:
+    return F.slice(F.sort_array(F.collect_set(value)), 1, SAMPLE_CAP)
+
+
+def sink_totals(routed: DataFrame) -> DataFrame:
+    return routed.groupBy("sink").agg(F.count(F.lit(1)).alias("sink_rows"))
+
+
+def key_stats(
+    routed: DataFrame,
+    exact: bool = False,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Per-(sink, key) stats: count, pct, est_cardinality, samples, taint.
+
+    Reference: KeyMetadata (`pkg/models/metadata.go:250-280`, AddValue
+    `:382-424`) + percentage recompute (`internal/analyzer/logs.go:262-277`).
+    """
+    attrs = exploded_attrs(routed)
+    if exact:
+        agg = attrs.groupBy("sink", "key").agg(
+            F.count(F.lit(1)).alias("count"),
+            F.count_distinct("value").alias("est_cardinality"),
+            F.array_join(_samples_expr(), "|").alias("value_samples"),
+            F.max(F.contains("value", F.lit("�"))).alias("has_invalid_utf8"),
+        )
+    else:
+        partial = attrs.groupBy(
+            "sink", "key", F.pmod(F.hash("conv_id"), F.lit(n_salt)).alias("_salt")
+        ).agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.hll_sketch_agg("value", F.lit(HLL_LG_K)).alias("_hll"),
+            _samples_expr().alias("_samples"),
+            F.max(F.contains("value", F.lit("�"))).alias("_taint"),
+        )
+        agg = partial.groupBy("sink", "key").agg(
+            F.sum("_cnt").alias("count"),
+            F.hll_sketch_estimate(F.hll_union_agg("_hll")).alias(
+                "est_cardinality"
+            ),
+            F.array_join(
+                F.slice(
+                    F.array_sort(
+                        F.array_distinct(F.flatten(F.collect_list("_samples")))
+                    ),
+                    1,
+                    SAMPLE_CAP,
+                ),
+                "|",
+            ).alias("value_samples"),
+            F.max("_taint").alias("has_invalid_utf8"),
+        )
+    totals = sink_totals(routed)
+    return (
+        agg.join(F.broadcast(totals), "sink")
+        .withColumn(
+            "pct", F.round(F.col("count") * 100.0 / F.col("sink_rows"), 4)
+        )
+        .drop("sink_rows")
+    )
+
+
+def service_stats(routed: DataFrame) -> DataFrame:
+    """(sink, role, severity) sample counts — the reference's
+    `service|severity` log grain (`internal/analyzer/logs.go:151-152`)."""
+    return routed.groupBy("sink", "role", "severity").agg(
+        F.count(F.lit(1)).alias("sample_count"),
+        F.count_distinct("conv_id").alias("n_conversations"),
+    )
+
+
+def template_stats(routed: DataFrame) -> DataFrame:
+    """(role, severity, template) counts + deterministic first example.
+
+    Reference: template extraction aggregation
+    (`internal/analyzer/logtemplate.go:52-97`); "first example" redefined as
+    the example at min (conv_id, turn_idx) — order-independent.
+    """
+    agg = routed.groupBy("role", "severity", "template").agg(
+        F.count(F.lit(1)).alias("count"),
+        F.min_by("text", F.struct("conv_id", "turn_idx")).alias("example"),
+    )
+    total = Window.partitionBy("role", "severity")
+    return agg.withColumn(
+        "pct", F.round(F.col("count") * 100.0 / F.sum("count").over(total), 4)
+    )
+
+
+def attribute_catalog(routed: DataFrame, exact: bool = False) -> DataFrame:
+    """Global cross-sink attribute catalog (A12).
+
+    Reference: `StoreAttributeValue` + `AttributeMetadata.AddValue`
+    (`internal/storage/memory/store.go:944-980`,
+    `pkg/models/attribute.go:71-124`). Batch-level dedup (A13,
+    `common.go:59-90`) is map-side partial aggregation here — free.
+    """
+    attrs = exploded_attrs(routed)
+    card = (
+        F.count_distinct("value")
+        if exact
+        else F.hll_sketch_estimate(F.hll_sketch_agg("value", F.lit(HLL_LG_K)))
+    )
+    return attrs.groupBy("key").agg(
+        F.count(F.lit(1)).alias("count"),
+        card.alias("est_cardinality"),
+        F.array_join(F.sort_array(F.collect_set("sink")), "|").alias(
+            "signal_types"
+        ),
+        F.array_join(_samples_expr(), "|").alias("value_samples"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        F.max(F.contains("value", F.lit("�"))).alias("has_invalid_utf8"),
+    )
+
+
+def watched_values(
+    routed: DataFrame,
+    watched_keys: tuple[str, ...] = ("user_id", "tool_name"),
+    cap: int = WATCHED_VALUE_CAP,
+) -> DataFrame:
+    """Exact per-value frequencies for watched keys (A14).
+
+    Reference: `WatchedAttribute.AddValue` (`pkg/models/attribute.go:310-334`)
+    — exact map capped at 10k uniques with an overflow flag. The cap keeps
+    the reference's *semantics* (rank by count desc, value asc; values past
+    the cap dropped, overflow flagged), applied via window rank so the
+    result is deterministic.
+    """
+    freq = (
+        exploded_attrs(routed)
+        .where(F.col("key").isin(*watched_keys))
+        .groupBy("key", "value")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("count"), F.asc("value"))
+    return (
+        freq.withColumn("_rank", F.row_number().over(w))
+        .withColumn(
+            "overflow",
+            (F.count(F.lit(1)).over(Window.partitionBy("key")) > cap),
+        )
+        .where(F.col("_rank") <= cap)
+        .drop("_rank")
+    )
+
+
+def active_series(routed: DataFrame, exact: bool = False) -> DataFrame:
+    """Per-sink distinct series fingerprints (A7).
+
+    Reference: canonical sorted `R:`/`D:`-prefixed k=v join fed to a HLL
+    (`pkg/models/series_fingerprint.go:39-71`). Resource scope here is the
+    enriched identity (role/service); datapoint scope is the extracted attrs.
+    """
+    fp = F.concat_ws(
+        ",",
+        F.concat(F.lit("R:role="), F.col("role")),
+        F.concat(F.lit("R:service="), F.col("service")),
+        F.array_join(
+            F.sort_array(
+                F.transform(
+                    F.map_entries("attrs"),
+                    lambda e: F.concat(F.lit("D:"), e.key, F.lit("="), e.value),
+                )
+            ),
+            ",",
+        ),
+    )
+    with_fp = routed.select("sink", fp.alias("fingerprint"))
+    est = (
+        F.count_distinct("fingerprint")
+        if exact
+        else F.hll_sketch_estimate(
+            F.hll_sketch_agg("fingerprint", F.lit(HLL_LG_K))
+        )
+    )
+    return with_fp.groupBy("sink").agg(
+        est.alias("active_series"), F.count(F.lit(1)).alias("sample_count")
+    )
+
+
+def high_cardinality_keys(
+    key_stats_df: DataFrame,
+    threshold: int = HIGH_CARDINALITY_DEFAULT_THRESHOLD,
+    limit: int = 1000,
+) -> DataFrame:
+    """Cross-sink keys above a cardinality threshold (P5).
+
+    Reference: `GetHighCardinalityKeys`
+    (`internal/storage/memory/store.go:622-741`), limit <=1000.
+    """
+    return (
+        key_stats_df.where(F.col("est_cardinality") >= threshold)
+        .orderBy(F.desc("est_cardinality"), F.asc("sink"), F.asc("key"))
+        .limit(limit)
+    )
+
+
+def metadata_complexity(
+    key_stats_df: DataFrame,
+    high_card_threshold: int = HIGH_CARDINALITY_DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """Per-sink complexity score (A15).
+
+    Reference: `GetMetadataComplexity`
+    (`internal/storage/memory/store.go:744-916`): totalKeys, maxCardinality,
+    highCardCount, score = keys x maxCard.
+    """
+    return (
+        key_stats_df.groupBy("sink")
+        .agg(
+            F.count(F.lit(1)).alias("total_keys"),
+            F.max("est_cardinality").alias("max_cardinality"),
+            F.sum(
+                F.when(
+                    F.col("est_cardinality") >= high_card_threshold, 1
+                ).otherwise(0)
+            ).alias("high_card_count"),
+        )
+        .withColumn(
+            "complexity_score", F.col("total_keys") * F.col("max_cardinality")
+        )
+        .orderBy(F.desc("complexity_score"))
+    )

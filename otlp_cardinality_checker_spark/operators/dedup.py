@@ -1,0 +1,220 @@
+"""Deduplication operators for training-data pipelines (documents table).
+
+Scale notes (the point of each design):
+
+* exact: hash-groupBy on a content digest — one shuffle of (hash, id), never
+  of the text bytes themselves at the final stage.
+* MinHash + LSH: shingle -> minhash signature -> band buckets -> candidate
+  pairs via a self-equi-join *on the band key only* (no O(n^2) cross join);
+  verification re-computes exact Jaccard only for candidates.
+* SimHash: 64-bit signature from token hashes; near-dups = identical
+  signature buckets (or small Hamming distance within buckets).
+* n-gram Jaccard: exact pairwise similarity restricted to pairs sharing at
+  least one shingle (inverted-index join), again avoiding the cross join.
+
+Everything is built from built-in functions (`xxhash64`, higher-order array
+ops); no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_MINHASH = 32
+N_BANDS = 8  # rows per band = N_MINHASH / N_BANDS = 4
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: digest, copy count, survivor id."""
+    return docs.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+
+
+def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle-hash array) with word n-gram shingles."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    shingles = F.when(F.size(toks) >= n,
+        F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
+    return docs.select("doc_id", F.array_distinct(shingles).alias("shingles"))
+
+
+def minhash_signatures(shingled: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """MinHash signature per doc: min over shingles of (a_i*h + b_i) mod p.
+
+    The permutation constants are fixed odd multipliers (deterministic —
+    no RNG in the plan), applied via one `transform` + `array_min` per
+    hash function, all JVM-side.
+    """
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda h, i=i: F.pmod(
+                        (h.cast("decimal(38,0)") * (2 * i + 1) + i * 0x9E3779B9)
+                        .cast("decimal(38,0)"),
+                        F.lit(_MERSENNE).cast("decimal(38,0)"),
+                    ).cast("long"),
+                )
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    return shingled.select("doc_id", "shingles", sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signed: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_MINHASH
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket."""
+    rows_per_band = n_hashes // n_bands
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("signature")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+    )
+    banded = signed.select("doc_id", bands.alias("bb")).select(
+        "doc_id", "bb.band", "bb.bucket"
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def exact_jaccard(shingled: DataFrame, min_jaccard: float = 0.0) -> DataFrame:
+    """Exact pairwise n-gram Jaccard via inverted-index join.
+
+    Pairs are generated only for docs sharing >=1 shingle (explode + self
+    equi-join on the shingle hash), then |intersection| is a group count and
+    |union| = |A| + |B| - |intersection|.
+    """
+    sizes = shingled.select(
+        "doc_id", F.size("shingles").alias("n_shingles")
+    )
+    inv = shingled.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    pairs = (
+        inv.alias("l")
+        .join(
+            inv.alias("r"),
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    with_sizes = (
+        pairs.join(
+            F.broadcast(sizes).withColumnsRenamed(
+                {"doc_id": "doc_a", "n_shingles": "size_a"}
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes).withColumnsRenamed(
+                {"doc_id": "doc_b", "n_shingles": "size_b"}
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        with_sizes.withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame, min_jaccard: float = 0.5, n: int = 3
+) -> DataFrame:
+    """Full MinHash+LSH pipeline: candidates -> exact-Jaccard verification."""
+    sh = word_shingles(docs, n=n)
+    cands = lsh_candidate_pairs(minhash_signatures(sh))
+    verified = exact_jaccard(sh, min_jaccard=0.0).join(
+        cands, ["doc_a", "doc_b"], "inner"
+    )
+    return verified.where(F.col("jaccard") >= min_jaccard)
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document from whitespace-token hashes.
+
+    For each bit b: sign = sum over tokens of (+1 if bit set else -1);
+    signature bit = 1 when sum > 0. Expressed with higher-order array
+    functions (aggregate over the token array), no UDF.
+    """
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: t != F.lit(""),
+        )
+    )
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_expr(b: int):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1).otherwise(-1),
+        )
+        return F.when(votes > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    sig = bit_expr(0)
+    for b in range(1, 64):
+        sig = sig + bit_expr(b)
+    return docs.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_dups(docs: DataFrame) -> DataFrame:
+    """Docs whose SimHash signatures collide exactly (strong near-dup)."""
+    sigs = simhash_signatures(docs)
+    return (
+        sigs.groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,129 @@
+"""Session snapshot / additive merge / diff (SURVEY.md §2.1 S3-S4, §2.7, §3.3).
+
+Reference semantics:
+
+* Snapshot = serialize all aggregate state incl. HLL registers
+  (`/root/reference/internal/storage/sessions/serializer.go:590-697`).
+  Here a session is simply the aggregate DataFrames persisted as a
+  versioned table; sketches are binary columns (``hll_sketch_agg`` output),
+  so snapshots stay mergeable.
+* Merge = additive union (`internal/api/sessions.go:459-466`): counts sum,
+  sketches union (`hll_union_agg`) — HLL-correct, verified by the reference's
+  own `TestMerge_CardinalityAccuracy` (`sessions_test.go:767-807`).
+* Diff = name-aligned full-outer comparison producing added / removed /
+  changed with severity grading (`computeDiff` `sessions.go:608-685`;
+  thresholds `pkg/models/diff.go:135-152`: ratio >=10x critical, >=2x
+  warning; new key with cardinality >=1000 warning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CRITICAL_RATIO = 10.0
+WARNING_RATIO = 2.0
+NEW_KEY_WARNING_CARDINALITY = 1000
+
+
+def snapshot_key_stats(routed: DataFrame, n_salt: int = 16) -> DataFrame:
+    """Mergeable session snapshot of per-(sink,key) state.
+
+    Carries the *sketch itself* (binary), not the estimate, so later merges
+    stay exact-in-distribution — the Spark analogue of serializing HLL
+    registers.
+    """
+    from .aggregate import HLL_LG_K, SAMPLE_CAP, exploded_attrs
+
+    attrs = exploded_attrs(routed)
+    return attrs.groupBy("sink", "key").agg(
+        F.count(F.lit(1)).alias("count"),
+        F.hll_sketch_agg("value", F.lit(HLL_LG_K)).alias("hll"),
+        F.slice(F.sort_array(F.collect_set("value")), 1, SAMPLE_CAP).alias(
+            "samples"
+        ),
+        F.max(F.contains("value", F.lit("�"))).alias("has_invalid_utf8"),
+    )
+
+
+def merge_snapshots(*snapshots: DataFrame) -> DataFrame:
+    """Additive union of session snapshots (U2)."""
+    from .aggregate import SAMPLE_CAP
+
+    unioned = snapshots[0]
+    for s in snapshots[1:]:
+        unioned = unioned.unionByName(s)
+    return unioned.groupBy("sink", "key").agg(
+        F.sum("count").alias("count"),
+        F.hll_union_agg("hll").alias("hll"),
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("samples")))),
+            1,
+            SAMPLE_CAP,
+        ).alias("samples"),
+        F.max("has_invalid_utf8").alias("has_invalid_utf8"),
+    )
+
+
+def estimate(snapshot: DataFrame) -> DataFrame:
+    return snapshot.select(
+        "sink",
+        "key",
+        "count",
+        F.hll_sketch_estimate("hll").alias("est_cardinality"),
+        F.array_join("samples", "|").alias("value_samples"),
+        "has_invalid_utf8",
+    )
+
+
+def diff_key_stats(from_stats: DataFrame, to_stats: DataFrame) -> DataFrame:
+    """Full-outer diff of two (sink, key, count, est_cardinality) states.
+
+    Output: one row per (sink, key) present in either side with
+    change_type in (added, removed, changed, unchanged) and
+    severity in (critical, warning, info).
+    """
+    a = from_stats.select(
+        "sink",
+        "key",
+        F.col("count").alias("count_from"),
+        F.col("est_cardinality").alias("card_from"),
+    )
+    b = to_stats.select(
+        "sink",
+        "key",
+        F.col("count").alias("count_to"),
+        F.col("est_cardinality").alias("card_to"),
+    )
+    joined = a.join(b, ["sink", "key"], "full_outer")
+    change = (
+        F.when(F.col("count_from").isNull(), F.lit("added"))
+        .when(F.col("count_to").isNull(), F.lit("removed"))
+        .when(
+            (F.col("count_from") != F.col("count_to"))
+            | (F.col("card_from") != F.col("card_to")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    ratio = F.col("card_to") / F.nullif(F.col("card_from"), F.lit(0))
+    severity = (
+        F.when(
+            (change == "added")
+            & (F.col("card_to") >= NEW_KEY_WARNING_CARDINALITY),
+            F.lit("warning"),
+        )
+        .when((change == "changed") & (ratio >= CRITICAL_RATIO), F.lit("critical"))
+        .when((change == "changed") & (ratio >= WARNING_RATIO), F.lit("warning"))
+        .otherwise(F.lit("info"))
+    )
+    return joined.select(
+        "sink",
+        "key",
+        change.alias("change_type"),
+        severity.alias("severity"),
+        "count_from",
+        "count_to",
+        "card_from",
+        "card_to",
+    )

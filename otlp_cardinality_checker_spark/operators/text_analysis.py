@@ -1,0 +1,93 @@
+"""Text analysis for training-data pipelines over the `documents` table.
+
+Large-scale-pipeline additions beyond the reference's operator set (per the
+build brief): language ID, quality scoring, token counting, document
+fingerprinting. All pure Catalyst expressions — JVM-side, codegen-friendly,
+no UDFs — so they hold up at 100 TB (a scan + project + hash-agg only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _token_count(text: F.Column) -> F.Column:
+    """Single-space token count: portable across engines (see oracle SQL)."""
+    t = F.trim(text)
+    return F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+
+
+def _char_class_ratio(text: F.Column, keep_regex: str) -> F.Column:
+    kept = F.length(F.regexp_replace(text, keep_regex, ""))
+    return F.round(
+        kept.cast("double") / F.greatest(F.length(text), F.lit(1)), 4
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Per-document quality features (length/alpha/digit/punct ratios)."""
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(text).alias("n_chars_actual"),
+        _token_count(text).alias("n_tokens"),
+        _char_class_ratio(text, r"[^A-Za-z]").alias("alpha_ratio"),
+        _char_class_ratio(text, r"[^0-9]").alias("digit_ratio"),
+        _char_class_ratio(text, r"[^.,;:!?]").alias("punct_ratio"),
+    )
+
+
+def token_count_stats(docs: DataFrame) -> DataFrame:
+    """Per-language token volume (BPE-ish whitespace proxy)."""
+    n = _token_count(F.col("text"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n).alias("total_tokens"),
+        F.max(n).alias("max_tokens"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Canonical document fingerprint: md5 of whitespace-collapsed lowercase."""
+    canon = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return docs.select("doc_id", F.md5(canon).alias("fingerprint"))
+
+
+# Stopword-profile language ID: count hits of per-language marker words.
+# Heuristic n-gram/stopword approach (no external models in the container).
+LANG_MARKERS = {
+    "en": (" the ", " and ", " of ", " to "),
+    "de": (" der ", " und ", " die ", " nicht "),
+    "fr": (" le ", " les ", " des ", " est "),
+    "es": (" el ", " los ", " que ", " una "),
+}
+
+
+def _occurrences(text: F.Column, needle: str) -> F.Column:
+    return (
+        F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))
+    ) / len(needle)
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Best-scoring language per document, 'und' when no marker hits."""
+    text = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    scores = [
+        F.struct(
+            sum(
+                (_occurrences(text, m) for m in markers), start=F.lit(0.0)
+            ).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    best = F.greatest(*scores)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        F.when(best.getField("score") > 0, best.getField("lang"))
+        .otherwise(F.lit("und"))
+        .alias("lang_detected"),
+        best.getField("score").cast("double").alias("marker_hits"),
+    )

@@ -1,0 +1,59 @@
+"""Transcript source: Iceberg when available, parquet otherwise.
+
+The production target is an Iceberg table (north rule); this container has
+no Iceberg runtime jar, so the loader gates on catalog availability and
+falls back to the deterministic parquet fixtures written by ``datagen``.
+Both paths yield the exact `input_hint` schema:
+``conv_id string, turn_idx int, role string, text string, tool string,
+ts timestamp``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..datagen import ensure_dataset
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def load_transcripts(
+    spark: SparkSession, sf_dir: str, with_truth: bool = True
+) -> DataFrame:
+    data_dir = ensure_dataset(sf_dir, with_truth=with_truth)
+    if _iceberg_available(spark):  # pragma: no cover - no jar in container
+        table = f"transcripts_n{data_dir.name}"
+        try:
+            return spark.read.format("iceberg").load(table)
+        except Exception:
+            pass
+    return spark.read.parquet(str(data_dir / "transcripts.parquet"))
+
+
+def load_dims(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    data_dir = ensure_dataset(sf_dir)
+    return (
+        spark.read.parquet(str(data_dir / "role_dim.parquet")),
+        spark.read.parquet(str(data_dir / "tool_dim.parquet")),
+    )
+
+
+def truth_paths(sf_dir: str) -> dict[str, str]:
+    data_dir = ensure_dataset(sf_dir)
+    return {
+        "transcripts": str(data_dir / "transcripts.parquet"),
+        "role_dim": str(data_dir / "role_dim.parquet"),
+        "tool_dim": str(data_dir / "tool_dim.parquet"),
+        "truth": str(data_dir / "truth.parquet"),
+        "truth_attrs": str(data_dir / "truth_attrs.parquet"),
+    }

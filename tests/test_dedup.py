@@ -1,0 +1,142 @@
+"""Dedup + similarity operator tests over the driver documents/embeddings."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_conserves_rows(spark, docs):
+    from otlp_cardinality_checker_spark.operators.dedup import exact_dedup_stats
+
+    got = exact_dedup_stats(docs)
+    assert got.agg(F.sum("n_copies")).collect()[0][0] == docs.count()
+
+
+def test_exact_jaccard_identical_docs(spark):
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        exact_jaccard,
+        word_shingles,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "a completely different sentence with other words entirely"),
+        (4, "the quick brown fox jumps over the lazy cat today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in exact_jaccard(word_shingles(docs)).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) not in pairs  # no shared shingles -> no pair generated
+    assert 0 < pairs[(1, 4)] < 1.0
+
+
+def test_minhash_lsh_recall(spark):
+    """LSH candidates must recover all truly-similar pairs (j >= 0.7)."""
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        exact_jaccard,
+        minhash_near_dups,
+        word_shingles,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base) for i in range(5)]
+    rows += [(10 + i, base.replace("gamma", f"g{i}")) for i in range(3)]
+    rows += [
+        (100 + i, f"totally unrelated doc number {i} with random words {i * 7}")
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in exact_jaccard(word_shingles(docs), min_jaccard=0.7).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_dups(docs, min_jaccard=0.7).collect()
+    }
+    assert truth, "fixture must contain similar pairs"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9
+    # verification step guarantees precision 1.0
+    assert got <= truth
+
+
+def test_simhash_identical_docs_collide(spark):
+    from otlp_cardinality_checker_spark.operators.dedup import simhash_near_dups
+
+    rows = [(1, "hello world foo bar"), (2, "hello world foo bar"), (3, "zzz qqq")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = simhash_near_dups(docs).collect()
+    assert len(got) == 1
+    assert got[0]["doc_ids"] == [1, 2]
+
+
+def test_brute_force_topk(spark, emb):
+    from otlp_cardinality_checker_spark.operators.similarity import brute_force_topk
+
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = brute_force_topk(emb, queries, k=5).toPandas()
+    assert set(got["query_id"].unique()) == set(
+        r["query_id"] for r in queries.collect()
+    )
+    for qid, grp in got.groupby("query_id"):
+        assert len(grp) == 5
+        # self must rank first with cosine 1.0
+        top = grp[grp["rank"] == 1].iloc[0]
+        assert top["vec_id"] == qid
+        assert abs(top["cosine"] - 1.0) < 1e-4
+        assert grp.sort_values("rank")["cosine"].is_monotonic_decreasing
+
+
+def test_lsh_topk_recall(spark, emb):
+    from otlp_cardinality_checker_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    dim = len(emb.first()["embedding"])
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(emb, queries, k=5).toPandas()
+    approx = lsh_topk(emb, queries, dim=dim, k=5).toPandas()
+    exact_sets = exact.groupby("query_id")["vec_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["vec_id"].apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / 5 for q in exact_sets.index
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5  # coarse ANN floor; self always found
+
+
+def test_multimodal_plumbing(spark):
+    from otlp_cardinality_checker_spark.operators.multimodal import (
+        extract_features,
+        modality_stats,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 30)
+    feats = extract_features(media, n_features=4)
+    got = feats.toPandas()
+    assert len(got) == 30
+    assert all(len(f) == 4 for f in got["features"])
+    stats = modality_stats(feats).toPandas()
+    assert set(stats["modality"]) == {"image", "audio", "video"}
+    assert (stats["total_bytes"] > 0).all()

@@ -1,0 +1,167 @@
+"""Pipeline-level parity tests on the tiny corpus (pandas oracle)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+
+def test_engines_agree(spark, tiny_frames):
+    """Catalyst parse engine == pandas parse engine, row for row."""
+    from otlp_cardinality_checker_spark.operators.parse import parse_turns
+
+    transcripts, _, _ = tiny_frames
+    df = spark.createDataFrame(transcripts)
+    cols = ["conv_id", "turn_idx", "severity_inferred", "template", "attrs"]
+    a = parse_turns(df, engine="sql").select(cols).toPandas()
+    b = parse_turns(df, engine="pandas").select(cols).toPandas()
+    key = ["conv_id", "turn_idx"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a["severity_inferred"].tolist() == b["severity_inferred"].tolist()
+    assert a["template"].tolist() == b["template"].tolist()
+    assert [sorted(d.items()) for d in a["attrs"]] == [
+        sorted(d.items()) for d in b["attrs"]
+    ]
+
+
+def test_parse_matches_generation_truth(spark, tiny_frames):
+    from otlp_cardinality_checker_spark.operators.parse import parse_turns
+
+    transcripts, truth, _ = tiny_frames
+    df = spark.createDataFrame(transcripts)
+    got = (
+        parse_turns(df)
+        .select("conv_id", "turn_idx", "severity_inferred", "template")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = truth.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert got["severity_inferred"].tolist() == exp["severity_inferred"].tolist()
+    assert got["template"].tolist() == exp["template"].tolist()
+
+
+def test_routing_is_exhaustive_and_disjoint(tiny_routed, tiny_frames):
+    transcripts, _, _ = tiny_frames
+    counts = {
+        r["sink"]: r["n"]
+        for r in tiny_routed.groupBy("sink").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(counts.values()) == len(transcripts)
+    # every tool turn routed to tool_call
+    n_tool = int(transcripts["tool"].notna().sum())
+    assert counts["tool_call"] == n_tool
+
+
+def test_routing_predicates(tiny_routed):
+    bad = tiny_routed.where(
+        ((F.col("sink") == "tool_call") & F.col("tool").isNull())
+        | ((F.col("sink") == "error") & (F.col("severity") != "ERROR"))
+        | (
+            (F.col("sink") == "chat")
+            & ((F.col("severity") == "ERROR") | F.col("tool").isNotNull())
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_missing_dim_row_null_semantics(tiny_routed):
+    """`system` is absent from the tiny role_dim: left join must keep rows."""
+    sys_rows = tiny_routed.where(F.col("role") == "system")
+    assert sys_rows.count() > 0
+    assert sys_rows.where(F.col("role_class").isNotNull()).count() == 0
+    assert (
+        sys_rows.where(F.col("service") != "unknown_service").count() == 0
+    )
+    # severity default missing -> UNSET rows stay UNSET
+    assert (
+        sys_rows.where(
+            (F.col("severity_inferred") == "UNSET")
+            & (F.col("severity") != "UNSET")
+        ).count()
+        == 0
+    )
+
+
+def test_per_turn_text_equality_roundtrip(spark, tiny_routed, tmp_path):
+    """FIXTURES.md §4: sinks read back ordered == original text bytes."""
+    from otlp_cardinality_checker_spark.operators.route import write_sinks
+
+    paths = write_sinks(tiny_routed, str(tmp_path), n_buckets=4)
+    frames = []
+    for p in paths.values():
+        frames.append(
+            spark.read.parquet(p).select("conv_id", "turn_idx", "text").toPandas()
+        )
+    got = (
+        pd.concat(frames)
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    orig = (
+        tiny_routed.select("conv_id", "turn_idx", "text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert got["text"].tolist() == orig["text"].tolist()
+
+
+def test_key_stats_vs_pandas_oracle(tiny_routed, tiny_frames):
+    from otlp_cardinality_checker_spark.operators.aggregate import key_stats
+
+    transcripts, truth, truth_attrs = tiny_frames
+    got = key_stats(tiny_routed, exact=True).toPandas()
+
+    routed_pd = tiny_routed.select("conv_id", "turn_idx", "sink").toPandas()
+    attrs = truth_attrs.merge(routed_pd, on=["conv_id", "turn_idx"])
+    exp = (
+        attrs.groupby(["sink", "key"])
+        .agg(count=("value", "size"), est_cardinality=("value", "nunique"))
+        .reset_index()
+    )
+    merged = got.merge(exp, on=["sink", "key"], suffixes=("", "_exp"))
+    assert len(merged) == len(exp) == len(got)
+    assert (merged["count"] == merged["count_exp"]).all()
+    assert (merged["est_cardinality"] == merged["est_cardinality_exp"]).all()
+
+
+def test_hll_within_tolerance(tiny_routed):
+    """HLL mode within 10% of exact (reference hll_test.go:240-267 band)."""
+    from otlp_cardinality_checker_spark.operators.aggregate import key_stats
+
+    exact = {
+        (r["sink"], r["key"]): r["est_cardinality"]
+        for r in key_stats(tiny_routed, exact=True).collect()
+    }
+    approx = key_stats(tiny_routed, exact=False).collect()
+    assert len(approx) == len(exact)
+    for r in approx:
+        e = exact[(r["sink"], r["key"])]
+        assert abs(r["est_cardinality"] - e) <= max(1, 0.1 * e)
+
+
+def test_sample_cap_and_sorting(tiny_routed):
+    from otlp_cardinality_checker_spark.operators.aggregate import key_stats
+
+    for r in key_stats(tiny_routed, exact=True).collect():
+        samples = r["value_samples"].split("|") if r["value_samples"] else []
+        assert len(samples) <= 10
+        assert samples == sorted(samples)
+
+
+def test_salted_hll_equals_unsalted(tiny_routed):
+    """Two-stage salted agg must give the same estimates as 1-salt agg."""
+    from otlp_cardinality_checker_spark.operators.aggregate import key_stats
+
+    a = {
+        (r["sink"], r["key"]): r["est_cardinality"]
+        for r in key_stats(tiny_routed, exact=False, n_salt=16).collect()
+    }
+    b = {
+        (r["sink"], r["key"]): r["est_cardinality"]
+        for r in key_stats(tiny_routed, exact=False, n_salt=1).collect()
+    }
+    assert a == b

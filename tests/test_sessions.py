@@ -1,0 +1,91 @@
+"""Session snapshot/merge/diff tests (reference sessions_test.go semantics)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _halves(tiny_routed):
+    a = tiny_routed.where(F.col("turn_idx") < 5)
+    b = tiny_routed.where(F.col("turn_idx") >= 5)
+    return a, b
+
+
+def test_merge_counts_exact(tiny_routed):
+    """Merge(first half, second half) == full, counts exactly
+    (reference sessions.go:459-466 additive union)."""
+    from otlp_cardinality_checker_spark.operators.sessions import (
+        estimate,
+        merge_snapshots,
+        snapshot_key_stats,
+    )
+
+    a, b = _halves(tiny_routed)
+    merged = estimate(
+        merge_snapshots(snapshot_key_stats(a), snapshot_key_stats(b))
+    ).toPandas()
+    full = estimate(snapshot_key_stats(tiny_routed)).toPandas()
+    m = merged.merge(full, on=["sink", "key"], suffixes=("_m", "_f"))
+    assert len(m) == len(full) == len(merged)
+    assert (m["count_m"] == m["count_f"]).all()
+    assert (m["value_samples_m"] == m["value_samples_f"]).all()
+
+
+def test_merge_cardinality_accuracy(tiny_routed):
+    """HLL union across snapshots stays within band of exact
+    (mirrors reference TestMerge_CardinalityAccuracy sessions_test.go:767)."""
+    from otlp_cardinality_checker_spark.operators.aggregate import key_stats
+    from otlp_cardinality_checker_spark.operators.sessions import (
+        estimate,
+        merge_snapshots,
+        snapshot_key_stats,
+    )
+
+    a, b = _halves(tiny_routed)
+    merged = {
+        (r["sink"], r["key"]): r["est_cardinality"]
+        for r in estimate(
+            merge_snapshots(snapshot_key_stats(a), snapshot_key_stats(b))
+        ).collect()
+    }
+    exact = {
+        (r["sink"], r["key"]): r["est_cardinality"]
+        for r in key_stats(tiny_routed, exact=True).collect()
+    }
+    assert set(merged) == set(exact)
+    for k, e in exact.items():
+        assert abs(merged[k] - e) <= max(1, 0.1 * e)
+
+
+def test_diff_classification(spark):
+    from otlp_cardinality_checker_spark.operators.sessions import diff_key_stats
+
+    schema = "sink string, key string, count long, est_cardinality long"
+    a = spark.createDataFrame(
+        [
+            ("chat", "stable", 10, 5),
+            ("chat", "grew2x", 10, 100),
+            ("chat", "grew10x", 10, 100),
+            ("chat", "gone", 3, 2),
+        ],
+        schema,
+    )
+    b = spark.createDataFrame(
+        [
+            ("chat", "stable", 10, 5),
+            ("chat", "grew2x", 20, 250),
+            ("chat", "grew10x", 20, 1000),
+            ("chat", "newbig", 5, 2000),
+            ("chat", "newsmall", 5, 3),
+        ],
+        schema,
+    )
+    got = {r["key"]: r for r in diff_key_stats(a, b).collect()}
+    assert got["stable"]["change_type"] == "unchanged"
+    assert got["gone"]["change_type"] == "removed"
+    assert got["newbig"]["change_type"] == "added"
+    assert got["newbig"]["severity"] == "warning"  # new key card >= 1000
+    assert got["newsmall"]["severity"] == "info"
+    assert got["grew2x"]["change_type"] == "changed"
+    assert got["grew2x"]["severity"] == "warning"  # ratio >= 2x
+    assert got["grew10x"]["severity"] == "critical"  # ratio >= 10x
