@@ -1,0 +1,164 @@
+"""Benchmark: turns/sec through parse -> enrich -> route -> aggregate.
+
+Usage:
+    python bench.py                 # full bench + 2-parallelism scaling run
+    python bench.py --pipeline-only --cores 8   # internal: one scaling leg
+
+Prints ONE JSON line:
+    {"metric": "pipeline_turns_per_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1,
+     "scaling": {"cores_n": 8, "cores_4n": 32,
+                 "turns_per_sec_n": ..., "turns_per_sec_4n": ...,
+                 "efficiency": ...}}
+
+The scaling block evidences the north rule's N -> 4N criterion on one
+machine: same job, same input, local[8] vs local[32]; efficiency =
+(t_N / t_4N) / 4.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def run_pipeline_once(sf_dir: str, cores: int) -> dict:
+    """One full pipeline run; returns n_turns and stage wall time."""
+    from pyspark.sql import functions as F
+
+    from otlp_cardinality_checker_spark.datagen import ensure_dataset, n_turns_for_sf
+    from otlp_cardinality_checker_spark.operators import aggregate as agg
+    from otlp_cardinality_checker_spark.operators.route import write_sinks
+    from otlp_cardinality_checker_spark.plans.pipeline import routed_turns
+    from otlp_cardinality_checker_spark.session import get_spark
+
+    ensure_dataset(sf_dir, with_truth=False)  # exclude datagen from timing
+    spark = get_spark(app_name=f"bench-{cores}", cores=cores,
+                      shuffle_partitions=max(cores, 16))
+    n_turns = n_turns_for_sf(sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="bench_sinks_")
+    try:
+        t0 = time.time()
+        routed = routed_turns(spark, sf_dir, engine="sql", with_truth=False)
+        write_sinks(routed, out_dir, n_buckets=max(cores, 8))
+        ks = agg.key_stats(routed, exact=False)
+        # materialize every aggregate (collect: results are tiny)
+        ks.collect()
+        agg.service_stats(routed).collect()
+        agg.template_stats(routed).collect()
+        agg.attribute_catalog(routed, exact=False).collect()
+        agg.active_series(routed, exact=False).collect()
+        elapsed = time.time() - t0
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        spark.stop()
+    return {"n_turns": n_turns, "elapsed": elapsed,
+            "turns_per_sec": n_turns / elapsed}
+
+
+def run_query_timings(sf_dir: str, cores: int) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+    from otlp_cardinality_checker_spark.session import get_spark
+
+    headline = [
+        "route_counts",
+        "key_stats_exact",
+        "template_stats",
+        "attribute_catalog",
+        "active_series_exact",
+        "watched_values",
+        "session_diff",
+        "dedup_exact",
+        "text_quality",
+        "token_counts",
+    ]
+    spark = get_spark(app_name="bench-queries", cores=cores)
+    qs = entry_mod.queries()
+    out: dict[str, float] = {}
+    try:
+        for name in headline:
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.collect() if name != "sink_chat_turns" else df.count()
+            out[name] = round(time.time() - t0, 3)
+    finally:
+        spark.stop()
+    return out
+
+
+def scaling_leg(sf_dir: str, cores: int) -> dict:
+    """Run one leg in a fresh process (fresh JVM, honest measurement)."""
+    res = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--pipeline-only",
+         "--cores", str(cores), "--sf-dir", sf_dir],
+        capture_output=True, text=True, timeout=1200,
+    )
+    for line in reversed(res.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"scaling leg failed: {res.stdout[-2000:]} {res.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--cores", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--skip-scaling", action="store_true",
+                    default=os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1")
+    args = ap.parse_args()
+
+    if args.pipeline_only:
+        print(json.dumps(run_pipeline_once(args.sf_dir, args.cores)))
+        return
+
+    sf_name = os.path.basename(os.path.normpath(args.sf_dir))
+    try:
+        sf = float(sf_name.removeprefix("sf"))
+    except ValueError:
+        sf = 0.1
+
+    pipeline = run_pipeline_once(args.sf_dir, args.cores)
+    queries = run_query_timings(args.sf_dir, args.cores)
+
+    result = {
+        "metric": "pipeline_turns_per_sec",
+        "value": round(pipeline["turns_per_sec"], 1),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "n_turns": pipeline["n_turns"],
+        "pipeline_sec": round(pipeline["elapsed"], 2),
+    }
+
+    if not args.skip_scaling:
+        n_cores = max(2, args.cores // 4)
+        leg_n = scaling_leg(args.sf_dir, n_cores)
+        leg_4n = scaling_leg(args.sf_dir, args.cores)
+        speedup = leg_n["elapsed"] / leg_4n["elapsed"]
+        result["scaling"] = {
+            "cores_n": n_cores,
+            "cores_4n": args.cores,
+            "turns_per_sec_n": round(leg_n["turns_per_sec"], 1),
+            "turns_per_sec_4n": round(leg_4n["turns_per_sec"], 1),
+            "speedup": round(speedup, 3),
+            "efficiency": round(speedup / (args.cores / n_cores), 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

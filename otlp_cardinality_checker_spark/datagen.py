@@ -34,7 +34,11 @@ from .functions.severity import severity_of
 SEED = 42
 GEN_VERSION = 2  # bump when generation rules change -> fixtures regenerate
 TURNS_PER_CONV = 25
-CARDINALITY_UID = 500  # mirrors reference scripts/test-hll-cardinality.sh
+CARDINALITY_UID = 500  # uid modulus (mirrors scripts/test-hll-cardinality.sh)
+# The *observed* distinct user_id count: uid-bearing text families occupy
+# fixed residues mod lcm(100, 20), so only 170 of the 500 residues are ever
+# emitted — a known constant for oracle checks, stable for n >= 4000.
+EXPECTED_UID_CARDINALITY = 170
 DATA_ROOT = Path(os.environ.get("SPARK_GRAFT_DATA_ROOT", "/root/repo/.data"))
 
 ROLES = ("user", "assistant", "system", "tool")

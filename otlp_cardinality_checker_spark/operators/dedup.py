@@ -193,13 +193,14 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
     def bit_expr(b: int):
+        bit_val = (1 << b) if b < 63 else -(1 << 63)  # two's complement long
         votes = F.aggregate(
             hashes,
             F.lit(0),
             lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1).otherwise(-1),
+            + F.when(h.bitwiseAND(F.lit(bit_val).cast("long")) != 0, 1).otherwise(-1),
         )
-        return F.when(votes > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        return F.when(votes > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
 
     sig = bit_expr(0)
     for b in range(1, 64):

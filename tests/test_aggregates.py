@@ -115,10 +115,10 @@ def test_uid_cardinality_constant(spark):
     """FIXTURES.md: user_id ranges over exactly CARDINALITY_UID values at
     scale (mirrors reference test-hll-cardinality.sh: known constant)."""
     from otlp_cardinality_checker_spark.datagen import (
-        CARDINALITY_UID,
+        EXPECTED_UID_CARDINALITY,
         generate_transcripts,
     )
 
     _, _, truth_attrs = generate_transcripts(5000)
     n_uid = truth_attrs[truth_attrs.key == "user_id"]["value"].nunique()
-    assert n_uid == CARDINALITY_UID
+    assert n_uid == EXPECTED_UID_CARDINALITY

@@ -107,22 +107,35 @@ def test_brute_force_topk(spark, emb):
         assert grp.sort_values("rank")["cosine"].is_monotonic_decreasing
 
 
-def test_lsh_topk_recall(spark, emb):
+def test_lsh_topk_recall_planted_clusters(spark):
+    """ANN recall measured where it is meaningful: planted angular clusters
+    (uniform random vectors have pairwise cosine ~0, so 'nearest' is noise)."""
     from otlp_cardinality_checker_spark.operators.similarity import (
         brute_force_topk,
         lsh_topk,
     )
 
-    dim = len(emb.first()["embedding"])
-    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
-    exact = brute_force_topk(emb, queries, k=5).toPandas()
-    approx = lsh_topk(emb, queries, dim=dim, k=5).toPandas()
+    dim, n_clusters, per_cluster = 16, 6, 8
+    rows = []
+    for c in range(n_clusters):
+        base = [((c * 37 + d * 11) % 17) - 8.0 for d in range(dim)]
+        for j in range(per_cluster):
+            noise = [(((c * 13 + j * 7 + d) % 5) - 2) * 0.05 for d in range(dim)]
+            rows.append((c * 100 + j, [b + n for b, n in zip(base, noise)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = per_cluster
+    exact = brute_force_topk(emb, queries, k=k).toPandas()
+    approx = lsh_topk(emb, queries, dim=dim, k=k, n_bits=8).toPandas()
     exact_sets = exact.groupby("query_id")["vec_id"].apply(set)
     approx_sets = approx.groupby("query_id")["vec_id"].apply(set)
     recalls = [
-        len(exact_sets[q] & approx_sets.get(q, set())) / 5 for q in exact_sets.index
+        len(exact_sets[q] & approx_sets.get(q, set())) / k
+        for q in exact_sets.index
     ]
-    assert sum(recalls) / len(recalls) >= 0.5  # coarse ANN floor; self always found
+    assert sum(recalls) / len(recalls) >= 0.9
 
 
 def test_multimodal_plumbing(spark):

@@ -97,8 +97,9 @@ def test_query_string_stripped():
         ("200KB", True),
         ("hello", False),
         ("user", False),
-        ("a" * 31, True),  # long-token collapse
-        ("a" * 30, False),
+        ("a" * 30, True),  # pure hex >= 8 chars (tokenize.go hex rule)
+        ("z" * 31, True),  # long-token collapse (> 30 chars)
+        ("z" * 30, False),
         ("", False),
         ("db-prod", False),
     ],
