@@ -299,6 +299,83 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(docs)
 
 
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_cardinality_checker_spark.operators.text_analysis import language_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return language_id(docs)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        exact_jaccard,
+        word_shingles,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_jaccard(word_shingles(docs), min_jaccard=0.2)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_cardinality_checker_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries_df, k=10)
+
+
+# --- sketch/ANN ops: non-SQL-expressible, driver records rows-only checks ---
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_cardinality_checker_spark.operators.dedup import minhash_near_dups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_near_dups(docs, min_jaccard=0.5)
+
+
+def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        simhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_signatures(docs)
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_cardinality_checker_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries_df, dim=dim, k=10, n_bits=8)
+
+
+def q_key_stats_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage HLL key stats (estimates: rows-only check; the
+    <=10% band vs exact is asserted in tests/test_pipeline.py)."""
+    from otlp_cardinality_checker_spark.operators.aggregate import key_stats
+
+    return key_stats(_routed(spark, sf_dir), exact=False)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_cardinality_checker_spark.operators.multimodal import (
+        extract_features,
+        modality_stats,
+        synthetic_media,
+    )
+
+    return modality_stats(extract_features(synthetic_media(spark, 64)))
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -333,6 +410,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "doc_fingerprints": q_doc_fingerprints,
+        "language_id": q_language_id,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_topk": q_embedding_topk,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_groups": q_simhash_groups,
+        "lsh_ann": q_lsh_ann,
+        "key_stats_hll": q_key_stats_hll,
+        "media_features": q_media_features,
     }
 
 
@@ -553,7 +638,79 @@ SELECT doc_id,
   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
 FROM documents
 """,
+        "language_id": _language_id_sql(),
+        "ngram_jaccard": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), shingled AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+         THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                             for i in range(1, len(t) - 1)])
+         ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+), pairs AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_common
+  FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(shingles) AS n FROM shingled)
+SELECT doc_a, doc_b, n_common,
+  round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+""",
+        "embedding_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(
+           CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+  FROM q CROSS JOIN embeddings e
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
     }
+
+
+def _language_id_sql() -> str:
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        LANG_MARKERS,
+        LANG_PRIORITY,
+    )
+
+    score_exprs = []
+    for lang, markers in LANG_MARKERS.items():
+        terms = " + ".join(
+            f"(length(t) - length(replace(t, '{m}', '')))" for m in markers
+        )
+        score_exprs.append(f"({terms}) AS s_{lang}")
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_MARKERS) + ")"
+    cases = "\n       ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in LANG_PRIORITY
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t FROM documents
+), s AS (
+  SELECT doc_id, lang, {', '.join(score_exprs)} FROM base
+)
+SELECT doc_id, lang AS lang_declared,
+  CASE WHEN {best} = 0 THEN 'und'
+       {cases}
+       ELSE 'und' END AS lang_detected,
+  {best} AS marker_score
+FROM s
+"""
 
 
 def _tool_dim_path() -> str:

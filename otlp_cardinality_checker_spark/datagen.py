@@ -32,7 +32,7 @@ from .functions.masking import template_of
 from .functions.severity import severity_of
 
 SEED = 42
-GEN_VERSION = 2  # bump when generation rules change -> fixtures regenerate
+GEN_VERSION = 3  # bump when generation rules change -> fixtures regenerate
 TURNS_PER_CONV = 25
 CARDINALITY_UID = 500  # uid modulus (mirrors scripts/test-hll-cardinality.sh)
 # The *observed* distinct user_id count: uid-bearing text families occupy
@@ -213,20 +213,45 @@ def _write(df: pd.DataFrame, path: Path, row_group_size: int = 65536) -> None:
     os.replace(tmp, path)
 
 
-def ensure_dataset(sf_dir: str, with_truth: bool = True) -> Path:
+def _write_many(df: pd.DataFrame, dirpath: Path, n_files: int = 32) -> None:
+    """Write as a directory of parquet parts so local Spark reads get real
+    scan parallelism (one small file = one-two partitions otherwise)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dirpath.mkdir(parents=True, exist_ok=True)
+    n = len(df)
+    n_files = max(1, min(64, n // 16384) or min(n_files, n // 4096) or 1)
+    step = (n + n_files - 1) // n_files
+    for f in range(n_files):
+        chunk = df.iloc[f * step : (f + 1) * step]
+        if chunk.empty:
+            break
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False),
+            dirpath / f"part-{f:04d}.parquet",
+            row_group_size=16384,
+            compression="zstd",
+        )
+
+
+def ensure_dataset(
+    sf_dir: str, with_truth: bool = True, n_turns: int | None = None
+) -> Path:
     """Idempotently materialize the synthetic dataset for one sf dir.
 
     Returns the directory containing transcripts.parquet, role_dim.parquet,
     tool_dim.parquet and (optionally) truth.parquet / truth_attrs.parquet.
+    `n_turns` overrides the sf-derived size (used by the scaling bench).
     """
-    n = n_turns_for_sf(sf_dir)
+    n = n_turns or n_turns_for_sf(sf_dir)
     out = DATA_ROOT / f"v{GEN_VERSION}_n{n}"
     marker = out / ("_SUCCESS_TRUTH" if with_truth else "_SUCCESS")
     if marker.exists() or (with_truth is False and (out / "_SUCCESS_TRUTH").exists()):
         return out
     out.mkdir(parents=True, exist_ok=True)
     transcripts, truth, truth_attrs = generate_transcripts(n, with_truth=with_truth)
-    _write(transcripts, out / "transcripts.parquet")
+    _write_many(transcripts, out / "transcripts.parquet")
     _write(role_dim(), out / "role_dim.parquet")
     _write(tool_dim(), out / "tool_dim.parquet")
     if with_truth:

@@ -64,9 +64,19 @@ def write_sinks(
     hash`); the container has no Iceberg runtime, so parquet + an explicit
     ``repartition(n, conv_id)`` models the same co-location property.
     """
-    paths = {}
-    for name, df in split_sinks(routed).items():
-        path = str(Path(out_dir) / f"sink_{name}")
-        df.repartition(n_buckets, "conv_id").write.mode(mode).parquet(path)
-        paths[name] = path
+    from concurrent.futures import ThreadPoolExecutor
+
+    sinks = split_sinks(routed)
+    paths = {name: str(Path(out_dir) / f"sink_{name}") for name in sinks}
+
+    def _write(name: str) -> None:
+        sinks[name].repartition(n_buckets, "conv_id").write.mode(mode).parquet(
+            paths[name]
+        )
+
+    # the three writes are independent jobs; submit concurrently so the
+    # scheduler keeps all cores busy across them
+    with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
+        for f in [pool.submit(_write, n) for n in sinks]:
+            f.result()
     return paths

@@ -55,39 +55,40 @@ def fingerprints(docs: DataFrame) -> DataFrame:
 
 
 # Stopword-profile language ID: count hits of per-language marker words.
-# Heuristic n-gram/stopword approach (no external models in the container).
+# Heuristic stopword approach (no external models in the container). Scores
+# are integer matched-char counts so the DuckDB oracle can mirror exactly;
+# ties break by the fixed LANG_PRIORITY order.
 LANG_MARKERS = {
     "en": (" the ", " and ", " of ", " to "),
     "de": (" der ", " und ", " die ", " nicht "),
     "fr": (" le ", " les ", " des ", " est "),
     "es": (" el ", " los ", " que ", " una "),
 }
+LANG_PRIORITY = ("en", "de", "es", "fr")
 
 
-def _occurrences(text: F.Column, needle: str) -> F.Column:
-    return (
-        F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))
-    ) / len(needle)
+def _matched_chars(text: F.Column, needle: str) -> F.Column:
+    return F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))
 
 
 def language_id(docs: DataFrame) -> DataFrame:
     """Best-scoring language per document, 'und' when no marker hits."""
     text = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
-    scores = [
-        F.struct(
-            sum(
-                (_occurrences(text, m) for m in markers), start=F.lit(0.0)
-            ).alias("score"),
-            F.lit(lang).alias("lang"),
+    scores = {
+        lang: sum(
+            (_matched_chars(text, m) for m in markers), start=F.lit(0)
         )
-        for lang, markers in sorted(LANG_MARKERS.items())
-    ]
-    best = F.greatest(*scores)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    detected = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        detected = F.when(
+            (best > 0) & (scores[lang] == best), F.lit(lang)
+        ).otherwise(detected)
     return docs.select(
         "doc_id",
         F.col("lang").alias("lang_declared"),
-        F.when(best.getField("score") > 0, best.getField("lang"))
-        .otherwise(F.lit("und"))
-        .alias("lang_detected"),
-        best.getField("score").cast("double").alias("marker_hits"),
+        detected.alias("lang_detected"),
+        best.cast("long").alias("marker_score"),
     )

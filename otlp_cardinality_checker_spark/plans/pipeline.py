@@ -32,8 +32,9 @@ def routed_turns(
     sf_dir: str,
     engine: str = "sql",
     with_truth: bool = True,
+    n_turns: int | None = None,
 ) -> DataFrame:
-    turns = load_transcripts(spark, sf_dir, with_truth=with_truth)
+    turns = load_transcripts(spark, sf_dir, with_truth=with_truth, n_turns=n_turns)
     role_dim, tool_dim = load_dims(spark, sf_dir)
     parsed = parse_turns(turns, engine=engine)
     enriched = enrich_turns(parsed, role_dim, tool_dim)

@@ -28,9 +28,12 @@ def _iceberg_available(spark: SparkSession) -> bool:
 
 
 def load_transcripts(
-    spark: SparkSession, sf_dir: str, with_truth: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    with_truth: bool = True,
+    n_turns: int | None = None,
 ) -> DataFrame:
-    data_dir = ensure_dataset(sf_dir, with_truth=with_truth)
+    data_dir = ensure_dataset(sf_dir, with_truth=with_truth, n_turns=n_turns)
     if _iceberg_available(spark):  # pragma: no cover - no jar in container
         table = f"transcripts_n{data_dir.name}"
         try:
@@ -51,7 +54,8 @@ def load_dims(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
 def truth_paths(sf_dir: str) -> dict[str, str]:
     data_dir = ensure_dataset(sf_dir)
     return {
-        "transcripts": str(data_dir / "transcripts.parquet"),
+        # transcripts is a directory of parts; DuckDB needs the glob form
+        "transcripts": str(data_dir / "transcripts.parquet" / "*.parquet"),
         "role_dim": str(data_dir / "role_dim.parquet"),
         "tool_dim": str(data_dir / "tool_dim.parquet"),
         "truth": str(data_dir / "truth.parquet"),
