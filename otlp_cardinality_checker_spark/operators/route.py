@@ -54,7 +54,7 @@ def split_sinks(routed: DataFrame) -> dict[str, DataFrame]:
 def write_sinks(
     routed: DataFrame,
     out_dir: str,
-    n_buckets: int = 32,
+    n_buckets: int | None = 32,
     mode: str = "overwrite",
 ) -> dict[str, str]:
     """Fan out to per-sink parquet tables, repartitioned by conv_id.
@@ -63,6 +63,7 @@ def write_sinks(
     ``bucket(n, conv_id)`` partition transform (`write.distribution-mode =
     hash`); the container has no Iceberg runtime, so parquet + an explicit
     ``repartition(n, conv_id)`` models the same co-location property.
+    Pass ``n_buckets=None`` when the input is already conv_id-clustered.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -70,9 +71,10 @@ def write_sinks(
     paths = {name: str(Path(out_dir) / f"sink_{name}") for name in sinks}
 
     def _write(name: str) -> None:
-        sinks[name].repartition(n_buckets, "conv_id").write.mode(mode).parquet(
-            paths[name]
-        )
+        df = sinks[name]
+        if n_buckets is not None:
+            df = df.repartition(n_buckets, "conv_id")
+        df.write.mode(mode).parquet(paths[name])
 
     # the three writes are independent jobs; submit concurrently so the
     # scheduler keeps all cores busy across them
