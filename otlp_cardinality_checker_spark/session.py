@@ -38,7 +38,9 @@ def get_spark(
         # cluster (128MB-1GB files) submit with maxPartitionBytes=128m.
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.files.openCostInBytes", "16m")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: driver == executor; 32 concurrent tasks over millions
+        # of parsed rows need real heap or GC/spill serializes the job
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
