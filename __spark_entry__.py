@@ -260,6 +260,77 @@ def q_paginated_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pattern_services(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: template -> services correlation (GetLogPatterns
+    store.go:486-572 / pattern detail server.go:877-954)."""
+    routed = _routed(spark, sf_dir)
+    return routed.groupBy("template").agg(
+        F.count(F.lit(1)).alias("count"),
+        F.array_join(F.sort_array(F.collect_set("service")), "|").alias(
+            "services"
+        ),
+        F.count_distinct("service").alias("n_services"),
+    )
+
+
+def q_attribute_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: reverse lookup — which sinks carry attribute key K
+    (getAttributeTelemetry server.go:1344-1456)."""
+    from otlp_cardinality_checker_spark.operators.aggregate import exploded_attrs
+
+    return (
+        exploded_attrs(_routed(spark, sf_dir))
+        .where(F.col("key").isin("user_id", "trace_id"))
+        .groupBy("key", "sink")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.count_distinct("value").alias("n_values"),
+        )
+    )
+
+
+def q_attribute_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: catalog filter by cardinality band + sort + offset/limit page
+    (AttributeFilter store.go:996-1090)."""
+    from pyspark.sql import Window
+
+    from otlp_cardinality_checker_spark.operators.aggregate import (
+        attribute_catalog,
+    )
+
+    cat = attribute_catalog(_routed(spark, sf_dir), exact=True)
+    w = Window.orderBy(F.desc("est_cardinality"), F.asc("key"))
+    return (
+        cat.where(
+            (F.col("est_cardinality") >= 5) & (F.col("est_cardinality") <= 1000)
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") > 2) & (F.col("rn") <= 12))
+        .select("key", "count", "est_cardinality", "rn")
+    )
+
+
+def q_watched_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: watched-value listing with prefix filter + count-desc sort + page
+    (server.go:1552-1613)."""
+    from otlp_cardinality_checker_spark.operators.aggregate import watched_values
+
+    wv = watched_values(_routed(spark, sf_dir)).drop("overflow")
+    return (
+        wv.where((F.col("key") == "user_id") & F.col("value").startswith("1"))
+        .orderBy(F.desc("count"), F.asc("value"))
+        .limit(20)
+    )
+
+
+def q_drain_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain fidelity mode (rows-only: arrival-order-dependent by nature;
+    determinism via per-group sort is covered in tests/test_drain.py)."""
+    from otlp_cardinality_checker_spark.operators.templates import drain_templates
+
+    return drain_templates(_routed(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # training-data ops (documents / embeddings driver tables)
 # ---------------------------------------------------------------------------
@@ -406,6 +477,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enriched_tool_stats": q_enriched_tool_stats,
         "template_topk": q_template_topk,
         "paginated_keys": q_paginated_keys,
+        "pattern_services": q_pattern_services,
+        "attribute_telemetry": q_attribute_telemetry,
+        "attribute_filter": q_attribute_filter,
+        "watched_prefix": q_watched_prefix,
+        "drain_templates": q_drain_templates,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -637,6 +713,38 @@ FROM documents GROUP BY lang
 SELECT doc_id,
   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
 FROM documents
+""",
+        "pattern_services": pre
+        + """
+SELECT template, count(*) AS count,
+       array_to_string(list_sort(list(DISTINCT service)), '|') AS services,
+       count(DISTINCT service) AS n_services
+FROM rtruth GROUP BY template
+""",
+        "attribute_telemetry": pre
+        + """
+SELECT "key", sink, count(*) AS count, count(DISTINCT "value") AS n_values
+FROM rattrs WHERE "key" IN ('user_id', 'trace_id')
+GROUP BY "key", sink
+""",
+        "attribute_filter": pre
+        + """
+, cat AS (
+  SELECT "key", count(*) AS count, count(DISTINCT "value") AS est_cardinality
+  FROM rattrs GROUP BY "key"
+)
+SELECT "key", count, est_cardinality, rn FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY est_cardinality DESC, "key" ASC) AS rn
+  FROM cat WHERE est_cardinality BETWEEN 5 AND 1000
+) WHERE rn > 2 AND rn <= 12
+""",
+        "watched_prefix": pre
+        + """
+SELECT "key", "value", count(*) AS count
+FROM rattrs WHERE "key" = 'user_id' AND "value" LIKE '1%'
+GROUP BY "key", "value"
+ORDER BY count DESC, "value" ASC LIMIT 20
 """,
         "language_id": _language_id_sql(),
         "ngram_jaccard": """

@@ -208,20 +208,37 @@ def mask_series(s):
 
 
 def template_series(s):
-    """Vectorized-ish pandas implementation of :func:`template_of`.
+    """Vectorized pandas implementation of :func:`template_of`.
 
-    The mask chain is fully vectorized; token generalization runs per token
-    inside the Arrow batch (acceptable: this engine is the secondary one,
-    used for truth generation and the `pandas` parse mode).
+    Mask chain: vectorized `str.replace`. Token generalization: tokens are
+    exploded to one long Series and every heuristic is a vectorized
+    `str.fullmatch` / `str.count` / length comparison — no per-row Python
+    (north-rule requirement for the pandas/Arrow parse engine).
     """
+    import pandas as pd
+
     masked = mask_series(s)
-
-    def norm(x: str) -> str:
-        toks = [t for t in _WS.split(x.strip()) if t]
-        joined = " ".join("<*>" if is_variable_token(t) else t for t in toks)
-        return _COLLAPSE_WILDCARD.sub("<*>", joined)
-
-    return masked.map(norm)
+    toks = masked.str.findall(r"\S+")
+    ex = toks.explode()
+    present = ex.notna()
+    exs = ex[present].astype(str)
+    n = exs.str.len()
+    digits = exs.str.count(r"\d")
+    is_var = (
+        (n > LONG_TOKEN_THRESHOLD)
+        | exs.str.fullmatch(r"-?\d+(?:\.\d+)?")
+        | exs.str.fullmatch(
+            r"\d+(?:\.\d+)?(?:ms|s|m|h|us|ns|B|KB|MB|GB|TB|b|kb|mb|gb|k|K|M|G)"
+        )
+        | (exs.str.fullmatch(r"[0-9a-fA-F-]{8,}") & exs.str.contains(r"[0-9a-fA-F]"))
+        | (exs.str.fullmatch(r"\d[\d:.TZ-]{3,}") & exs.str.contains(r"[-:T]"))
+        | ((n >= 4) & (digits * 100 >= 60 * n))
+    )
+    gen = exs.where(~is_var, "<*>")
+    joined = gen.groupby(level=0).agg(" ".join)
+    out = pd.Series("", index=s.index, dtype=object)
+    out.loc[joined.index] = joined.str.replace(_COLLAPSE_WILDCARD, "<*>", regex=True)
+    return out
 
 
 # ---------------------------------------------------------------------------

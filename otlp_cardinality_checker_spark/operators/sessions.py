@@ -76,6 +76,21 @@ def estimate(snapshot: DataFrame) -> DataFrame:
     )
 
 
+def save_session(snapshot: DataFrame, path: str) -> None:
+    """Persist a session snapshot (S3). Sketches are raw binary columns, so
+    the saved session stays mergeable — the Spark analogue of serializing
+    HLL registers (`sessions/serializer.go:590-697`, base64 in the
+    reference's gzip JSON; a parquet BINARY column here)."""
+    snapshot.write.mode("overwrite").parquet(path)
+
+
+def load_session(spark, path: str) -> DataFrame:
+    """Load a saved session snapshot (S4); composable with
+    :func:`merge_snapshots` for the reference's load/merge semantics
+    (`internal/api/sessions.go:239-466`)."""
+    return spark.read.parquet(path)
+
+
 def diff_key_stats(from_stats: DataFrame, to_stats: DataFrame) -> DataFrame:
     """Full-outer diff of two (sink, key, count, est_cardinality) states.
 

@@ -46,6 +46,8 @@ def _process_batch(
     tool_dim: DataFrame,
     out_dir: str,
 ) -> None:
+    from ..operators.sessions import snapshot_key_stats
+
     t0 = time.time()
     routed = route_turns(
         enrich_turns(parse_turns(batch_df, engine="sql"), role_dim, tool_dim)
@@ -73,6 +75,21 @@ def _process_batch(
                     "wall_sec": round(time.time() - t0, 3),
                 }
             )
+        # mergeable aggregate state: one PARTIAL snapshot (counts + HLL
+        # sketch binaries + sample arrays) per micro-batch, keyed by
+        # batch_id so a checkpoint replay overwrites itself — the Spark
+        # analogue of the reference's store merge-on-insert
+        # (internal/storage/memory/store.go:252-317). On a real cluster
+        # this is a MERGE INTO an Iceberg state table.
+        (
+            snapshot_key_stats(routed)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(str(Path(out_dir) / "agg_state"))
+        )
     finally:
         routed.unpersist()
     lineage_dir = Path(out_dir) / "lineage"
@@ -139,6 +156,21 @@ def _ensure_stream_source(spark: SparkSession, sf_dir: str, src_dir: str) -> Non
         return
     df = spark.read.parquet(truth_paths(sf_dir)["transcripts"])
     df.repartition(4, "conv_id").write.mode("overwrite").parquet(src_dir)
+
+
+def current_key_stats(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Final-merge the accumulated per-batch partial aggregate state.
+
+    Counts sum exactly; sketches union via hll_union_agg; min-10 samples
+    recombine exactly (min-10 of min-10s) — so the streaming state equals
+    the batch-mode aggregate regardless of micro-batch boundaries.
+    """
+    from ..operators.sessions import estimate, merge_snapshots
+
+    partials = spark.read.parquet(str(Path(out_dir) / "agg_state")).drop(
+        "_batch_id"
+    )
+    return estimate(merge_snapshots(partials))
 
 
 def read_lineage(out_dir: str):
