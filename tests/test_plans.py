@@ -1,0 +1,91 @@
+"""Physical-plan quality gates.
+
+These pin the scale-critical plan properties so regressions fail loudly:
+the enrich joins must broadcast (no fact-side shuffle), the default parse
+engine must stay JVM-side (no Python eval nodes), and projections must
+prune columns down to the parquet scan.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_enrich_uses_broadcast_joins(tiny_routed):
+    plan = plan_of(tiny_routed)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan  # no fact-side shuffle
+
+
+def test_sql_parse_engine_has_no_python(tiny_routed):
+    plan = plan_of(tiny_routed)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_pandas_engine_is_arrow_batched(spark, tiny_frames):
+    from otlp_cardinality_checker_spark.operators.parse import parse_turns
+
+    transcripts, _, _ = tiny_frames
+    plan = plan_of(parse_turns(spark.createDataFrame(transcripts), engine="pandas"))
+    # mapInPandas lowers to MapInPandas / ArrowEvalPython-family nodes,
+    # never row-at-a-time BatchEvalPython
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        token_count_stats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(token_count_stats(docs))
+    # the 2-column aggregate must not read doc_id/source/n_chars
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    assert "text" in read_schema[0] and "lang" in read_schema[0]
+    assert "source" not in read_schema[0]
+    assert "doc_id" not in read_schema[0]
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(docs.where(F.col("lang") == "en").select("doc_id"))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "lang" in pushed[0]
+
+
+def test_key_stats_is_partial_final_hash_agg(tiny_routed):
+    from otlp_cardinality_checker_spark.operators.aggregate import key_stats
+
+    plan = plan_of(key_stats(tiny_routed, exact=False))
+    assert "HashAggregate" in plan
+    # salted two-stage: sketch partials then union agg, all JVM-side
+    assert "hll_sketch_agg" in plan or "hll_union_agg" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_whole_stage_codegen_covers_parse(spark):
+    # must be file-backed: Catalyst eagerly folds Project(LocalRelation)
+    from otlp_cardinality_checker_spark.operators.parse import parse_turns
+    from otlp_cardinality_checker_spark.sources.transcripts import (
+        load_transcripts,
+    )
+
+    df = parse_turns(load_transcripts(spark, "/root/testdata/sf0.001"))
+    plan = plan_of(df.select("template", "severity_inferred"), mode="simple")
+    assert "WholeStageCodegen" in plan
+    assert "BatchEvalPython" not in plan
