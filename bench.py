@@ -140,6 +140,38 @@ def run_query_timings(sf_dir: str, cores: int) -> dict[str, float]:
 SCALE_TURNS = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "16000000"))
 
 
+def compare_parse_engines(sf_dir: str, cores: int) -> dict:
+    """Rows/sec through the parse projection alone, per engine: the Catalyst
+    chain (JVM) vs the Arrow-batched pandas UDF (grok mode)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from otlp_cardinality_checker_spark.datagen import n_turns_for_sf
+    from otlp_cardinality_checker_spark.operators.parse import parse_turns
+    from otlp_cardinality_checker_spark.session import get_spark
+    from otlp_cardinality_checker_spark.sources.transcripts import (
+        load_transcripts,
+    )
+
+    spark = get_spark(app_name="bench-engines", cores=cores)
+    out = {}
+    try:
+        df = load_transcripts(spark, sf_dir, with_truth=False)
+        n = n_turns_for_sf(sf_dir)
+        for engine in ("sql", "pandas"):
+            force = parse_turns(df, engine=engine).select(
+                F.sum(F.length("template")), F.sum(F.size("attrs"))
+            )
+            force.collect()  # warm
+            t0 = _t.time()
+            force.collect()
+            out[f"{engine}_rows_per_sec"] = round(n / (_t.time() - t0), 1)
+    finally:
+        spark.stop()
+    return out
+
+
 def scaling_leg(sf_dir: str, cores: int, n_turns: int) -> dict:
     """Run one leg in a fresh process (fresh JVM, honest measurement)."""
     res = subprocess.run(
@@ -179,6 +211,7 @@ def main() -> None:
 
     pipeline = run_pipeline_once(args.sf_dir, args.cores)
     queries = run_query_timings(args.sf_dir, args.cores)
+    engines = compare_parse_engines(args.sf_dir, args.cores)
 
     result = {
         "metric": "pipeline_turns_per_sec",
@@ -188,6 +221,7 @@ def main() -> None:
         "sf": sf,
         "n_turns": pipeline["n_turns"],
         "pipeline_sec": round(pipeline["elapsed"], 2),
+        "parse_engines": engines,
     }
 
     if not args.skip_scaling:
