@@ -33,75 +33,88 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def run_pipeline_once(sf_dir: str, cores: int, n_turns: int | None = None) -> dict:
-    """One full pipeline run; returns n_turns and stage wall time."""
-    from otlp_cardinality_checker_spark.datagen import ensure_dataset, n_turns_for_sf
+def pipeline_pass(spark, sf_dir: str, n_turns: int | None, out_dir: str,
+                  run_id: int) -> float:
+    """One end-to-end pass, production shape, exactly TWO actions:
+
+    1. ONE scan runs the regex parse and writes the routed turns
+       partitioned by sink — this is simultaneously the fan-out (three
+       per-sink tables = the partitions) and the materialization. The
+       source files are conv_id-contiguous, so no repartition shuffle
+       (on a real cluster: Iceberg fan-out with distribution-mode=none).
+    2. ONE action computes all five aggregate families over the
+       materialization as a union of to_json'd branches — per-job driver
+       latency was the dominant non-scaling cost when each aggregate was
+       its own action (~19s/pass at 32 cores)."""
+    from pyspark.sql import functions as F
+
     from otlp_cardinality_checker_spark.operators import aggregate as agg
-    from otlp_cardinality_checker_spark.operators.route import write_sinks
     from otlp_cardinality_checker_spark.plans.pipeline import routed_turns
+
+    routed = routed_turns(
+        spark, sf_dir, engine="sql", with_truth=False, n_turns=n_turns
+    )
+    t0 = time.time()
+    routed_path = f"{out_dir}/run{run_id}/routed"
+    routed.write.mode("overwrite").partitionBy("sink").parquet(routed_path)
+    mat = spark.read.parquet(routed_path)
+
+    def tagged(name: str, df):
+        return df.select(
+            F.lit(name).alias("agg"),
+            F.to_json(F.struct(*df.columns)).alias("row"),
+        )
+
+    union = (
+        tagged("key_stats", agg.key_stats(mat, exact=False))
+        .unionByName(tagged("service_stats", agg.service_stats(mat)))
+        .unionByName(tagged("template_stats", agg.template_stats(mat)))
+        .unionByName(
+            tagged("attribute_catalog", agg.attribute_catalog(mat, exact=False))
+        )
+        .unionByName(
+            tagged("active_series", agg.active_series(mat, exact=False))
+        )
+    )
+    rows = union.collect()
+    assert rows, "aggregates must be non-empty"
+    dt = time.time() - t0
+    shutil.rmtree(f"{out_dir}/run{run_id}", ignore_errors=True)
+    return dt
+
+
+def _bench_out_dir() -> str:
+    # sink writes go to tmpfs when available: this box's single virtio disk
+    # (~380 MB/s, high variance) is not a model of cluster object storage,
+    # and its writeback noise dominated repeated measurements
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix="bench_sinks_", dir=shm)
+
+
+def run_pipeline_once(sf_dir: str, cores: int, n_turns: int | None = None) -> dict:
+    """One full pipeline benchmark; returns n_turns and stage wall time."""
+    from otlp_cardinality_checker_spark.datagen import ensure_dataset, n_turns_for_sf
     from otlp_cardinality_checker_spark.session import get_spark
 
     # exclude datagen from timing
     ensure_dataset(sf_dir, with_truth=False, n_turns=n_turns)
     spark = get_spark(app_name=f"bench-{cores}", cores=cores,
                       shuffle_partitions=max(cores, 16))
-    n_turns = n_turns or n_turns_for_sf(sf_dir)
-    # sink writes go to tmpfs when available: this box's single virtio disk
-    # (~380 MB/s, high variance) is not a model of cluster object storage,
-    # and its writeback noise dominated repeated measurements
-    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    out_dir = tempfile.mkdtemp(prefix="bench_sinks_", dir=shm)
+    n_turns_eff = n_turns or n_turns_for_sf(sf_dir)
+    out_dir = _bench_out_dir()
     try:
-        from concurrent.futures import ThreadPoolExecutor
-
-        routed = routed_turns(
-            spark, sf_dir, engine="sql", with_truth=False, n_turns=n_turns
-        )
-
-        def one_pass(run_id: int) -> float:
-            # Production shape: ONE scan runs the regex parse and
-            # materializes the routed table bucketed by conv_id (on a real
-            # cluster: the Iceberg fan-out write); every downstream job —
-            # the three per-sink projections and all aggregates — scans the
-            # materialized table instead of re-running the parse. The
-            # downstream jobs are independent, so they run concurrently.
-            t0 = time.time()
-            routed_path = f"{out_dir}/run{run_id}/routed"
-            # no repartition: the source files are conv_id-contiguous, so
-            # the write is already conversation-clustered — shuffling 4M+
-            # parsed rows again would only burn a full extra pass (on a
-            # real cluster: Iceberg write.distribution-mode=none over
-            # conv_id-sorted input)
-            routed.write.mode("overwrite").parquet(routed_path)
-            mat = spark.read.parquet(routed_path)
-            jobs = [
-                # mat is already conv_id-clustered: no second shuffle
-                lambda: write_sinks(
-                    mat, f"{out_dir}/run{run_id}", n_buckets=None
-                ),
-                lambda: agg.key_stats(mat, exact=False).collect(),
-                lambda: agg.service_stats(mat).collect(),
-                lambda: agg.template_stats(mat).collect(),
-                lambda: agg.attribute_catalog(mat, exact=False).collect(),
-                lambda: agg.active_series(mat, exact=False).collect(),
-            ]
-            with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
-                for f in [pool.submit(j) for j in jobs]:
-                    f.result()
-            dt = time.time() - t0
-            shutil.rmtree(f"{out_dir}/run{run_id}", ignore_errors=True)
-            return dt
-
-        cold = one_pass(0)  # includes JVM JIT + codegen compilation
+        cold = pipeline_pass(spark, sf_dir, n_turns, out_dir, 0)  # JIT/codegen
         # steady state = min of three passes: this host shows ~2x
         # noisy-neighbor variance between identical runs, so the minimum is
         # the reproducible CPU-bound figure
-        elapsed = min(one_pass(1), one_pass(2), one_pass(3))
+        elapsed = min(
+            pipeline_pass(spark, sf_dir, n_turns, out_dir, i) for i in (1, 2, 3)
+        )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
         spark.stop()
-    return {"n_turns": n_turns, "elapsed": elapsed, "cold_elapsed": cold,
-            "turns_per_sec": n_turns / elapsed}
+    return {"n_turns": n_turns_eff, "elapsed": elapsed, "cold_elapsed": cold,
+            "turns_per_sec": n_turns_eff / elapsed}
 
 
 def run_query_timings(sf_dir: str, cores: int) -> dict[str, float]:
@@ -136,8 +149,9 @@ def run_query_timings(sf_dir: str, cores: int) -> dict[str, float]:
 
 # Scaling-leg input: large enough that parallel work dominates the ~7-10s
 # per-pass scheduling/latency floor (which does not shrink with cores);
-# measured at 4M the floor alone caps N->4N efficiency at ~0.6.
-SCALE_TURNS = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "16000000"))
+# measured at 4M the floor alone caps N->4N efficiency at ~0.6. 8M keeps
+# the full bench (incl. min-of-3 passes per leg) under ~15 minutes.
+SCALE_TURNS = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "8000000"))
 
 
 def compare_parse_engines(sf_dir: str, cores: int) -> dict:
@@ -160,35 +174,79 @@ def compare_parse_engines(sf_dir: str, cores: int) -> dict:
         df = load_transcripts(spark, sf_dir, with_truth=False)
         n = n_turns_for_sf(sf_dir)
         for engine in ("sql", "pandas"):
-            force = parse_turns(df, engine=engine).select(
-                F.sum(F.length("template")), F.sum(F.size("attrs"))
-            )
-            force.collect()  # warm
+            # noop write: forces full materialization of every parsed
+            # column (an aggregate over two columns lets Catalyst prune
+            # most of the parse and over-reports by >10x)
+            parsed = parse_turns(df, engine=engine)
+            parsed.write.format("noop").mode("overwrite").save()  # warm
             t0 = _t.time()
-            force.collect()
+            parsed.write.format("noop").mode("overwrite").save()
             out[f"{engine}_rows_per_sec"] = round(n / (_t.time() - t0), 1)
     finally:
         spark.stop()
     return out
 
 
-def scaling_leg(sf_dir: str, cores: int, n_turns: int) -> dict:
-    """Run one leg in a fresh process (fresh JVM, honest measurement)."""
+def run_scaling_interleaved(
+    sf_dir: str, n_turns: int, cores_small: int, cores_big: int,
+    rounds: int = 3,
+) -> dict:
+    """N vs 4N legs with passes INTERLEAVED (small, big, small, big, ...)
+    in one process, so noisy-neighbor windows on this host hit both legs
+    symmetrically instead of biasing whichever leg ran during the noise.
+    A fresh SparkSession per pass switches the local[] master."""
+    from otlp_cardinality_checker_spark.datagen import ensure_dataset
+    from otlp_cardinality_checker_spark.session import get_spark
+
+    ensure_dataset(sf_dir, with_truth=False, n_turns=n_turns)
+    out_dir = _bench_out_dir()
+    times: dict[int, list[float]] = {cores_small: [], cores_big: []}
+    try:
+        for rnd in range(rounds + 1):  # round 0 = JIT/codegen warm-up
+            for cores in (cores_big, cores_small):
+                spark = get_spark(
+                    app_name=f"scale-{cores}", cores=cores,
+                    shuffle_partitions=max(cores, 16),
+                )
+                try:
+                    dt = pipeline_pass(spark, sf_dir, n_turns, out_dir, rnd)
+                finally:
+                    spark.stop()
+                if rnd > 0:
+                    times[cores].append(dt)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    t_small, t_big = min(times[cores_small]), min(times[cores_big])
+    speedup = t_small / t_big
+    return {
+        "cores_n": cores_small,
+        "cores_4n": cores_big,
+        "n_turns": n_turns,
+        "turns_per_sec_n": round(n_turns / t_small, 1),
+        "turns_per_sec_4n": round(n_turns / t_big, 1),
+        "speedup": round(speedup, 3),
+        "efficiency": round(speedup / (cores_big / cores_small), 3),
+    }
+
+
+def scaling_subprocess(sf_dir: str, n_turns: int, small: int, big: int) -> dict:
+    """Run the interleaved scaling measurement in a fresh process."""
     res = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--pipeline-only",
-         "--cores", str(cores), "--sf-dir", sf_dir, "--turns", str(n_turns)],
-        capture_output=True, text=True, timeout=1800,
+        [sys.executable, os.path.abspath(__file__), "--scaling-only",
+         "--cores", str(big), "--sf-dir", sf_dir, "--turns", str(n_turns)],
+        capture_output=True, text=True, timeout=2400,
     )
     for line in reversed(res.stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
             return json.loads(line)
-    raise RuntimeError(f"scaling leg failed: {res.stdout[-2000:]} {res.stderr[-2000:]}")
+    raise RuntimeError(f"scaling failed: {res.stdout[-2000:]} {res.stderr[-2000:]}")
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--scaling-only", action="store_true")
     ap.add_argument("--cores", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--turns", type=int, default=None,
@@ -201,6 +259,13 @@ def main() -> None:
         print(json.dumps(
             run_pipeline_once(args.sf_dir, args.cores, n_turns=args.turns)
         ))
+        return
+
+    if args.scaling_only:
+        print(json.dumps(run_scaling_interleaved(
+            args.sf_dir, args.turns or SCALE_TURNS,
+            max(2, args.cores // 4), args.cores,
+        )))
         return
 
     sf_name = os.path.basename(os.path.normpath(args.sf_dir))
@@ -225,19 +290,9 @@ def main() -> None:
     }
 
     if not args.skip_scaling:
-        n_cores = max(2, args.cores // 4)
-        leg_n = scaling_leg(args.sf_dir, n_cores, SCALE_TURNS)
-        leg_4n = scaling_leg(args.sf_dir, args.cores, SCALE_TURNS)
-        speedup = leg_n["elapsed"] / leg_4n["elapsed"]
-        result["scaling"] = {
-            "cores_n": n_cores,
-            "cores_4n": args.cores,
-            "n_turns": SCALE_TURNS,
-            "turns_per_sec_n": round(leg_n["turns_per_sec"], 1),
-            "turns_per_sec_4n": round(leg_4n["turns_per_sec"], 1),
-            "speedup": round(speedup, 3),
-            "efficiency": round(speedup / (args.cores / n_cores), 3),
-        }
+        result["scaling"] = scaling_subprocess(
+            args.sf_dir, SCALE_TURNS, max(2, args.cores // 4), args.cores
+        )
 
     print(json.dumps(result))
 

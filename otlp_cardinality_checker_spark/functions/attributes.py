@@ -26,33 +26,56 @@ from pyspark.sql import functions as F
 @dataclass(frozen=True)
 class AttributeSpec:
     key: str
-    # Ordered alternatives; first non-empty capture wins.
-    regexes: tuple[str, ...]
+    # Ordered (regex, required_substring) alternatives; first non-empty
+    # capture wins. The substring is a literal the regex cannot match
+    # without — a cheap vectorized contains() guard skips the regex engine
+    # for the (majority of) rows that cannot match, mirroring the
+    # reference's RequiredSubstring fast path (`patterns.go:31`). Safe in
+    # Catalyst because the guard references the leaf input column (no
+    # expression-tree growth).
+    regexes: tuple[tuple[str, str], ...]
 
 
 ATTRIBUTE_SPECS: tuple[AttributeSpec, ...] = (
-    AttributeSpec("user_id", (r"\buser_(\d+)\b", r"[?&]q=(\d+)\b", r"/users/(\d+)\b")),
-    AttributeSpec("src_ip", (r"\bfrom ((?:\d{1,3}\.){3}\d{1,3})\b",)),
-    AttributeSpec("client_ip", (r"\bclient ((?:\d{1,3}\.){3}\d{1,3})\b",)),
-    AttributeSpec("http_status", (r'HTTP/[0-9.]+" (\d{3})\b',)),
-    AttributeSpec("db_server", (r"\bdb-prod-(\d{2})\b",)),
-    AttributeSpec("retries", (r"\bafter (\d+) retries\b",)),
-    AttributeSpec("cache_key", (r"\bkey user:session:([0-9a-f]{16})\b",)),
-    AttributeSpec("txn_id", (r"\btxn_([0-9a-f]{12})\b",)),
-    AttributeSpec("duration_ms", (r"\bafter (\d+)ms\b",)),
-    AttributeSpec("endpoint", (r"\bendpoint (/[^\s?]+)",)),
+    AttributeSpec(
+        "user_id",
+        (
+            (r"\buser_(\d+)\b", "user_"),
+            (r"[?&]q=(\d+)\b", "q="),
+            (r"/users/(\d+)\b", "/users/"),
+        ),
+    ),
+    AttributeSpec("src_ip", ((r"\bfrom ((?:\d{1,3}\.){3}\d{1,3})\b", "from "),)),
+    AttributeSpec(
+        "client_ip", ((r"\bclient ((?:\d{1,3}\.){3}\d{1,3})\b", "client "),)
+    ),
+    AttributeSpec("http_status", ((r'HTTP/[0-9.]+" (\d{3})\b', "HTTP/"),)),
+    AttributeSpec("db_server", ((r"\bdb-prod-(\d{2})\b", "db-prod-"),)),
+    AttributeSpec("retries", ((r"\bafter (\d+) retries\b", " retries"),)),
+    AttributeSpec(
+        "cache_key", ((r"\bkey user:session:([0-9a-f]{16})\b", "user:session:"),)
+    ),
+    AttributeSpec("txn_id", ((r"\btxn_([0-9a-f]{12})\b", "txn_"),)),
+    AttributeSpec("duration_ms", ((r"\bafter (\d+)ms\b", "after "),)),
+    AttributeSpec("endpoint", ((r"\bendpoint (/[^\s?]+)", "endpoint "),)),
     AttributeSpec(
         "trace_id",
-        (r"\btrace_id=([0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12})\b",),
+        (
+            (
+                r"\btrace_id=([0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12})\b",
+                "trace_id=",
+            ),
+        ),
     ),
-    AttributeSpec("tool_name", (r"\btool_call name=(\w+)\b",)),
-    AttributeSpec("args_len", (r"\bargs_len=(\d+)\b",)),
+    AttributeSpec("tool_name", ((r"\btool_call name=(\w+)\b", "tool_call"),)),
+    AttributeSpec("args_len", ((r"\bargs_len=(\d+)\b", "args_len="),)),
 )
 
 ATTRIBUTE_KEYS: tuple[str, ...] = tuple(s.key for s in ATTRIBUTE_SPECS)
 
 _COMPILED = tuple(
-    (spec, tuple(re.compile(r) for r in spec.regexes)) for spec in ATTRIBUTE_SPECS
+    (spec, tuple((re.compile(r), g) for r, g in spec.regexes))
+    for spec in ATTRIBUTE_SPECS
 )
 
 
@@ -61,7 +84,9 @@ def extract_attrs(text: str) -> dict[str, str]:
     out: dict[str, str] = {}
     s = text or ""
     for spec, rxs in _COMPILED:
-        for rx in rxs:
+        for rx, guard in rxs:
+            if guard and guard not in s:
+                continue
             m = rx.search(s)
             if m and m.group(1):
                 out[spec.key] = m.group(1)
@@ -70,7 +95,13 @@ def extract_attrs(text: str) -> dict[str, str]:
 
 
 def _spec_expr(text: Column, spec: AttributeSpec) -> Column:
-    alts = [F.regexp_extract(text, r, 1) for r in spec.regexes]
+    alts = [
+        F.when(F.contains(text, F.lit(g)), F.regexp_extract(text, r, 1))
+        .otherwise(F.lit(""))
+        if g
+        else F.regexp_extract(text, r, 1)
+        for r, g in spec.regexes
+    ]
     v = alts[0]
     for a in alts[1:]:
         v = F.when(v != "", v).otherwise(a)
@@ -93,10 +124,20 @@ def attrs_frame(texts):
 
     s = texts.fillna("")
     out = {}
+
+    def guarded_extract(regex: str, guard: str):
+        if not guard:
+            return s.str.extract(regex, expand=False)
+        mask = s.str.contains(guard, regex=False)
+        v = pd.Series(pd.NA, index=s.index, dtype=object)
+        if mask.any():
+            v.loc[mask] = s[mask].str.extract(regex, expand=False)
+        return v
+
     for spec in ATTRIBUTE_SPECS:
-        v = s.str.extract(spec.regexes[0], expand=False)
-        for r in spec.regexes[1:]:
-            alt = s.str.extract(r, expand=False)
+        v = guarded_extract(*spec.regexes[0])
+        for r, g in spec.regexes[1:]:
+            alt = guarded_extract(r, g)
             v = v.where(v.notna() & (v != ""), alt)
-        out[spec.key] = v.where(v != "", pd.NA)
+        out[spec.key] = v.where(v.notna() & (v != ""), pd.NA)
     return pd.DataFrame(out, index=s.index)
