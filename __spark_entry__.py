@@ -146,10 +146,14 @@ def q_attribute_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_watched_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otlp_cardinality_checker_spark.operators.aggregate import watched_values
+    from otlp_cardinality_checker_spark.operators.watch import WatchedKeys
 
-    return watched_values(_routed(spark, sf_dir)).withColumn(
-        "overflow", F.col("overflow").cast("int")
-    )
+    reg = WatchedKeys()
+    reg.watch("user_id")
+    reg.watch("tool_name")
+    return watched_values(
+        _routed(spark, sf_dir), watched_keys=reg.active()
+    ).withColumn("overflow", F.col("overflow").cast("int"))
 
 
 def q_active_series_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,6 +188,32 @@ def q_session_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = key_stats(routed.where(F.col("turn_idx") < 13), exact=True)
     b = key_stats(routed, exact=True)
     return diff_key_stats(a, b)
+
+
+def q_session_diff_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff output filters: signal + min-severity (sessions.go:571-603)."""
+    from otlp_cardinality_checker_spark.operators.sessions import filter_diff
+
+    return filter_diff(
+        q_session_diff(spark, sf_dir),
+        signal_type="chat",
+        min_severity="warning",
+    )
+
+
+def q_series_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: Prometheus-equivalent series per sink (metric_types.go:140-190)."""
+    from otlp_cardinality_checker_spark.datagen import ensure_dataset
+    from otlp_cardinality_checker_spark.operators.aggregate import (
+        active_series,
+        prometheus_series_estimate,
+    )
+
+    data_dir = ensure_dataset(sf_dir)
+    mdim = spark.read.parquet(str(data_dir / "metric_dim.parquet"))
+    return prometheus_series_estimate(
+        active_series(_routed(spark, sf_dir), exact=True), mdim
+    )
 
 
 def q_session_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,6 +574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "high_cardinality": q_high_cardinality,
         "complexity": q_complexity,
         "session_diff": q_session_diff,
+        "session_diff_filtered": q_session_diff_filtered,
+        "series_estimate": q_series_estimate,
         "session_merge": q_session_merge,
         "enriched_tool_stats": q_enriched_tool_stats,
         "template_topk": q_template_topk,
@@ -610,7 +642,7 @@ GROUP BY a.sink, a."key"
   SELECT coalesce(a.sink, b.sink) AS sink, coalesce(a."key", b."key") AS "key",
          a.count_from, b.count_to, a.card_from, b.card_to
   FROM a FULL OUTER JOIN b ON a.sink = b.sink AND a."key" = b."key"
-)
+), d AS (
 SELECT sink, "key",
   CASE WHEN count_from IS NULL THEN 'added'
        WHEN count_to IS NULL THEN 'removed'
@@ -626,7 +658,14 @@ SELECT sink, "key",
        ELSE 'info' END AS severity,
   count_from, count_to, card_from, card_to
 FROM j
+)
+SELECT * FROM d
 """
+    )
+
+    diff_filtered_sql = (
+        diff_sql
+        + "WHERE sink = 'chat' AND severity IN ('warning', 'critical')"
     )
 
     merge_sql = (
@@ -643,7 +682,7 @@ FROM j
 ), u AS (
   SELECT * FROM a UNION ALL SELECT * FROM b
 )
-SELECT sink, "key", sum(count) AS count,
+SELECT sink, "key", CAST(sum(count) AS BIGINT) AS count,
        array_to_string(
          (list_sort(list_distinct(flatten(list(samples)))))[1:10], '|'
        ) AS value_samples
@@ -732,16 +771,49 @@ ORDER BY est_cardinality DESC, sink ASC, "key" ASC LIMIT 1000
   FROM rattrs GROUP BY sink, "key"
 )
 SELECT sink, count(*) AS total_keys, max(est_cardinality) AS max_cardinality,
-       sum(CASE WHEN est_cardinality >= 100 THEN 1 ELSE 0 END) AS high_card_count,
-       count(*) * max(est_cardinality) AS complexity_score
+       CAST(sum(CASE WHEN est_cardinality >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_card_count,
+       CAST(count(*) * max(est_cardinality) AS BIGINT) AS complexity_score
 FROM ks GROUP BY sink
 """,
         "session_diff": diff_sql,
+        "session_diff_filtered": diff_filtered_sql,
+        "series_estimate": pre
+        + f"""
+, fps AS (
+  SELECT r.sink,
+    'R:role=' || r.role || ',R:service=' || r.service || ',' ||
+    coalesce(a.attrstr, '') AS fingerprint
+  FROM routed r
+  LEFT JOIN (
+    SELECT conv_id, turn_idx,
+           string_agg('D:' || "key" || '=' || "value", ',' ORDER BY "key") AS attrstr
+    FROM rattrs GROUP BY conv_id, turn_idx
+  ) a ON r.conv_id = a.conv_id AND r.turn_idx = a.turn_idx
+), act AS (
+  SELECT sink, count(DISTINCT fingerprint) AS active_series
+  FROM fps GROUP BY sink
+)
+SELECT act.sink, act.active_series,
+  coalesce(m.metric_type, 'gauge') AS metric_type,
+  CAST(CASE
+    WHEN m.metric_type = 'histogram'
+      THEN act.active_series * (coalesce(len(m.explicit_bounds), 0) + 1 + 2)
+    WHEN m.metric_type = 'exp_histogram'
+      THEN act.active_series * ((CASE
+        WHEN m.scales IS NULL OR len(m.scales) = 0 OR list_max(m.scales) <= 0
+          THEN 1
+        ELSE least(CAST(pow(2, list_max(m.scales) + 1) AS BIGINT), 160)
+        END) + 2)
+    ELSE act.active_series END AS BIGINT) AS prometheus_series
+FROM act LEFT JOIN read_parquet('{_metric_dim_path()}') m ON act.sink = m.sink
+""",
         "session_merge": merge_sql,
         "enriched_tool_stats": _oracle_prefix()
         + f"""
 SELECT d.tool_family, count(*) AS n_rows,
-       sum(CASE WHEN d.is_privileged THEN 1 ELSE 0 END) AS n_privileged,
+       CAST(sum(CASE WHEN d.is_privileged THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_privileged,
        count(DISTINCT r.tool) AS n_tools
 FROM routed r JOIN read_parquet('{_tool_dim_path()}') d ON r.tool = d.tool
 GROUP BY d.tool_family
@@ -780,8 +852,10 @@ FROM documents
         "token_counts": """
 SELECT lang,
   count(*) AS n_docs,
-  sum(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1) AS total_tokens,
-  max(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1) AS max_tokens
+  CAST(sum(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)
+       AS BIGINT) AS total_tokens,
+  CAST(max(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)
+       AS BIGINT) AS max_tokens
 FROM documents GROUP BY lang
 """,
         "doc_fingerprints": """
@@ -830,7 +904,8 @@ FROM events GROUP BY 1, 2
 """,
         "events_json_props": """
 SELECT event_type, count(*) AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
        count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
 FROM events GROUP BY event_type
 """,
@@ -931,3 +1006,9 @@ def _tool_dim_path() -> str:
     from otlp_cardinality_checker_spark.sources.transcripts import truth_paths
 
     return truth_paths(SF01)["tool_dim"]
+
+
+def _metric_dim_path() -> str:
+    from otlp_cardinality_checker_spark.datagen import ensure_dataset
+
+    return str(ensure_dataset(SF01) / "metric_dim.parquet")

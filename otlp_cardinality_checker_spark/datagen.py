@@ -32,7 +32,7 @@ from .functions.masking import template_of
 from .functions.severity import severity_of
 
 SEED = 42
-GEN_VERSION = 4  # bump when generation rules change -> fixtures regenerate
+GEN_VERSION = 6  # bump when generation rules change -> fixtures regenerate
 TURNS_PER_CONV = 25
 CARDINALITY_UID = 500  # uid modulus (mirrors scripts/test-hll-cardinality.sh)
 # The *observed* distinct user_id count: uid-bearing text families occupy
@@ -110,8 +110,34 @@ def _text_of(i: int, role: str, tool: str | None) -> str:
                 f"WARN rate limit exceeded for client 192.168.{i % 250}.{(i * 7) % 250} "
                 f"endpoint /api/v1/search?q={uid}"
             )
-        elif f < 95:
+        elif f < 91:
             body = f"Received {_long_token(i)}"
+        elif f < 97:
+            # SQL-bearing lines: one template per (verb, table) once the
+            # sql_* masks fire (reference patterns.go:176-199 semantics).
+            tbl = ("users", "orders", "products")[i % 3]
+            q = i % 4
+            if q == 0:
+                body = (
+                    f"db/query: SELECT id, name FROM {tbl} "
+                    f"WHERE user_id = {uid} AND active = {i % 2}"
+                )
+            elif q == 1:
+                body = (
+                    f"db/query: UPDATE {tbl} SET stock = {(i * 3) % 50} "
+                    f"WHERE id = {uid}"
+                )
+            elif q == 2:
+                body = f"db/query: DELETE FROM {tbl} WHERE token = 'tok{(i * 7) % 1000}'"
+            else:
+                body = f"db/query: INSERT INTO {tbl} VALUES ({i}, {uid})"
+        elif f < 99:
+            # gRPC-style span names: service kept, method masked.
+            svc = ("user-service", "order-service", "cache", "db")[i % 4]
+            mth = ("getProfile", "resetPassword", "createOrder", "query", "get")[
+                i % 5
+            ]
+            body = f"{svc}/{mth}"
         else:
             body = ""
     if body and i % 97 == 0:
@@ -189,6 +215,34 @@ def tool_dim() -> pd.DataFrame:
     )
 
 
+def write_metric_dim(path: Path) -> None:
+    """Per-sink metric-shape dimension for the A8 Prometheus series
+    estimate (reference `pkg/models/metric_types.go:140-190`): one sink per
+    shape class — plain gauge, explicit-bounds histogram, and exponential
+    histogram with mixed scales (max scale 3 -> 2^(3+1)=16 buckets)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "sink": pa.array(["chat", "tool_call", "error"], pa.string()),
+            "metric_type": pa.array(
+                ["gauge", "histogram", "exp_histogram"], pa.string()
+            ),
+            "explicit_bounds": pa.array(
+                [None, [0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5], None],
+                pa.list_(pa.float64()),
+            ),
+            "scales": pa.array(
+                [None, None, [3, 1, -2]], pa.list_(pa.int32())
+            ),
+        }
+    )
+    tmp = path.with_suffix(".tmp.parquet")
+    pq.write_table(table, tmp, compression="zstd")
+    os.replace(tmp, path)
+
+
 def n_turns_for_sf(sf_dir: str) -> int:
     """Map a driver sf dir (…/sf0.01) to a deterministic transcript size."""
     name = os.path.basename(os.path.normpath(sf_dir))
@@ -250,12 +304,15 @@ def ensure_dataset(
     out = DATA_ROOT / f"v{GEN_VERSION}_n{n}"
     marker = out / ("_SUCCESS_TRUTH" if with_truth else "_SUCCESS")
     if marker.exists() or (with_truth is False and (out / "_SUCCESS_TRUTH").exists()):
+        if not (out / "metric_dim.parquet").exists():  # added post-v5
+            write_metric_dim(out / "metric_dim.parquet")
         return out
     out.mkdir(parents=True, exist_ok=True)
     transcripts, truth, truth_attrs = generate_transcripts(n, with_truth=with_truth)
     _write_many(transcripts, out / "transcripts.parquet")
     _write(role_dim(), out / "role_dim.parquet")
     _write(tool_dim(), out / "tool_dim.parquet")
+    write_metric_dim(out / "metric_dim.parquet")
     if with_truth:
         _write(truth, out / "truth.parquet")
         _write(truth_attrs, out / "truth_attrs.parquet")

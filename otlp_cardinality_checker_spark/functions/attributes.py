@@ -36,39 +36,53 @@ class AttributeSpec:
     regexes: tuple[tuple[str, str], ...]
 
 
+# ASCII-pinned atoms shared with the masking table (see masking.py:
+# java.util.regex \d/\w/\b are ASCII, Python's are Unicode — explicit
+# classes + lookarounds make both engines agree on non-ASCII text).
+from .masking import _NA, _NB  # noqa: E402
+
 ATTRIBUTE_SPECS: tuple[AttributeSpec, ...] = (
     AttributeSpec(
         "user_id",
         (
-            (r"\buser_(\d+)\b", "user_"),
-            (r"[?&]q=(\d+)\b", "q="),
-            (r"/users/(\d+)\b", "/users/"),
+            (rf"{_NB}user_([0-9]+){_NA}", "user_"),
+            (rf"[?&]q=([0-9]+){_NA}", "q="),
+            (rf"/users/([0-9]+){_NA}", "/users/"),
         ),
     ),
-    AttributeSpec("src_ip", ((r"\bfrom ((?:\d{1,3}\.){3}\d{1,3})\b", "from "),)),
     AttributeSpec(
-        "client_ip", ((r"\bclient ((?:\d{1,3}\.){3}\d{1,3})\b", "client "),)
+        "src_ip",
+        ((rf"{_NB}from ((?:[0-9]{{1,3}}\.){{3}}[0-9]{{1,3}}){_NA}", "from "),),
     ),
-    AttributeSpec("http_status", ((r'HTTP/[0-9.]+" (\d{3})\b', "HTTP/"),)),
-    AttributeSpec("db_server", ((r"\bdb-prod-(\d{2})\b", "db-prod-"),)),
-    AttributeSpec("retries", ((r"\bafter (\d+) retries\b", " retries"),)),
     AttributeSpec(
-        "cache_key", ((r"\bkey user:session:([0-9a-f]{16})\b", "user:session:"),)
+        "client_ip",
+        ((rf"{_NB}client ((?:[0-9]{{1,3}}\.){{3}}[0-9]{{1,3}}){_NA}", "client "),),
     ),
-    AttributeSpec("txn_id", ((r"\btxn_([0-9a-f]{12})\b", "txn_"),)),
-    AttributeSpec("duration_ms", ((r"\bafter (\d+)ms\b", "after "),)),
-    AttributeSpec("endpoint", ((r"\bendpoint (/[^\s?]+)", "endpoint "),)),
+    AttributeSpec("http_status", ((rf'HTTP/[0-9.]+" ([0-9]{{3}}){_NA}', "HTTP/"),)),
+    AttributeSpec("db_server", ((rf"{_NB}db-prod-([0-9]{{2}}){_NA}", "db-prod-"),)),
+    AttributeSpec("retries", ((rf"{_NB}after ([0-9]+) retries{_NA}", " retries"),)),
+    AttributeSpec(
+        "cache_key",
+        ((rf"{_NB}key user:session:([0-9a-f]{{16}}){_NA}", "user:session:"),),
+    ),
+    AttributeSpec("txn_id", ((rf"{_NB}txn_([0-9a-f]{{12}}){_NA}", "txn_"),)),
+    AttributeSpec("duration_ms", ((rf"{_NB}after ([0-9]+)ms{_NA}", "after "),)),
+    AttributeSpec(
+        "endpoint", ((rf"{_NB}endpoint (/[^ \t\r\n\f\x0b?]+)", "endpoint "),)
+    ),
     AttributeSpec(
         "trace_id",
         (
             (
-                r"\btrace_id=([0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12})\b",
+                rf"{_NB}trace_id=([0-9a-fA-F]{{8}}-[0-9a-fA-F]{{4}}-[0-9a-fA-F]{{4}}-[0-9a-fA-F]{{4}}-[0-9a-fA-F]{{12}}){_NA}",
                 "trace_id=",
             ),
         ),
     ),
-    AttributeSpec("tool_name", ((r"\btool_call name=(\w+)\b", "tool_call"),)),
-    AttributeSpec("args_len", ((r"\bargs_len=(\d+)\b", "args_len="),)),
+    AttributeSpec(
+        "tool_name", ((rf"{_NB}tool_call name=([A-Za-z0-9_]+){_NA}", "tool_call"),)
+    ),
+    AttributeSpec("args_len", ((rf"{_NB}args_len=([0-9]+){_NA}", "args_len="),)),
 )
 
 ATTRIBUTE_KEYS: tuple[str, ...] = tuple(s.key for s in ATTRIBUTE_SPECS)

@@ -55,17 +55,27 @@ class MaskPattern:
     required_substring: str = ""  # cheap contains() guard before the regex
 
 
+# ASCII-pinned regex atoms. java.util.regex gives \d \w \s \b ASCII
+# semantics while Python `re` gives them Unicode semantics, so the shared
+# pattern table spells every class out explicitly (and replaces \b with
+# lookarounds) — the two engines then agree on NON-ASCII input too, not
+# just the ASCII fixture corpus.
+_S = r"[ \t\r\n\f\x0b]"  # \s, pinned
+_NS = r"[^ \t\r\n\f\x0b]"  # \S, pinned
+_NB = r"(?<![0-9A-Za-z_])"  # \b before a word char, pinned
+_NA = r"(?![0-9A-Za-z_])"  # \b after a word char, pinned
+
 MASK_PATTERNS: tuple[MaskPattern, ...] = (
     # ISO-ish timestamps first so their digit groups don't feed later rules.
     MaskPattern(
         "timestamp_iso",
-        r"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(?:\.\d+)?Z?",
+        r"[0-9]{4}-[0-9]{2}-[0-9]{2}[ T][0-9]{2}:[0-9]{2}:[0-9]{2}(?:\.[0-9]+)?Z?",
         "<TIMESTAMP>",
         "-",
     ),
     MaskPattern(
         "timestamp_slash",
-        r"\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2}",
+        r"[0-9]{4}/[0-9]{2}/[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}",
         "<TIMESTAMP>",
         "/",
     ),
@@ -74,54 +84,98 @@ MASK_PATTERNS: tuple[MaskPattern, ...] = (
     # Access-log request line + the status code immediately following it.
     MaskPattern(
         "http_request_line",
-        r'"(GET|POST|PUT|PATCH|DELETE|HEAD|OPTIONS)\s+\S+\s+HTTP/[0-9.]+"\s+[1-5][0-9]{2}\b',
+        rf'"(GET|POST|PUT|PATCH|DELETE|HEAD|OPTIONS){_S}+{_NS}+{_S}+HTTP/[0-9.]+"{_S}+[1-5][0-9]{{2}}{_NA}',
         "$1 <URI> <STATUSCODE>",
         '"',
     ),
     MaskPattern(
         "uuid",
-        r"\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\b",
+        rf"{_NB}[0-9a-fA-F]{{8}}-[0-9a-fA-F]{{4}}-[0-9a-fA-F]{{4}}-[0-9a-fA-F]{{4}}-[0-9a-fA-F]{{12}}{_NA}",
         "<ID>",
         "-",
     ),
     MaskPattern(
         "email",
-        r"\b[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}\b",
+        rf"{_NB}[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{{2,}}{_NA}",
         "<EMAIL>",
         "@",
     ),
-    MaskPattern("url", r"https?://\S+", "<URL>", "://"),
+    # SQL statements: keep verb + table, mask the varying WHERE/SET/VALUES
+    # tail (reference: patterns.go:176-199, goldens patterns_test.go:117-164).
+    # These must run before the generic number/hex/eq rules so a query line
+    # collapses to ONE template per (verb, table) instead of one per value.
+    MaskPattern(
+        "sql_select",
+        rf"(db/query:{_S}*SELECT{_S}+(?:[^\r\n]*?{_S}+)?FROM{_S}+[A-Za-z0-9_]+)(?:{_S}+[^\r\n]+)?$",
+        "$1 <WHERE>",
+        "db/query:",
+    ),
+    MaskPattern(
+        "sql_delete",
+        rf"(db/query:{_S}*DELETE{_S}+FROM{_S}+[A-Za-z0-9_]+)(?:{_S}+[^\r\n]+)?$",
+        "$1 <WHERE>",
+        "db/query:",
+    ),
+    MaskPattern(
+        "sql_update",
+        rf"(db/query:{_S}*UPDATE{_S}+[A-Za-z0-9_]+){_S}+SET{_S}+[^\r\n]+$",
+        "$1 <SET>",
+        "db/query:",
+    ),
+    MaskPattern(
+        "sql_insert",
+        rf"(db/query:{_S}*INSERT{_S}+INTO{_S}+[A-Za-z0-9_]+)(?:{_S}+[^\r\n]+)?$",
+        "$1 <VALUES>",
+        "db/query:",
+    ),
+    # gRPC/internal service-method span names: keep service, mask method
+    # (reference: patterns.go:200-207). Anchored to the whole string so
+    # "GET /api/v1/users" style lines never match.
+    MaskPattern(
+        "service_method",
+        r"^([a-zA-Z][a-zA-Z0-9_-]*)/([a-zA-Z][a-zA-Z0-9]+)$",
+        "$1/<METHOD>",
+        "/",
+    ),
+    MaskPattern("url", rf"https?://{_NS}+", "<URL>", "://"),
     # HTTP verb + path: keep the verb and up to two literal segments.
     MaskPattern(
         "http_path",
-        r"\b(GET|POST|PUT|PATCH|DELETE|HEAD|OPTIONS)\s+((?:/[a-zA-Z][a-zA-Z0-9._~-]*){1,2})/\S*",
+        rf"{_NB}(GET|POST|PUT|PATCH|DELETE|HEAD|OPTIONS){_S}+((?:/[a-zA-Z][a-zA-Z0-9._~-]*){{1,2}})/{_NS}*",
         "$1 $2/<PATH>",
         "/",
     ),
     # Bare absolute path containing a numeric segment.
     MaskPattern(
         "path_with_id",
-        r"(^|\s)(/(?:[a-zA-Z0-9._~-]+/)*[0-9][a-zA-Z0-9._~-]*(?:/[a-zA-Z0-9._~-]*)*)(\s|$)",
+        rf"(^|{_S})(/(?:[a-zA-Z0-9._~-]+/)*[0-9][a-zA-Z0-9._~-]*(?:/[a-zA-Z0-9._~-]*)*)({_S}|$)",
         "$1<PATH>$3",
         "/",
     ),
     # Query strings are stripped entirely.
-    MaskPattern("query_string", r"\?\S*", "", "?"),
-    MaskPattern("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>", "."),
+    MaskPattern("query_string", rf"\?{_NS}*", "", "?"),
+    MaskPattern(
+        "ipv4", rf"{_NB}(?:[0-9]{{1,3}}\.){{3}}[0-9]{{1,3}}{_NA}", "<IP>", "."
+    ),
     # Durations / sizes before the bare hex/number rules.
     MaskPattern(
-        "duration", r"\b\d+(?:\.\d+)?(?:µs|us|ns|ms)\b", "<DURATION>", ""
+        "duration",
+        rf"{_NB}[0-9]+(?:\.[0-9]+)?(?:µs|us|ns|ms){_NA}",
+        "<DURATION>",
+        "",
     ),
-    MaskPattern("size", r"\b\d+(?:\.\d+)?(?:B|KB|MB|GB|TB)\b", "<SIZE>", ""),
+    MaskPattern(
+        "size", rf"{_NB}[0-9]+(?:\.[0-9]+)?(?:B|KB|MB|GB|TB){_NA}", "<SIZE>", ""
+    ),
     # Hex ids >= 8 chars, no word boundary (see module docstring).
     MaskPattern("hex_id", r"[0-9a-f]{8,}", "<ID>", ""),
     # key=1234 style values.
-    MaskPattern("eq_number", r"=\d+\b", "=<*>", "="),
+    MaskPattern("eq_number", rf"=[0-9]+{_NA}", "=<*>", "="),
     # Trailing-digit identifiers (user_123, db-prod-07, shard-3). The
     # reference's Drain similarity matching (miner.go:357-387) generalizes
     # these into one cluster at runtime; the deterministic mode must mask
     # them up front to reach the same template granularity.
-    MaskPattern("trailing_num_id", r"(?<=[A-Za-z_-])\d+\b", "<*>", ""),
+    MaskPattern("trailing_num_id", rf"(?<=[A-Za-z_-])[0-9]+{_NA}", "<*>", ""),
 )
 
 _GROUP_REF = re.compile(r"\$(\d)")
@@ -131,9 +185,39 @@ def _py_repl(repl: str) -> str:
     return _GROUP_REF.sub(r"\\\1", repl)
 
 
-_COMPILED = tuple(
-    (p, re.compile(p.regex), _py_repl(p.repl)) for p in MASK_PATTERNS
-)
+def compile_patterns(patterns: tuple[MaskPattern, ...]):
+    """Compile a pattern table for the Python engines (cached per table)."""
+    return tuple((p, re.compile(p.regex), _py_repl(p.repl)) for p in patterns)
+
+
+_COMPILED = compile_patterns(MASK_PATTERNS)
+
+
+def load_patterns_yaml(path: str) -> tuple[MaskPattern, ...]:
+    """User pattern override from a YAML file (reference: patterns.go:35-63,
+    config/patterns.yaml). Schema per entry: ``name``, ``regex``,
+    ``placeholder``, optional ``description`` (ignored here) and
+    ``required_substring``. Order in the file is application order.
+
+    Every regex must be valid for BOTH java.util.regex and Python `re`
+    (the same constraint as the built-in table); a pattern that fails to
+    compile under Python raises immediately rather than at executor time.
+    """
+    import yaml
+
+    with open(path) as fh:
+        config = yaml.safe_load(fh) or {}
+    out = []
+    for p in config.get("patterns", []):
+        mp = MaskPattern(
+            name=p["name"],
+            regex=p["regex"],
+            repl=p.get("placeholder", ""),
+            required_substring=p.get("required_substring", ""),
+        )
+        re.compile(mp.regex)  # fail fast on bad user regex
+        out.append(mp)
+    return tuple(out)
 
 # ---------------------------------------------------------------------------
 # Token generalization rules (reference: tokenize.go:31-152).
@@ -142,13 +226,15 @@ _COMPILED = tuple(
 
 LONG_TOKEN_THRESHOLD = 30
 
-_PURE_NUMBER = re.compile(r"^-?\d+(?:\.\d+)?$")
+# ASCII-pinned (see MASK_PATTERNS note): [0-9] everywhere, never \d, so
+# the scalar/pandas truth and the Catalyst rlike twins agree on non-ASCII.
+_PURE_NUMBER = re.compile(r"^-?[0-9]+(?:\.[0-9]+)?$")
 _NUM_UNIT = re.compile(
-    r"^\d+(?:\.\d+)?(?:ms|s|m|h|us|ns|B|KB|MB|GB|TB|b|kb|mb|gb|k|K|M|G)$"
+    r"^[0-9]+(?:\.[0-9]+)?(?:ms|s|m|h|us|ns|B|KB|MB|GB|TB|b|kb|mb|gb|k|K|M|G)$"
 )
 _HEXISH = re.compile(r"^[0-9a-fA-F-]{8,}$")
-_TIMEISH = re.compile(r"^\d[\d:.TZ-]{3,}$")
-_NON_DIGIT = re.compile(r"\D")
+_TIMEISH = re.compile(r"^[0-9][0-9:.TZ-]{3,}$")
+_NON_DIGIT = re.compile(r"[^0-9]")
 
 
 def is_variable_token(t: str) -> bool:
@@ -172,31 +258,33 @@ def is_variable_token(t: str) -> bool:
 
 
 _COLLAPSE_WILDCARD = re.compile(r"<\*>(?: <\*>)+")
-_WS = re.compile(r"\s+")
+_WS = re.compile(_S + "+")
 
 
-def mask_text(s: str) -> str:
+def mask_text(s: str, compiled=None) -> str:
     """Apply the full mask chain to one string (scalar reference impl)."""
-    for pat, rx, repl in _COMPILED:
+    for pat, rx, repl in compiled or _COMPILED:
         if pat.required_substring and pat.required_substring not in s:
             continue
         s = rx.sub(repl, s)
     return s
 
 
-def template_of(s: str) -> str:
+def template_of(s: str, compiled=None) -> str:
     """Scalar reference implementation: mask + tokenize + generalize."""
-    masked = mask_text(s)
-    toks = [t for t in _WS.split(masked.strip()) if t]
+    masked = mask_text(s, compiled)
+    # strip(" ") == Spark F.trim (space only): Python's bare strip() also
+    # removes Unicode whitespace (e.g. NBSP) that the Catalyst twin keeps
+    toks = [t for t in _WS.split(masked.strip(" ")) if t]
     out = ["<*>" if is_variable_token(t) else t for t in toks]
     joined = " ".join(out)
     return _COLLAPSE_WILDCARD.sub("<*>", joined)
 
 
-def mask_series(s):
+def mask_series(s, compiled=None):
     """Vectorized pandas implementation of the mask chain."""
     s = s.fillna("")
-    for pat, rx, repl in _COMPILED:
+    for pat, rx, repl in compiled or _COMPILED:
         if pat.required_substring:
             m = s.str.contains(pat.required_substring, regex=False)
             if not m.any():
@@ -207,7 +295,7 @@ def mask_series(s):
     return s
 
 
-def template_series(s):
+def template_series(s, compiled=None):
     """Vectorized pandas implementation of :func:`template_of`.
 
     Mask chain: vectorized `str.replace`. Token generalization: tokens are
@@ -217,21 +305,21 @@ def template_series(s):
     """
     import pandas as pd
 
-    masked = mask_series(s)
-    toks = masked.str.findall(r"\S+")
+    masked = mask_series(s, compiled)
+    toks = masked.str.findall(_NS + "+")
     ex = toks.explode()
     present = ex.notna()
     exs = ex[present].astype(str)
     n = exs.str.len()
-    digits = exs.str.count(r"\d")
+    digits = exs.str.count(r"[0-9]")
     is_var = (
         (n > LONG_TOKEN_THRESHOLD)
-        | exs.str.fullmatch(r"-?\d+(?:\.\d+)?")
+        | exs.str.fullmatch(r"-?[0-9]+(?:\.[0-9]+)?")
         | exs.str.fullmatch(
-            r"\d+(?:\.\d+)?(?:ms|s|m|h|us|ns|B|KB|MB|GB|TB|b|kb|mb|gb|k|K|M|G)"
+            r"[0-9]+(?:\.[0-9]+)?(?:ms|s|m|h|us|ns|B|KB|MB|GB|TB|b|kb|mb|gb|k|K|M|G)"
         )
         | (exs.str.fullmatch(r"[0-9a-fA-F-]{8,}") & exs.str.contains(r"[0-9a-fA-F]"))
-        | (exs.str.fullmatch(r"\d[\d:.TZ-]{3,}") & exs.str.contains(r"[-:T]"))
+        | (exs.str.fullmatch(r"[0-9][0-9:.TZ-]{3,}") & exs.str.contains(r"[-:T]"))
         | ((n >= 4) & (digits * 100 >= 60 * n))
     )
     gen = exs.where(~is_var, "<*>")
@@ -252,7 +340,7 @@ def _j(regex: str) -> str:
     return regex
 
 
-def mask_expr(col: Column) -> Column:
+def mask_expr(col: Column, patterns: tuple[MaskPattern, ...] | None = None) -> Column:
     """Catalyst column: the ordered mask chain via `regexp_replace`.
 
     The reference's RequiredSubstring fast path (`patterns.go:31`) is *not*
@@ -263,7 +351,7 @@ def mask_expr(col: Column) -> Column:
     engine keeps the guard, where it is a genuine vectorized win.
     """
     c = F.coalesce(col, F.lit(""))
-    for p in MASK_PATTERNS:
+    for p in patterns or MASK_PATTERNS:
         c = F.regexp_replace(c, F.lit(_j(p.regex)), F.lit(p.repl))
     return c
 
@@ -271,21 +359,25 @@ def mask_expr(col: Column) -> Column:
 def _variable_token_pred(t: Column) -> Column:
     """Catalyst twin of :func:`is_variable_token` (same rule order)."""
     n = F.length(t)
-    digits = F.length(F.regexp_replace(t, r"\D", ""))
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
     return (
         (n > LONG_TOKEN_THRESHOLD)
-        | t.rlike(r"^-?\d+(\.\d+)?$")
-        | t.rlike(r"^\d+(\.\d+)?(ms|s|m|h|us|ns|B|KB|MB|GB|TB|b|kb|mb|gb|k|K|M|G)$")
+        | t.rlike(r"^-?[0-9]+(\.[0-9]+)?$")
+        | t.rlike(
+            r"^[0-9]+(\.[0-9]+)?(ms|s|m|h|us|ns|B|KB|MB|GB|TB|b|kb|mb|gb|k|K|M|G)$"
+        )
         | (t.rlike(r"^[0-9a-fA-F-]{8,}$") & t.rlike(r"[0-9a-fA-F]"))
-        | (t.rlike(r"^\d[\d:.TZ-]{3,}$") & t.rlike(r"[-:T]"))
+        | (t.rlike(r"^[0-9][0-9:.TZ-]{3,}$") & t.rlike(r"[-:T]"))
         | ((n >= 4) & (digits * 100 >= 60 * n))
     )
 
 
-def template_expr(col: Column) -> Column:
+def template_expr(
+    col: Column, patterns: tuple[MaskPattern, ...] | None = None
+) -> Column:
     """Catalyst column: full template extraction (mask -> tokens -> <*>)."""
-    masked = mask_expr(col)
-    toks = F.split(F.trim(masked), r"\s+")
+    masked = mask_expr(col, patterns)
+    toks = F.split(F.trim(masked), _S + "+")
     toks = F.filter(toks, lambda t: t != F.lit(""))
     gen = F.transform(
         toks, lambda t: F.when(_variable_token_pred(t), F.lit("<*>")).otherwise(t)

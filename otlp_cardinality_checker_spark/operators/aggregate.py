@@ -50,6 +50,43 @@ def _samples_expr(value: str = "value") -> F.Column:
     return F.slice(F.sort_array(F.collect_set(value)), 1, SAMPLE_CAP)
 
 
+def bounded_min_samples(
+    attrs: DataFrame,
+    group_cols: tuple[str, ...],
+    cap: int = SAMPLE_CAP,
+    n_salt: int = 16,
+    joined: bool = True,
+) -> DataFrame:
+    """Min-`cap` distinct values per group with BOUNDED executor memory.
+
+    ``collect_set`` buffers every distinct value of a group before the
+    min-10 slice — an OOM risk for a 10^9-cardinality key at the 10^12-turn
+    target. This is the two-stage shape instead: distinct -> salted local
+    top-`cap` (row_number streams over a sort, nothing buffers) -> global
+    top-`cap` over at most ``n_salt * cap`` rows per group -> tiny
+    collect_list. Every operator is streaming or bounded; sorts spill.
+    """
+    cols = list(group_cols)
+    d = attrs.select(*cols, "value").distinct()
+    w1 = Window.partitionBy(*cols, "_salt").orderBy("value")
+    w2 = Window.partitionBy(*cols).orderBy("value")
+    return (
+        d.withColumn("_salt", F.pmod(F.hash("value"), F.lit(n_salt)))
+        .withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= cap)
+        .withColumn("_r2", F.row_number().over(w2))
+        .where(F.col("_r2") <= cap)
+        .groupBy(*cols)
+        .agg(
+            (
+                F.array_join(F.array_sort(F.collect_list("value")), "|")
+                if joined
+                else F.array_sort(F.collect_list("value"))
+            ).alias("value_samples" if joined else "samples")
+        )
+    )
+
+
 def sink_totals(routed: DataFrame) -> DataFrame:
     return routed.groupBy("sink").agg(F.count(F.lit(1)).alias("sink_rows"))
 
@@ -65,39 +102,59 @@ def key_stats(
     `:382-424`) + percentage recompute (`internal/analyzer/logs.go:262-277`).
     """
     attrs = exploded_attrs(routed)
-    if exact:
-        agg = attrs.groupBy("sink", "key").agg(
-            F.count(F.lit(1)).alias("count"),
-            F.count_distinct("value").alias("est_cardinality"),
-            F.array_join(_samples_expr(), "|").alias("value_samples"),
-            F.max(F.contains("value", F.lit("�"))).alias("has_invalid_utf8"),
-        )
-    else:
-        partial = attrs.groupBy(
-            "sink", "key", F.pmod(F.hash("conv_id"), F.lit(n_salt)).alias("_salt")
-        ).agg(
-            F.count(F.lit(1)).alias("_cnt"),
-            F.hll_sketch_agg("value", F.lit(HLL_LG_K)).alias("_hll"),
-            _samples_expr().alias("_samples"),
-            F.max(F.contains("value", F.lit("�"))).alias("_taint"),
-        )
-        agg = partial.groupBy("sink", "key").agg(
-            F.sum("_cnt").alias("count"),
-            F.hll_sketch_estimate(F.hll_union_agg("_hll")).alias(
-                "est_cardinality"
+    # ONE scan, bounded memory, two-stage everything:
+    #   * salt by hash(value) — distinct values partition DISJOINTLY across
+    #     salts, so per-salt exact distinct counts SUM to the global count
+    #     and per-salt HLL sketches union to the global sketch; a hot
+    #     (sink, key) fans across n_salt reducers (SURVEY §7 skew defense).
+    #   * min-10 samples via dense_rank over the salt partition (streaming
+    #     over the sort — nothing buffers) + collect_set guarded by
+    #     when(rank <= CAP): the aggregation buffer holds at most CAP
+    #     values per salt, CAP * n_salt per group at the final merge.
+    #     collect_set over ALL distinct values (the naive form) buffers an
+    #     entire high-cardinality key before truncation — OOM at 10^12.
+    salted = attrs.withColumn("_salt", F.pmod(F.hash("value"), F.lit(n_salt)))
+    w1 = Window.partitionBy("sink", "key", "_salt").orderBy("value")
+    marked = salted.withColumn("_dr", F.dense_rank().over(w1))
+    card_partial = (
+        F.count_distinct("value")
+        if exact
+        else F.hll_sketch_agg("value", F.lit(HLL_LG_K))
+    )
+    partial = marked.groupBy("sink", "key", "_salt").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        card_partial.alias("_card"),
+        F.slice(
+            F.sort_array(
+                F.collect_set(
+                    F.when(F.col("_dr") <= SAMPLE_CAP, F.col("value"))
+                )
             ),
-            F.array_join(
-                F.slice(
-                    F.array_sort(
-                        F.array_distinct(F.flatten(F.collect_list("_samples")))
-                    ),
-                    1,
-                    SAMPLE_CAP,
+            1,
+            SAMPLE_CAP,
+        ).alias("_samples"),
+        F.max(F.contains("value", F.lit("�"))).alias("_taint"),
+    )
+    card_final = (
+        F.sum("_card")
+        if exact
+        else F.hll_sketch_estimate(F.hll_union_agg("_card"))
+    )
+    agg = partial.groupBy("sink", "key").agg(
+        F.sum("_cnt").alias("count"),
+        card_final.alias("est_cardinality"),
+        F.array_join(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("_samples")))
                 ),
-                "|",
-            ).alias("value_samples"),
-            F.max("_taint").alias("has_invalid_utf8"),
-        )
+                1,
+                SAMPLE_CAP,
+            ),
+            "|",
+        ).alias("value_samples"),
+        F.max("_taint").alias("has_invalid_utf8"),
+    )
     totals = sink_totals(routed)
     return (
         agg.join(F.broadcast(totals), "sink")
@@ -105,6 +162,15 @@ def key_stats(
             "pct", F.round(F.col("count") * 100.0 / F.col("sink_rows"), 4)
         )
         .drop("sink_rows")
+        .select(
+            "sink",
+            "key",
+            "count",
+            "est_cardinality",
+            "value_samples",
+            "has_invalid_utf8",
+            "pct",
+        )
     )
 
 
@@ -143,21 +209,69 @@ def attribute_catalog(routed: DataFrame, exact: bool = False) -> DataFrame:
     `common.go:59-90`) is map-side partial aggregation here — free.
     """
     attrs = exploded_attrs(routed)
-    card = (
+    # same single-scan bounded two-stage shape as key_stats (value-hash
+    # salt: disjoint distincts sum / sketches union; dense_rank-guarded
+    # collect_set keeps the samples buffer at SAMPLE_CAP per salt)
+    n_salt = 16
+    salted = attrs.withColumn("_salt", F.pmod(F.hash("value"), F.lit(n_salt)))
+    w1 = Window.partitionBy("key", "_salt").orderBy("value")
+    marked = salted.withColumn("_dr", F.dense_rank().over(w1))
+    card_partial = (
         F.count_distinct("value")
         if exact
-        else F.hll_sketch_estimate(F.hll_sketch_agg("value", F.lit(HLL_LG_K)))
+        else F.hll_sketch_agg("value", F.lit(HLL_LG_K))
     )
-    return attrs.groupBy("key").agg(
-        F.count(F.lit(1)).alias("count"),
-        card.alias("est_cardinality"),
-        F.array_join(F.sort_array(F.collect_set("sink")), "|").alias(
-            "signal_types"
-        ),
-        F.array_join(_samples_expr(), "|").alias("value_samples"),
-        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
-        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
-        F.max(F.contains("value", F.lit("�"))).alias("has_invalid_utf8"),
+    partial = marked.groupBy("key", "_salt").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        card_partial.alias("_card"),
+        F.collect_set("sink").alias("_sinks"),
+        F.slice(
+            F.sort_array(
+                F.collect_set(
+                    F.when(F.col("_dr") <= SAMPLE_CAP, F.col("value"))
+                )
+            ),
+            1,
+            SAMPLE_CAP,
+        ).alias("_samples"),
+        F.min("ts").alias("_first"),
+        F.max("ts").alias("_last"),
+        F.max(F.contains("value", F.lit("�"))).alias("_taint"),
+    )
+    card_final = (
+        F.sum("_card")
+        if exact
+        else F.hll_sketch_estimate(F.hll_union_agg("_card"))
+    )
+    return partial.groupBy("key").agg(
+        F.sum("_cnt").alias("count"),
+        card_final.alias("est_cardinality"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_sinks")))),
+            "|",
+        ).alias("signal_types"),
+        F.array_join(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("_samples")))
+                ),
+                1,
+                SAMPLE_CAP,
+            ),
+            "|",
+        ).alias("value_samples"),
+        F.date_format(F.min("_first"), "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+        F.date_format(F.max("_last"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        F.max("_taint").alias("has_invalid_utf8"),
+    ).select(
+        "key",
+        "count",
+        "est_cardinality",
+        "signal_types",
+        "value_samples",
+        "first_seen",
+        "last_seen",
+        "has_invalid_utf8",
     )
 
 
@@ -180,15 +294,25 @@ def watched_values(
         .groupBy("key", "value")
         .agg(F.count(F.lit(1)).alias("count"))
     )
-    w = Window.partitionBy("key").orderBy(F.desc("count"), F.asc("value"))
+    # Two-stage top-k: a single window over `key` would sort EVERY distinct
+    # value of a watched key on one reducer (one hot partition for a
+    # user-id-like key at 10^12 turns). Stage 1 ranks within (key, salt) —
+    # any value in the global top-`cap` is in its salt's top-`cap` — so the
+    # final window sees at most n_salt * cap rows per key.
+    n_salt = 16
+    order = (F.desc("count"), F.asc("value"))
+    w1 = Window.partitionBy("key", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("key").orderBy(*order)
+    totals = freq.groupBy("key").agg(F.count(F.lit(1)).alias("_n_values"))
     return (
-        freq.withColumn("_rank", F.row_number().over(w))
-        .withColumn(
-            "overflow",
-            (F.count(F.lit(1)).over(Window.partitionBy("key")) > cap),
-        )
+        freq.withColumn("_salt", F.pmod(F.hash("value"), F.lit(n_salt)))
+        .withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= cap)
+        .withColumn("_rank", F.row_number().over(w2))
         .where(F.col("_rank") <= cap)
-        .drop("_rank")
+        .join(F.broadcast(totals), "key")
+        .withColumn("overflow", F.col("_n_values") > cap)
+        .select("key", "value", "count", "overflow")
     )
 
 
@@ -223,6 +347,64 @@ def active_series(routed: DataFrame, exact: bool = False) -> DataFrame:
     )
     return with_fp.groupBy("sink").agg(
         est.alias("active_series"), F.count(F.lit(1)).alias("sample_count")
+    )
+
+
+def prometheus_series_estimate(
+    active_series_df: DataFrame,
+    metric_dim: DataFrame,
+    max_exp_hist_buckets: int = 160,
+) -> DataFrame:
+    """A8: Prometheus-equivalent series count per sink.
+
+    Reference `EstimatePrometheusActiveSeries`
+    (`pkg/models/metric_types.go:140-190`):
+
+    * histogram: series x (len(explicit_bounds) + 1 + 2)  (+_sum/_count)
+    * exponential histogram: series x (buckets + 2) with
+      buckets = 1 when no scales or max(scale) <= 0,
+      else min(2^(maxScale+1), 160)
+    * anything else: series unchanged.
+
+    ``metric_dim`` is a tiny per-sink shape dimension
+    (sink, metric_type, explicit_bounds array<double>, scales array<int>) —
+    broadcast; the fact side is the already-aggregated active-series frame.
+    """
+    exp_buckets = (
+        F.when(
+            F.col("scales").isNull()
+            | (F.size("scales") == 0)
+            | (F.array_max("scales") <= 0),
+            F.lit(1),
+        )
+        .otherwise(
+            F.least(
+                F.pow(F.lit(2.0), F.array_max("scales") + 1).cast("long"),
+                F.lit(max_exp_hist_buckets).cast("long"),
+            )
+        )
+        .cast("long")
+    )
+    est = (
+        F.when(
+            F.col("metric_type") == "histogram",
+            F.col("active_series")
+            * (F.coalesce(F.size("explicit_bounds"), F.lit(0)) + 1 + 2),
+        )
+        .when(
+            F.col("metric_type") == "exp_histogram",
+            F.col("active_series") * (exp_buckets + 2),
+        )
+        .otherwise(F.col("active_series"))
+    )
+    return (
+        active_series_df.join(F.broadcast(metric_dim), "sink", "left")
+        .select(
+            "sink",
+            "active_series",
+            F.coalesce("metric_type", F.lit("gauge")).alias("metric_type"),
+            est.cast("long").alias("prometheus_series"),
+        )
     )
 
 

@@ -33,16 +33,42 @@ def snapshot_key_stats(routed: DataFrame, n_salt: int = 16) -> DataFrame:
     stay exact-in-distribution — the Spark analogue of serializing HLL
     registers.
     """
+    from pyspark.sql import Window
+
     from .aggregate import HLL_LG_K, SAMPLE_CAP, exploded_attrs
 
+    # single-scan bounded two-stage (same shape as aggregate.key_stats):
+    # value-hash salt so sketches union exactly; dense_rank-guarded
+    # collect_set bounds the samples buffer at SAMPLE_CAP per salt
     attrs = exploded_attrs(routed)
-    return attrs.groupBy("sink", "key").agg(
-        F.count(F.lit(1)).alias("count"),
-        F.hll_sketch_agg("value", F.lit(HLL_LG_K)).alias("hll"),
-        F.slice(F.sort_array(F.collect_set("value")), 1, SAMPLE_CAP).alias(
-            "samples"
-        ),
-        F.max(F.contains("value", F.lit("�"))).alias("has_invalid_utf8"),
+    salted = attrs.withColumn("_salt", F.pmod(F.hash("value"), F.lit(n_salt)))
+    w1 = Window.partitionBy("sink", "key", "_salt").orderBy("value")
+    marked = salted.withColumn("_dr", F.dense_rank().over(w1))
+    partial = marked.groupBy("sink", "key", "_salt").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.hll_sketch_agg("value", F.lit(HLL_LG_K)).alias("_hll"),
+        F.slice(
+            F.sort_array(
+                F.collect_set(
+                    F.when(F.col("_dr") <= SAMPLE_CAP, F.col("value"))
+                )
+            ),
+            1,
+            SAMPLE_CAP,
+        ).alias("_samples"),
+        F.max(F.contains("value", F.lit("�"))).alias("_taint"),
+    )
+    return partial.groupBy("sink", "key").agg(
+        F.sum("_cnt").alias("count"),
+        F.hll_union_agg("_hll").alias("hll"),
+        F.slice(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("_samples")))
+            ),
+            1,
+            SAMPLE_CAP,
+        ).alias("samples"),
+        F.max("_taint").alias("has_invalid_utf8"),
     )
 
 
@@ -142,3 +168,34 @@ def diff_key_stats(from_stats: DataFrame, to_stats: DataFrame) -> DataFrame:
         "card_from",
         "card_to",
     )
+
+
+_SEVERITY_RANK = {"info": 0, "warning": 1, "critical": 2}
+
+
+def filter_diff(
+    diff: DataFrame,
+    signal_type: str | None = None,
+    key_contains: str | None = None,
+    min_severity: str | None = None,
+) -> DataFrame:
+    """Diff output filters (reference `internal/api/sessions.go:571-603`):
+    by signal (sink), by a key substring (the reference's service filter,
+    re-targeted: this grain's entity name is the attribute key), and by
+    minimum severity (info < warning < critical). All three push down to
+    the diff scan as plain Catalyst predicates.
+    """
+    out = diff
+    if signal_type:
+        out = out.where(F.col("sink") == signal_type)
+    if key_contains:
+        out = out.where(F.col("key").contains(key_contains))
+    if min_severity:
+        rank = _SEVERITY_RANK[min_severity]
+        sev_rank = (
+            F.when(F.col("severity") == "critical", 2)
+            .when(F.col("severity") == "warning", 1)
+            .otherwise(0)
+        )
+        out = out.where(sev_rank >= rank)
+    return out

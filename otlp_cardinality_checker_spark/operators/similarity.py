@@ -44,6 +44,31 @@ def cosine_expr(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _topk_per_query(
+    scored: DataFrame,
+    k: int,
+    query_id_col: str,
+    id_col: str,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Two-stage top-k: a single window over ``query_id`` would pull every
+    scored corpus row for a query onto ONE reducer (the whole corpus per
+    query for brute force). Stage 1 ranks within (query, salt-of-id) so the
+    final window sees at most ``n_salt * k`` rows per query; any row in the
+    global top-k is in its salt's top-k, so the result is identical."""
+    order = (F.desc("cosine"), F.asc(id_col))
+    w1 = Window.partitionBy(query_id_col, "_salt").orderBy(*order)
+    w2 = Window.partitionBy(query_id_col).orderBy(*order)
+    return (
+        scored.withColumn("_salt", F.pmod(F.hash(id_col), F.lit(n_salt)))
+        .withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .drop("_salt", "_r")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -52,7 +77,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Exact cosine top-k per query (broadcast nested-loop + window)."""
+    """Exact cosine top-k per query (broadcast nested-loop + 2-stage topk)."""
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("_qvec"),
@@ -65,13 +90,7 @@ def brute_force_topk(
         id_col,
         F.round(cosine_expr(F.col("_qvec"), F.col("_cvec")), 6).alias("cosine"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cosine"), F.asc(id_col)
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return _topk_per_query(scored, k, query_id_col, id_col)
 
 
 def _hyperplane(dim: int, table: int, bit: int) -> list[float]:
@@ -165,12 +184,7 @@ def lsh_topk(
         )
         .dropDuplicates([query_id_col, id_col])
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cosine"), F.asc(id_col)
-    )
-    return cands.withColumn("rank", F.row_number().over(w)).where(
-        F.col("rank") <= k
-    )
+    return _topk_per_query(cands, k, query_id_col, id_col)
 
 
 def embedding_cosine_near_dups(

@@ -64,16 +64,25 @@ def generate_report(
         .when(F.col("est_cardinality") >= warn, F.lit("warning"))
         .otherwise(F.lit("ok"))
     )
+    graded = key_stats_df.withColumn("level", level)
     rows = (
-        key_stats_df.withColumn("level", level)
-        .orderBy(F.desc("est_cardinality"), F.asc("sink"), F.asc("key"))
+        graded.orderBy(F.desc("est_cardinality"), F.asc("sink"), F.asc("key"))
         .limit(limit)
         .select("sink", "key", "count", "est_cardinality", "level")
         .collect()
     )
     entries = [r.asDict() for r in rows]
+    # severity counts over the FULL frame, not just the displayed page —
+    # with > `limit` warning-level keys the page undercounts (criticals
+    # sort first, so exit_code happened to stay right; the counts didn't)
+    counts = {
+        r["level"]: r["n"]
+        for r in graded.groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
     return Report(
         entries=entries,
-        n_warning=sum(1 for e in entries if e["level"] == "warning"),
-        n_critical=sum(1 for e in entries if e["level"] == "critical"),
+        n_warning=counts.get("warning", 0),
+        n_critical=counts.get("critical", 0),
     )

@@ -83,7 +83,11 @@ def main() -> int:
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # Fetch via pandas to mirror the driver's fetch path: DuckDB
+            # HUGEINT (e.g. sum(INTEGER)) becomes float64 here, which is
+            # exactly the rendering divergence the driver's hash sees.
+            odf = res.df()
+            orows = list(odf.itertuples(index=False, name=None))
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)

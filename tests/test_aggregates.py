@@ -122,3 +122,121 @@ def test_uid_cardinality_constant(spark):
     _, _, truth_attrs = generate_transcripts(5000)
     n_uid = truth_attrs[truth_attrs.key == "user_id"]["value"].nunique()
     assert n_uid == EXPECTED_UID_CARDINALITY
+
+
+def test_watched_key_lifecycle_cap():
+    """Reference store.go:1092-1160: cap on ACTIVE watches, idempotent
+    watch, unwatch preserves (deactivates) rather than deletes."""
+    import pytest as _pytest
+
+    from otlp_cardinality_checker_spark.operators.watch import WatchedKeys
+
+    reg = WatchedKeys(max_watched=3)
+    for k in ("a", "b", "c"):
+        reg.watch(k)
+    with _pytest.raises(RuntimeError, match="maximum watched fields"):
+        reg.watch("d")
+    reg.watch("b")  # idempotent re-activate, no error
+    reg.unwatch("c")  # deactivates, preserved in all()
+    assert reg.active() == ("a", "b")
+    assert reg.all() == ("a", "b", "c")
+    reg.watch("d")  # slot freed by deactivation
+    assert "d" in reg.active()
+    with _pytest.raises(KeyError):
+        reg.unwatch("never-watched")
+    with _pytest.raises(ValueError):
+        reg.watch("")
+
+
+def test_filter_diff(tiny_routed):
+    from otlp_cardinality_checker_spark.operators.aggregate import key_stats
+    from otlp_cardinality_checker_spark.operators.sessions import (
+        diff_key_stats,
+        filter_diff,
+    )
+
+    a = key_stats(tiny_routed.where(F.col("turn_idx") < 5), exact=True)
+    b = key_stats(tiny_routed, exact=True)
+    diff = diff_key_stats(a, b)
+    only_chat = filter_diff(diff, signal_type="chat")
+    assert only_chat.select("sink").distinct().collect() == [("chat",)]
+    warn_up = filter_diff(diff, min_severity="warning")
+    got = {r["severity"] for r in warn_up.select("severity").distinct().collect()}
+    assert got <= {"warning", "critical"}
+    # key_contains pushes down as a plain predicate
+    assert (
+        filter_diff(diff, key_contains="user").where(
+            ~F.col("key").contains("user")
+        ).count()
+        == 0
+    )
+
+
+def test_prometheus_series_estimate(spark):
+    """Golden check of metric_types.go:140-190 arithmetic on all shapes."""
+    from otlp_cardinality_checker_spark.operators.aggregate import (
+        prometheus_series_estimate,
+    )
+
+    act = spark.createDataFrame(
+        [("chat", 100), ("tool_call", 100), ("error", 100), ("extra", 7)],
+        "sink string, active_series long",
+    )
+    mdim = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "sink": ["chat", "tool_call", "error", "deep"],
+                "metric_type": [
+                    "gauge",
+                    "histogram",
+                    "exp_histogram",
+                    "exp_histogram",
+                ],
+                "explicit_bounds": [None, [0.1, 0.5, 1.0], None, None],
+                "scales": [None, None, [3, 1, -2], [9]],
+            }
+        )
+    )
+    got = {
+        r["sink"]: (r["metric_type"], r["prometheus_series"])
+        for r in prometheus_series_estimate(act, mdim).collect()
+    }
+    assert got["chat"] == ("gauge", 100)  # non-histogram: unchanged
+    # histogram: series * (len(bounds)+1+2) = 100 * 6
+    assert got["tool_call"] == ("histogram", 600)
+    # exp hist: maxScale=3 -> 2^4=16 buckets -> series * 18
+    assert got["error"] == ("exp_histogram", 1800)
+    # sink with no dim row: treated as gauge
+    assert got["extra"] == ("gauge", 7)
+    # scale 9 -> 1024 capped at 160 -> series * 162
+    deep = prometheus_series_estimate(
+        spark.createDataFrame([("deep", 10)], "sink string, active_series long"),
+        mdim,
+    ).collect()[0]
+    assert deep["prometheus_series"] == 10 * 162
+
+
+def test_bounded_samples_equals_collect_set_path(tiny_routed):
+    """The two-stage bounded min-10 must equal the naive collect_set slice."""
+    from otlp_cardinality_checker_spark.operators.aggregate import (
+        SAMPLE_CAP,
+        bounded_min_samples,
+        exploded_attrs,
+    )
+
+    attrs = exploded_attrs(tiny_routed)
+    naive = {
+        (r["sink"], r["key"]): r["s"]
+        for r in attrs.groupBy("sink", "key")
+        .agg(
+            F.array_join(
+                F.slice(F.sort_array(F.collect_set("value")), 1, SAMPLE_CAP), "|"
+            ).alias("s")
+        )
+        .collect()
+    }
+    bounded = {
+        (r["sink"], r["key"]): r["value_samples"]
+        for r in bounded_min_samples(attrs, ("sink", "key")).collect()
+    }
+    assert bounded == naive

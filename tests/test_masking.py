@@ -128,3 +128,136 @@ def test_severity_inference(body, expected):
 
 def test_collapse_consecutive_wildcards():
     assert template_of("took 1 2 3 done") == "took <*> done"
+
+
+# ---------------------------------------------------------------------------
+# SQL + service-method masks (reference patterns.go:176-215, goldens
+# patterns_test.go:117-164 re-targeted at the full chain of this engine).
+# ---------------------------------------------------------------------------
+
+SQL_GOLDENS = [
+    (
+        "db/query: SELECT FROM users WHERE id = ?",
+        "db/query: SELECT FROM users <WHERE>",
+    ),
+    (
+        "db/query: SELECT id, name FROM users WHERE active = 1",
+        "db/query: SELECT id, name FROM users <WHERE>",
+    ),
+    (
+        "db/query: DELETE FROM sessions WHERE userId = ?",
+        "db/query: DELETE FROM sessions <WHERE>",
+    ),
+    (
+        "db/query: UPDATE products SET stock = ? WHERE id = ?",
+        "db/query: UPDATE products <SET>",
+    ),
+    (
+        "db/query: INSERT INTO orders VALUES (...)",
+        "db/query: INSERT INTO orders <VALUES>",
+    ),
+]
+
+SERVICE_METHOD_GOLDENS = [
+    ("user-service/resetPassword", "user-service/<METHOD>"),
+    ("user-service/getUserProfile", "user-service/<METHOD>"),
+    ("order-service/createOrder", "order-service/<METHOD>"),
+    ("cache/get", "cache/<METHOD>"),
+    ("db/query", "db/<METHOD>"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", SQL_GOLDENS + SERVICE_METHOD_GOLDENS)
+def test_sql_and_service_method_masks(raw, expected):
+    assert mask_text(raw) == expected
+    # the masked form is all-literal tokens: template == masked form
+    assert template_of(raw) == expected
+
+
+def test_service_method_does_not_eat_http_lines(): 
+    # ref patterns_test.go:100-103: HTTP verb+path lines must not match the
+    # anchored service/method pattern (they are handled by http_path).
+    # (v1 -> v<*> is this engine's documented trailing_num_id deviation)
+    assert mask_text("GET /api/v1/users") == "GET /api/v<*>/<PATH>"
+    assert "<METHOD>" not in mask_text("POST /api/v1/orders/create")
+
+
+def test_yaml_pattern_override(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    from otlp_cardinality_checker_spark.functions.masking import (
+        compile_patterns,
+        load_patterns_yaml,
+        mask_expr,
+    )
+
+    yml = tmp_path / "patterns.yaml"
+    yml.write_text(
+        """
+patterns:
+  - name: ticket
+    regex: 'TICKET-\\d+'
+    placeholder: '<TICKET>'
+    description: 'Jira-style ticket ids'
+    required_substring: 'TICKET-'
+  - name: ip
+    regex: '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'
+    placeholder: '<IP>'
+"""
+    )
+    pats = load_patterns_yaml(str(yml))
+    assert [p.name for p in pats] == ["ticket", "ip"]
+    raw = "TICKET-4312 opened from 10.1.2.3"
+    want = "<TICKET> opened from <IP>"
+    # scalar engine
+    assert mask_text(raw, compile_patterns(pats)) == want
+    # Catalyst engine with the same user table
+    got = (
+        spark.range(1)
+        .select(mask_expr(F.lit(raw), pats).alias("m"))
+        .first()["m"]
+    )
+    assert got == want
+
+
+def test_catalyst_equals_scalar_on_non_ascii(spark):
+    """Engine parity on NON-ASCII input: the pattern table is ASCII-pinned
+    (explicit classes + lookarounds instead of \\d/\\w/\\b/\\s, which are
+    ASCII in java.util.regex but Unicode in Python), so the Catalyst
+    template must equal the scalar Python template on adversarial unicode
+    strings - fullwidth digits, NBSP, CJK, combining accents, micro-sign."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from otlp_cardinality_checker_spark.functions.masking import (
+        template_expr,
+        template_of,
+    )
+
+    adversarial = [
+        "user user_\uff11\uff12\uff13 logged in",  # fullwidth digits: not Java \\d
+        "na\u00efve123 caf\u00e9_42 done",  # accented word chars around digits
+        "\u4ef7\u683c 100 \u5143 from 10.0.0.1",  # CJK + IP
+        "x\u00a0y 42\u00a0ms",  # NBSP: Python-\\s but not Java-\\s
+        "\u03a9mega_7 and \u00b5s and 100\u00b5s",
+        "token \u0664\u0662 arabic-digits",  # Arabic-Indic digits
+        "user_\u0661\u0662 trailing",
+        "mail \u0153uvre@ex\u00e4mple.com sent",
+        "GET /\u0430\u043f/v1/\u0444\u0430\u0439\u043b?q=\uff15 done",
+        "emoji \U0001f389123\U0001f389 and 9999",
+        "combining a\u0301bc123 end",
+        "db/query: SELECT \uff38\uff38 FROM tbl WHERE x = 1",
+        "line\u2028sep 123 next",
+        "tab\x0bvtab 55ms",
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": range(len(adversarial)), "text": adversarial})
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select(
+            "i", template_expr(F.col("text")).alias("t")
+        ).collect()
+    }
+    for i, raw in enumerate(adversarial):
+        assert got[i] == template_of(raw), f"divergence on {raw!r}"

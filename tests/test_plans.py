@@ -98,3 +98,44 @@ def test_whole_stage_codegen_covers_severity_and_attrs(spark):
     plan_tmpl = plan_of(df.select("template"), mode="simple")
     assert "BatchEvalPython" not in plan_tmpl
     assert "FileScan parquet" in plan_tmpl
+
+
+def test_minhash_verification_scores_candidates_only(spark):
+    """The LSH stage must prune work: verification joins candidate pairs
+    back to the shingle arrays (array_intersect per pair) instead of
+    running the full inverted-index self-join (explode + equi-join on the
+    shingle hash), which would cost the same as no LSH at all."""
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        minhash_near_dups,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(minhash_near_dups(docs, min_jaccard=0.7))
+    assert "explode(shingles" not in plan
+
+
+def test_topk_windows_are_two_stage(spark, tiny_routed):
+    """watched_values and brute_force_topk must never sort an unbounded key
+    partition on one reducer: the first window ranks within (key, _salt)."""
+    import pandas as pd
+
+    from otlp_cardinality_checker_spark.operators.aggregate import (
+        watched_values,
+    )
+    from otlp_cardinality_checker_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    plan = plan_of(watched_values(tiny_routed))
+    assert "_salt" in plan  # salted local top-k stage present
+
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": [1, 2], "embedding": [[1.0, 0.0], [0.0, 1.0]]}
+        )
+    )
+    q = spark.createDataFrame(
+        pd.DataFrame({"query_id": [10], "embedding": [[1.0, 1.0]]})
+    )
+    plan2 = plan_of(brute_force_topk(emb, q, k=1))
+    assert "_salt" in plan2

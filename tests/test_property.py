@@ -21,7 +21,11 @@ from otlp_cardinality_checker_spark.functions.severity import (
 )
 
 # strings that stress the mask chain: quotes, urls, hex, digits, unicode
-_CHARS = st.text(alphabet='abcdef0123456789 -:./?"=_<>*µ�', min_size=0, max_size=24)
+_CHARS = st.text(
+    alphabet='abcdef0123456789 -:./?"=_<>*µ�é\uff11\u0662\u00a0漢',
+    min_size=0,
+    max_size=24,
+)
 _TOKENS = st.sampled_from(
     ["GET ", "http://", "user_", "error", "warn ", " retries", "txn_", "HTTP/1.1\" "]
 )
