@@ -65,13 +65,16 @@ def pipeline_pass(spark, sf_dir: str, n_turns: int | None, out_dir: str,
             F.to_json(F.struct(*df.columns)).alias("row"),
         )
 
+    # key_stats + attribute_catalog fold from ONE grouping-sets
+    # aggregation over the shared salted partials: one Expand, one shuffle
+    # for both grains; in this single action the subplan below the
+    # grouping-sets exchange is computed once (ReusedExchange)
+    ks_df, cat_df = agg.key_stats_and_catalog(mat)
     union = (
-        tagged("key_stats", agg.key_stats(mat, exact=False))
+        tagged("key_stats", ks_df)
         .unionByName(tagged("service_stats", agg.service_stats(mat)))
         .unionByName(tagged("template_stats", agg.template_stats(mat)))
-        .unionByName(
-            tagged("attribute_catalog", agg.attribute_catalog(mat, exact=False))
-        )
+        .unionByName(tagged("attribute_catalog", cat_df))
         .unionByName(
             tagged("active_series", agg.active_series(mat, exact=False))
         )

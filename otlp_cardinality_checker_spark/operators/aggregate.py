@@ -91,6 +91,113 @@ def sink_totals(routed: DataFrame) -> DataFrame:
     return routed.groupBy("sink").agg(F.count(F.lit(1)).alias("sink_rows"))
 
 
+def attr_partials(routed: DataFrame, n_salt: int = 16) -> DataFrame:
+    """Shared (sink, key, _salt) partial-aggregate frame.
+
+    ONE exploded-attrs scan produces the partials BOTH :func:`key_stats`
+    (grain sink,key) and :func:`attribute_catalog` (grain key) fold from —
+    when both finals are built from the same returned DataFrame inside one
+    action, Catalyst's ReuseExchange computes the scan + salt shuffle once.
+
+    Salt = hash(value) % n_salt: distinct values partition disjointly, so
+    per-salt sketches union exactly and a hot key fans across n_salt
+    reducers; dense_rank over the salt partition streams (nothing buffers)
+    and guards the collect_set so the samples buffer holds at most
+    SAMPLE_CAP values per salt group.
+    """
+    attrs = exploded_attrs(routed)
+    salted = attrs.withColumn("_salt", F.pmod(F.hash("value"), F.lit(n_salt)))
+    w1 = Window.partitionBy("sink", "key", "_salt").orderBy("value")
+    marked = salted.withColumn("_dr", F.dense_rank().over(w1))
+    return marked.groupBy("sink", "key", "_salt").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.hll_sketch_agg("value", F.lit(HLL_LG_K)).alias("_hll"),
+        F.slice(
+            F.sort_array(
+                F.collect_set(
+                    F.when(F.col("_dr") <= SAMPLE_CAP, F.col("value"))
+                )
+            ),
+            1,
+            SAMPLE_CAP,
+        ).alias("_samples"),
+        F.min("ts").alias("_first"),
+        F.max("ts").alias("_last"),
+        F.max(F.contains("value", F.lit("�"))).alias("_taint"),
+    )
+
+
+def _merged_samples() -> F.Column:
+    # built lazily: constructing a Column requires an active SparkContext,
+    # which must not be an import-time prerequisite of this module
+    return F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("_samples")))),
+        1,
+        SAMPLE_CAP,
+    )
+
+
+def key_stats_and_catalog(
+    routed: DataFrame, n_salt: int = 16
+) -> tuple[DataFrame, DataFrame]:
+    """key_stats (sink, key) AND attribute_catalog (key) off ONE scan.
+
+    The two grains overlap, so the fold from the shared
+    :func:`attr_partials` frame is a single GROUPING SETS aggregation —
+    one Expand, one shuffle carrying both grains — instead of two
+    independent aggregations that would each rescan and reshuffle the
+    exploded attrs. The returned frames are filters over the same plan;
+    run in one action, everything below the grouping-sets exchange is
+    computed once (ReusedExchange).
+
+    HLL mode only: per-sink exact distinct counts cannot merge across
+    sinks (shared values double-count) — sketches union exactly under any
+    partitioning.
+    """
+    partials = attr_partials(routed, n_salt=n_salt)
+    gs = partials.groupingSets([["sink", "key"], ["key"]], "sink", "key").agg(
+        F.grouping_id().alias("_gid"),
+        F.sum("_cnt").alias("count"),
+        F.hll_sketch_estimate(F.hll_union_agg("_hll")).alias("est_cardinality"),
+        F.array_join(F.sort_array(F.collect_set("sink")), "|").alias(
+            "signal_types"
+        ),
+        F.array_join(_merged_samples(), "|").alias("value_samples"),
+        F.date_format(F.min("_first"), "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+        F.date_format(F.max("_last"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        F.max("_taint").alias("has_invalid_utf8"),
+    )
+    totals = sink_totals(routed)
+    key_stats_df = (
+        gs.where(F.col("_gid") == 0)
+        .join(F.broadcast(totals), "sink")
+        .withColumn(
+            "pct", F.round(F.col("count") * 100.0 / F.col("sink_rows"), 4)
+        )
+        .select(
+            "sink",
+            "key",
+            "count",
+            "est_cardinality",
+            "value_samples",
+            "has_invalid_utf8",
+            "pct",
+        )
+    )
+    # grouping_id: bit per grouping col, MSB first -> (key)-only set = 0b10
+    catalog_df = gs.where(F.col("_gid") == 2).select(
+        "key",
+        "count",
+        "est_cardinality",
+        "signal_types",
+        "value_samples",
+        "first_seen",
+        "last_seen",
+        "has_invalid_utf8",
+    )
+    return key_stats_df, catalog_df
+
+
 def key_stats(
     routed: DataFrame,
     exact: bool = False,

@@ -240,3 +240,34 @@ def test_bounded_samples_equals_collect_set_path(tiny_routed):
         for r in bounded_min_samples(attrs, ("sink", "key")).collect()
     }
     assert bounded == naive
+
+
+def test_grouping_sets_key_stats_and_catalog(tiny_routed):
+    """The one-pass grouping-sets fold must equal the direct operators
+    (HLL mode), and its two outputs must share the plan below the
+    grouping-sets exchange (ReusedExchange) in a single action."""
+    from otlp_cardinality_checker_spark.operators.aggregate import (
+        attribute_catalog,
+        key_stats,
+        key_stats_and_catalog,
+    )
+
+    ks_shared, cat_shared = key_stats_and_catalog(tiny_routed)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(ks_shared) == rows(key_stats(tiny_routed, exact=False))
+    assert rows(cat_shared) == rows(attribute_catalog(tiny_routed, exact=False))
+
+    # AQE defers reuse to runtime (isFinalPlan=false in static explain),
+    # so assert ReusedExchange on the non-adaptive executed plan
+    spark = tiny_routed.sparkSession
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        both = ks_shared.select("key").unionByName(cat_shared.select("key"))
+        plan = both._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan
+        assert plan.count("Expand") >= 1  # grouping sets lowers to Expand
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
