@@ -322,22 +322,39 @@ def q_attribute_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_attribute_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4: catalog filter by cardinality band + sort + offset/limit page
     (AttributeFilter store.go:996-1090)."""
-    from pyspark.sql import Window
-
     from otlp_cardinality_checker_spark.operators.aggregate import (
         attribute_catalog,
+        list_attributes,
     )
 
     cat = attribute_catalog(_routed(spark, sf_dir), exact=True)
-    w = Window.orderBy(F.desc("est_cardinality"), F.asc("key"))
-    return (
-        cat.where(
-            (F.col("est_cardinality") >= 5) & (F.col("est_cardinality") <= 1000)
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .where((F.col("rn") > 2) & (F.col("rn") <= 12))
-        .select("key", "count", "est_cardinality", "rn")
+    return list_attributes(
+        cat,
+        min_cardinality=5,
+        max_cardinality=1000,
+        sort_by="cardinality",
+        sort_order="desc",
+        offset=2,
+        limit=10,
+    ).select("key", "count", "est_cardinality", "rn")
+
+
+def q_attribute_filter_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 sort-axis coverage: signal-type filter + case-insensitive key
+    sort ascending + limit (the reference's other ListAttributes orders)."""
+    from otlp_cardinality_checker_spark.operators.aggregate import (
+        attribute_catalog,
+        list_attributes,
     )
+
+    cat = attribute_catalog(_routed(spark, sf_dir), exact=True)
+    return list_attributes(
+        cat,
+        signal_type="tool_call",
+        sort_by="key",
+        sort_order="asc",
+        limit=5,
+    ).select("key", "count", "est_cardinality", "signal_types", "rn")
 
 
 def q_watched_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -519,11 +536,31 @@ def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(docs)
 
 
+def _embedding_dim(path: str) -> int:
+    """Embedding dimensionality from ONE locally-read parquet row — no
+    Spark job (emb.first() would schedule a cluster scan just to learn a
+    constant of the fixture)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        path = next(
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        )
+    batch = next(
+        pq.ParquetFile(path).iter_batches(batch_size=1, columns=["embedding"])
+    )
+    return len(batch["embedding"][0])
+
+
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otlp_cardinality_checker_spark.operators.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(emb.first()["embedding"])
+    dim = _embedding_dim(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -583,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_services": q_pattern_services,
         "attribute_telemetry": q_attribute_telemetry,
         "attribute_filter": q_attribute_filter,
+        "attribute_filter_sorted": q_attribute_filter_sorted,
         "watched_prefix": q_watched_prefix,
         "drain_templates": q_drain_templates,
         "dedup_exact": q_dedup_exact,
@@ -887,6 +925,18 @@ SELECT "key", count, est_cardinality, rn FROM (
     ORDER BY est_cardinality DESC, "key" ASC) AS rn
   FROM cat WHERE est_cardinality BETWEEN 5 AND 1000
 ) WHERE rn > 2 AND rn <= 12
+""",
+        "attribute_filter_sorted": pre
+        + """
+, cat AS (
+  SELECT "key", count(*) AS count, count(DISTINCT "value") AS est_cardinality,
+         array_to_string(list_sort(list(DISTINCT sink)), '|') AS signal_types
+  FROM rattrs GROUP BY "key"
+)
+SELECT "key", count, est_cardinality, signal_types, rn FROM (
+  SELECT *, row_number() OVER (ORDER BY lower("key") ASC, "key" ASC) AS rn
+  FROM cat WHERE list_contains(string_split(signal_types, '|'), 'tool_call')
+) WHERE rn <= 5
 """,
         "watched_prefix": pre
         + """

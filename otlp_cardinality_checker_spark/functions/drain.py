@@ -120,10 +120,51 @@ class DrainMiner:
 
     # -- public ------------------------------------------------------------
 
+    @staticmethod
+    def tokens_of(message: str) -> list[str]:
+        """Tokenize + collapse variable-looking/long tokens to ``<*>``
+        BEFORE routing (reference `tokenize.go:7-30`): a long base64 blob
+        must not inflate the token count and dodge the length bucket."""
+        from .masking import is_variable_token
+
+        return [
+            WILDCARD if is_variable_token(t) else t for t in message.split()
+        ]
+
+    def match(self, message: str) -> tuple[str | None, bool]:
+        """Inference mode (reference `miner.go:125-134`): match against the
+        trained tree WITHOUT mutating any state; (template, ok)."""
+        tokens = self.tokens_of(message)
+        if not tokens:
+            return None, False
+        leaf = self._leaf_for(tokens, create=False)
+        best, best_sim = None, 0.0
+        if leaf:
+            for cluster in leaf:
+                sim = self._similarity(cluster.template, tokens)
+                if sim > best_sim:
+                    best, best_sim = cluster, sim
+        min_sim = max(self.cfg.sim_threshold, 1.0 / max(len(tokens), 1))
+        if best is not None and best_sim >= min_sim:
+            return " ".join(best.template), True
+        return None, False
+
+    def preload(self, templates: list[str]) -> None:
+        """Seed the tree with already-mined templates (inference serving:
+        a trained model is distributed as its template list)."""
+        for template in templates:
+            tokens = template.split()
+            if not tokens:
+                continue
+            leaf = self._leaf_for(tokens, create=True)
+            cluster = _Cluster(template=list(tokens), count=0, example="")
+            leaf.append(cluster)
+            self._clusters.append(cluster)
+
     def add(self, message: str, training: bool = True) -> str:
         """Feed one (pre-masked) message; returns its template string."""
         self._clock += 1
-        tokens = message.split()
+        tokens = self.tokens_of(message)
         if not tokens:
             return ""
         leaf = self._leaf_for(tokens, create=training)

@@ -515,6 +515,59 @@ def prometheus_series_estimate(
     )
 
 
+_ATTR_SORT_FIELDS = {
+    "cardinality": "est_cardinality",
+    "count": "count",
+    "key": "key",
+    "first_seen": "first_seen",
+    "last_seen": "last_seen",
+}
+
+
+def list_attributes(
+    catalog_df: DataFrame,
+    signal_type: str | None = None,
+    min_cardinality: int = 0,
+    max_cardinality: int = 0,
+    sort_by: str = "cardinality",
+    sort_order: str = "desc",
+    limit: int = 0,
+    offset: int = 0,
+) -> DataFrame:
+    """P4: AttributeFilter over the catalog — band, 5-field sort (asc or
+    desc), limit/offset pagination.
+
+    Reference `ListAttributes` (`internal/storage/memory/store.go:
+    995-1090`): filter by signal type + cardinality band, sort by one of
+    cardinality|count|key|first_seen|last_seen in either order (key sorts
+    case-insensitively), then offset/limit. A deterministic `key`
+    tie-break is added so pagination is stable across runs (the
+    reference's sort.Slice is unstable — a non-goal to reproduce).
+
+    The global row_number window is fine HERE because its input is the
+    already-aggregated catalog (O(#keys) rows), not a data-volume frame.
+    """
+    df = catalog_df
+    if signal_type:
+        df = df.where(
+            F.array_contains(F.split("signal_types", r"\|"), signal_type)
+        )
+    if min_cardinality > 0:
+        df = df.where(F.col("est_cardinality") >= min_cardinality)
+    if max_cardinality > 0:
+        df = df.where(F.col("est_cardinality") <= max_cardinality)
+    field = _ATTR_SORT_FIELDS.get(sort_by, "est_cardinality")
+    col = F.lower(F.col(field)) if field == "key" else F.col(field)
+    lead = col.desc() if sort_order == "desc" else col.asc()
+    w = Window.orderBy(lead, F.asc("key"))
+    df = df.withColumn("rn", F.row_number().over(w))
+    if offset > 0:
+        df = df.where(F.col("rn") > offset)
+    if limit > 0:
+        df = df.where(F.col("rn") <= offset + limit)
+    return df
+
+
 def high_cardinality_keys(
     key_stats_df: DataFrame,
     threshold: int = HIGH_CARDINALITY_DEFAULT_THRESHOLD,

@@ -2,42 +2,77 @@
 
 Primary mode (deterministic masked templates) lives in the parse stage /
 ``aggregate.template_stats``. This module adds the **Drain fidelity mode**
-(SURVEY.md §2.9 option 2): one Drain miner per ``(role, severity)`` group
-inside a grouped-map pandas UDF, mirroring the reference's per-group miner
-instancing (`internal/analyzer/logs.go:28-40`). Input is sorted by
+(SURVEY.md §2.9 option 2): one Drain miner per group inside a grouped-map
+pandas UDF, mirroring the reference's per-group miner instancing
+(`internal/analyzer/logs.go:28-40`). Input is sorted by
 ``(conv_id, turn_idx)`` inside each group because Drain's output depends on
 arrival order — sorting makes the distributed result deterministic.
 
-Skew note: groups are (role, severity) — few and potentially huge. At
-10^12-turn scale the miner itself is the reason to keep this a *fidelity*
-mode; the deterministic mask-template mode is the scale path (pure hash
-agg, salted). Drain state is bounded (max_clusters LRU) exactly like the
-reference, so per-group memory is O(1).
+Skew note: groups are (role, severity) — few and potentially huge. The
+``n_shards`` option is the reference's ShardedMiner
+(`pkg/autotemplate/miner.go:99-134`): messages route to independent miner
+shards by (first token, token count), so one hot group fans across
+``n_shards`` tasks; the result is the union of shard cluster sets, exactly
+as the reference's sharded GetClusters. Masking runs ONCE, JVM-side
+(`mask_expr`), shared by the shard router and the miner input.
+
+``drain_infer`` is the reference's inference mode (`miner.go:125-134`):
+a trained model — just its (group, template) rows — is broadcast and each
+turn is matched read-only; unmatched turns get NULL.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.masking import _S, mask_expr
 
 DRAIN_SCHEMA = (
     "role string, severity string, template string, count long, example string"
 )
+
+INFER_SCHEMA = (
+    "role string, severity string, conv_id string, turn_idx int, "
+    "template string, matched boolean"
+)
+
+
+def _masked_base(routed: DataFrame, n_shards: int) -> DataFrame:
+    masked = mask_expr(F.col("text")).alias("masked")
+    base = routed.select("role", "severity", "conv_id", "turn_idx", masked)
+    if n_shards <= 1:
+        return base.withColumn("_shard", F.lit(0))
+    toks = F.filter(
+        F.split(F.trim(F.col("masked")), _S + "+"),
+        lambda t: t != F.lit(""),
+    )
+    # reference selectShard: hash of (first token, token count);
+    # try_element_at -> NULL for empty token arrays (blank lines)
+    shard = F.pmod(
+        F.hash(F.try_element_at(toks, F.lit(1)), F.size(toks)),
+        F.lit(n_shards),
+    )
+    return base.withColumn("_shard", shard)
 
 
 def drain_templates(
     routed: DataFrame,
     sim_threshold: float = 0.5,
     max_clusters: int = 1000,
+    n_shards: int = 1,
 ) -> DataFrame:
-    """Per-(role, severity) Drain clusters: template, count, first example."""
+    """Per-(role, severity) Drain clusters: template, count, first example.
+
+    With ``n_shards > 1`` each (role, severity) group is mined by
+    independent shards (union of their clusters), trading some merge
+    opportunities for parallelism — the reference's ShardedMiner contract.
+    """
 
     def mine(pdf):
         import pandas as pd
 
         from ..functions.drain import DrainConfig, DrainMiner
-        from ..functions.masking import mask_series
 
         pdf = pdf.sort_values(["conv_id", "turn_idx"])
         role = pdf["role"].iloc[0]
@@ -45,7 +80,7 @@ def drain_templates(
         miner = DrainMiner(
             DrainConfig(sim_threshold=sim_threshold, max_clusters=max_clusters)
         )
-        for masked in mask_series(pdf["text"].astype(str)):
+        for masked in pdf["masked"].astype(str):
             if masked.strip():
                 miner.add(masked)
         rows = [
@@ -57,7 +92,59 @@ def drain_templates(
         )
 
     return (
-        routed.select("role", "severity", "conv_id", "turn_idx", "text")
-        .groupBy("role", "severity")
+        _masked_base(routed, n_shards)
+        .groupBy("role", "severity", "_shard")
         .applyInPandas(mine, schema=DRAIN_SCHEMA)
+    )
+
+
+def drain_infer(
+    routed: DataFrame,
+    model: DataFrame,
+    sim_threshold: float = 0.5,
+) -> DataFrame:
+    """Match turns against a TRAINED template model without mutating it.
+
+    ``model`` is (role, severity, template, ...) — the output of
+    :func:`drain_templates`. It is collected driver-side (bounded by
+    max_clusters per group, i.e. small by construction — this is a model,
+    not data) and shipped in the UDF closure; each group preloads its
+    templates and does read-only matching.
+    """
+    model_rows = model.select("role", "severity", "template").collect()
+    by_group: dict[tuple[str, str], list[str]] = {}
+    for r in model_rows:
+        by_group.setdefault((r["role"], r["severity"]), []).append(
+            r["template"]
+        )
+
+    def match(pdf):
+        import pandas as pd
+
+        from ..functions.drain import DrainConfig, DrainMiner
+
+        role = pdf["role"].iloc[0]
+        severity = pdf["severity"].iloc[0]
+        miner = DrainMiner(DrainConfig(sim_threshold=sim_threshold))
+        miner.preload(by_group.get((role, severity), []))
+        out = [
+            (role, severity, c, t, *miner.match(str(m)))
+            for c, t, m in zip(pdf["conv_id"], pdf["turn_idx"], pdf["masked"])
+        ]
+        return pd.DataFrame(
+            out,
+            columns=[
+                "role",
+                "severity",
+                "conv_id",
+                "turn_idx",
+                "template",
+                "matched",
+            ],
+        )
+
+    return (
+        _masked_base(routed, n_shards=1)
+        .groupBy("role", "severity", "_shard")
+        .applyInPandas(match, schema=INFER_SCHEMA)
     )

@@ -84,6 +84,9 @@ def _process_batch(
         (
             snapshot_key_stats(routed)
             .withColumn("_batch_id", F.lit(batch_id))
+            # deliberate single-file state write: the snapshot is O(#keys)
+            # rows (tiny), and one file per batch keeps the resume path's
+            # latest-batch read trivial; NOT a data-volume path
             .coalesce(1)
             .write.mode("overwrite")
             .partitionBy("_batch_id")
