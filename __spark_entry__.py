@@ -567,6 +567,39 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries_df, dim=dim, k=10, n_bits=8)
 
 
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: KMeans inverted lists, nprobe-pruned search (rows-only:
+    centroid assignment is model-derived; recall vs brute force is asserted
+    in tests/test_dedup.py)."""
+    from otlp_cardinality_checker_spark.operators.similarity import (
+        ivf_fit,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, centroids = ivf_fit(emb, nlist=8)
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(assigned, centroids, queries_df, k=10, nprobe=3)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs on an id-sliced subset — the oracled
+    verifier for the LSH-bucketed near-dup path."""
+    from otlp_cardinality_checker_spark.operators.similarity import (
+        embedding_near_dups_exact,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") < 200
+    )
+    # the synthetic embeddings are near-orthogonal (max pairwise cosine
+    # ~0.44), so the threshold sits in the observable tail: the operator
+    # and its oracle still compare a non-trivial pair set
+    return embedding_near_dups_exact(emb, threshold=0.35)
+
+
 def q_key_stats_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-stage HLL key stats (estimates: rows-only check; the
     <=10% band vs exact is asserted in tests/test_pipeline.py)."""
@@ -637,6 +670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_groups": q_simhash_groups,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
+        "embedding_near_dups": q_embedding_near_dups,
         "key_stats_hll": q_key_stats_hll,
         "media_features": q_media_features,
     }
@@ -1017,6 +1052,17 @@ SELECT query_id, vec_id, cosine, rank FROM (
     PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 10
+""",
+        "embedding_near_dups": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(
+         CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 200 AND b.vec_id < 200
+  AND round(list_cosine_similarity(
+        CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
+      >= 0.35
 """,
     }
 

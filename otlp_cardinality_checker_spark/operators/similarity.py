@@ -1,20 +1,25 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths, as a 100 TB training-data pipeline needs:
+Three paths, as a 100 TB training-data pipeline needs:
 
 * ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
   set, score every row with a JVM-side `aggregate`/`zip_with` dot product
-  inside whole-stage codegen, take per-query top-k with a window. Cost is
-  one scan of the corpus per batch of queries — the correct baseline and
-  the verifier for the approximate path.
+  inside whole-stage codegen, two-stage per-query top-k. Cost is one scan
+  of the corpus per batch of queries — the correct baseline and the
+  verifier for the approximate paths.
 * ``lsh_topk`` — random-hyperplane LSH (SimHash for vectors): bucket
   corpus + queries by sign-pattern hash, only score within matching
   buckets (multi-probe via several independent tables). Sub-linear scoring
   at the cost of recall; recall measured against brute force in tests.
+* ``ivf_fit`` / ``ivf_topk`` — inverted-file index: KMeans centroids
+  (pyspark.ml, fixed seed), corpus assigned to its nearest centroid once,
+  queries probe only the ``nprobe`` nearest centroid lists. The classic
+  IVF-Flat trade: one cheap q x nlist scoring pass prunes the corpus scan
+  to ~nprobe/nlist of the data.
 
-No UDFs anywhere; the hyperplanes are deterministic pseudo-random vectors
-generated from a hash expression so the plan is reproducible and shippable
-(no driver-side RNG state).
+Outside the fit step (an offline KMeans), no UDFs anywhere; hyperplanes
+are deterministic pseudo-random vectors generated from a hash expression
+so the plan is reproducible and shippable (no driver-side RNG state).
 """
 
 from __future__ import annotations
@@ -217,6 +222,117 @@ def embedding_cosine_near_dups(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
             F.round(cosine_expr(F.col("l._v"), F.col("r._v")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_fit(
+    corpus: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Fit an IVF index: returns (assigned corpus, centroid list).
+
+    KMeans (fixed seed → deterministic) learns ``nlist`` centroids; each
+    corpus vector is assigned to its nearest centroid ONCE (this is the
+    index build — at scale, persist the assigned table bucketed by
+    ``centroid``). Centroids are tiny (nlist x dim) and ship driver-side.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("features", array_to_vector("_v"))
+    model = KMeans(k=nlist, seed=seed, maxIter=20).fit(vecs)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    assigned = model.transform(vecs).select(
+        id_col, "_v", F.col("prediction").alias("centroid")
+    )
+    return assigned, centroids
+
+
+def _nearest_centroids_expr(vec, centroids: list[list[float]], nprobe: int):
+    """Array of the nprobe centroid ids nearest (by cosine) to `vec`."""
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    -cosine_expr(
+                        vec, F.array(*[F.lit(x) for x in c])
+                    )
+                ).alias("d"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.slice(F.array_sort(scored), 1, nprobe).getField("cid")
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k probing only nprobe inverted lists.
+
+    Queries score all ``nlist`` centroids JVM-side (cheap: nlist is tens
+    to thousands), explode to their ``nprobe`` probe lists, then an
+    equi-join on ``centroid`` prunes the corpus scan to the probed lists
+    only — the join IS the inverted-index lookup. Final exact cosine +
+    two-stage top-k within candidates.
+    """
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("_qvec"),
+    )
+    probes = q.select(
+        query_id_col,
+        "_qvec",
+        F.explode(
+            _nearest_centroids_expr(F.col("_qvec"), centroids, nprobe)
+        ).alias("centroid"),
+    )
+    cands = assigned.join(F.broadcast(probes), "centroid").select(
+        query_id_col,
+        id_col,
+        F.round(cosine_expr(F.col("_qvec"), F.col("_v")), 6).alias("cosine"),
+    )
+    return _topk_per_query(cands, k, query_id_col, id_col)
+
+
+def embedding_near_dups_exact(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact pairwise cosine near-dups (id_a < id_b) — the O(n^2) verifier
+    for :func:`embedding_cosine_near_dups`; at scale, run it only on a
+    sampled slice or a single LSH bucket to audit the approximate path."""
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    left = c.alias("l")
+    right = c.alias("r")
+    return (
+        left.join(right, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round(cosine_expr(F.col("l._v"), F.col("r._v")), 6).alias(
+                "cosine"
+            ),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -161,19 +161,81 @@ def _ensure_stream_source(spark: SparkSession, sf_dir: str, src_dir: str) -> Non
     df.repartition(4, "conv_id").write.mode("overwrite").parquet(src_dir)
 
 
+def _compaction_watermark(out_dir: str) -> int:
+    mf = Path(out_dir) / "agg_state_compacted" / "_manifest.json"
+    if mf.exists():
+        return int(json.loads(mf.read_text())["max_batch_id"])
+    return -1
+
+
+def compact_state(spark: SparkSession, out_dir: str) -> int:
+    """Fold all per-batch partial snapshots into ONE compacted snapshot.
+
+    Without compaction the merge-on-read cost of :func:`current_key_stats`
+    grows with the number of micro-batches ever run; compaction keeps it
+    O(compacted + new batches). Replay safety: the manifest records the
+    highest folded ``batch_id`` (the compaction watermark) and the read
+    path ignores batch partitions at or below it, so a checkpoint replay
+    that re-materializes an already-folded batch partition cannot
+    double-count. Returns the new watermark. On a real cluster this is a
+    MERGE INTO + snapshot-expire on the Iceberg state table.
+    """
+    from ..operators.sessions import merge_snapshots
+
+    state_dir = Path(out_dir) / "agg_state"
+    comp_dir = Path(out_dir) / "agg_state_compacted"
+    watermark = _compaction_watermark(out_dir)
+    batch_ids = sorted(
+        int(p.name.split("=")[1])
+        for p in state_dir.glob("_batch_id=*")
+        if int(p.name.split("=")[1]) > watermark
+    )
+    if not batch_ids:
+        return watermark
+    fresh = spark.read.parquet(str(state_dir)).where(
+        F.col("_batch_id") > watermark
+    ).drop("_batch_id")
+    parts = [fresh]
+    if (comp_dir / "_manifest.json").exists():
+        parts.append(spark.read.parquet(str(comp_dir / "data")))
+    merged = merge_snapshots(*parts)
+    tmp = comp_dir / "data_tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+    comp_dir.mkdir(parents=True, exist_ok=True)
+    import shutil
+
+    if (comp_dir / "data").exists():
+        shutil.rmtree(comp_dir / "data")
+    tmp.rename(comp_dir / "data")
+    new_watermark = max(batch_ids)
+    (comp_dir / "_manifest.json").write_text(
+        json.dumps({"max_batch_id": new_watermark})
+    )
+    return new_watermark
+
+
 def current_key_stats(spark: SparkSession, out_dir: str) -> DataFrame:
     """Final-merge the accumulated per-batch partial aggregate state.
 
     Counts sum exactly; sketches union via hll_union_agg; min-10 samples
     recombine exactly (min-10 of min-10s) — so the streaming state equals
-    the batch-mode aggregate regardless of micro-batch boundaries.
+    the batch-mode aggregate regardless of micro-batch boundaries or how
+    often :func:`compact_state` ran in between. Batch partitions at or
+    below the compaction watermark are excluded (replay safety).
     """
     from ..operators.sessions import estimate, merge_snapshots
 
-    partials = spark.read.parquet(str(Path(out_dir) / "agg_state")).drop(
-        "_batch_id"
+    watermark = _compaction_watermark(out_dir)
+    partials = (
+        spark.read.parquet(str(Path(out_dir) / "agg_state"))
+        .where(F.col("_batch_id") > watermark)
+        .drop("_batch_id")
     )
-    return estimate(merge_snapshots(partials))
+    parts = [partials]
+    comp_data = Path(out_dir) / "agg_state_compacted" / "data"
+    if comp_data.exists():
+        parts.append(spark.read.parquet(str(comp_data)))
+    return estimate(merge_snapshots(*parts))
 
 
 def read_lineage(out_dir: str):

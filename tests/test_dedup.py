@@ -157,3 +157,65 @@ def test_multimodal_plumbing(spark):
     stats = modality_stats(feats).toPandas()
     assert set(stats["modality"]) == {"image", "audio", "video"}
     assert (stats["total_bytes"] > 0).all()
+
+
+def test_ivf_topk_recall_planted_clusters(spark):
+    """IVF recall on the same planted angular clusters as the LSH test:
+    nprobe covering half the lists must recover the cluster members."""
+    from otlp_cardinality_checker_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_fit,
+        ivf_topk,
+    )
+
+    dim, n_clusters, per_cluster = 16, 6, 8
+    rows = []
+    for c in range(n_clusters):
+        base = [((c * 37 + d * 11) % 17) - 8.0 for d in range(dim)]
+        for j in range(per_cluster):
+            noise = [(((c * 13 + j * 7 + d) % 5) - 2) * 0.05 for d in range(dim)]
+            rows.append((c * 100 + j, [b + n for b, n in zip(base, noise)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = per_cluster
+    exact = brute_force_topk(emb, queries, k=k).toPandas()
+    assigned, centroids = ivf_fit(emb, nlist=6)
+    approx = ivf_topk(assigned, centroids, queries, k=k, nprobe=3).toPandas()
+    exact_sets = exact.groupby("query_id")["vec_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["vec_id"].apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / k
+        for q in exact_sets.index
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_embedding_near_dups_exact_vs_bucketed(spark):
+    """The LSH-bucketed near-dup pairs must be a subset of the exact pairs,
+    with high recall on planted near-duplicates."""
+    from otlp_cardinality_checker_spark.operators.similarity import (
+        embedding_cosine_near_dups,
+        embedding_near_dups_exact,
+    )
+
+    dim = 12
+    rows = []
+    for i in range(30):
+        base = [((i * 7 + d * 3) % 11) - 5.0 for d in range(dim)]
+        rows.append((i * 2, base))
+        # planted near-duplicate: tiny perturbation
+        rows.append((i * 2 + 1, [b + 0.01 * ((d + i) % 3 - 1) for d, b in enumerate(base)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups_exact(emb, threshold=0.999).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_near_dups(emb, threshold=0.999, dim=dim).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(30)}
+    assert bucketed <= exact
+    assert len(bucketed & planted) / len(planted) >= 0.9

@@ -72,3 +72,49 @@ def test_session_save_load_merge_roundtrip(spark, tiny_routed, tmp_path):
         assert abs(r["est_cardinality_m"] - r["est_cardinality_e"]) <= max(
             1, 0.1 * r["est_cardinality_e"]
         )
+
+
+@pytest.mark.slow
+def test_state_compaction_and_replay_safety(spark, tmp_path):
+    """compact_state folds per-batch partials behind a watermark: the
+    merged view is unchanged by compaction, and a checkpoint replay that
+    re-materializes an already-folded batch partition cannot double-count
+    (partitions at or below the watermark are ignored on read)."""
+    import shutil
+    from pathlib import Path
+
+    from otlp_cardinality_checker_spark.streaming.stream import (
+        compact_state,
+        current_key_stats,
+        run_stream,
+    )
+
+    out = tmp_path / "out"
+    n = run_stream(spark, SF, str(out), str(tmp_path / "ckpt"))
+    assert n >= 2
+
+    def snap():
+        return sorted(
+            tuple(r)
+            for r in current_key_stats(spark, str(out))
+            .select("sink", "key", "count", "value_samples")
+            .collect()
+        )
+
+    before = snap()
+    state_dir = Path(out) / "agg_state"
+    first_part = sorted(state_dir.glob("_batch_id=*"))[0]
+    backup = tmp_path / "replayed_partition"
+    shutil.copytree(first_part, backup)
+
+    wm = compact_state(spark, str(out))
+    assert wm >= 0
+    assert snap() == before  # compaction is invisible to readers
+
+    # compacting again with no new batches is a no-op
+    assert compact_state(spark, str(out)) == wm
+
+    # simulate a replay: the folded batch partition reappears
+    shutil.rmtree(first_part, ignore_errors=True)
+    shutil.copytree(backup, first_part)
+    assert snap() == before  # watermark excludes it: no double count
