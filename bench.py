@@ -161,7 +161,9 @@ def run_query_timings(sf_dir: str, cores: int) -> dict[str, float]:
 #   as the bandwidth-bound upper pair (~0.6).
 SCALE_TURNS = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "4000000"))
 SCALE_CORES_N = int(os.environ.get("SPARK_GRAFT_SCALE_CORES_N", "2"))
-SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
+# 3 measured passes per leg: this host's ~2x noise makes min-of-2 a weak
+# floor estimator; each extra round costs ~3.6 min at the default size
+SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
 
 
 def compare_parse_engines(sf_dir: str, cores: int) -> dict:
