@@ -36,20 +36,31 @@ INVALID_UTF8_MARKER = "�"
 PARSED_COLUMNS = ("severity_inferred", "template", "attrs", "has_invalid_utf8")
 
 
-def parse_turns(df: DataFrame, engine: str = "sql") -> DataFrame:
+def parse_turns(
+    df: DataFrame, engine: str = "sql", patterns_yaml: str | None = None
+) -> DataFrame:
+    """Parse stage. ``patterns_yaml`` overrides the built-in mask table
+    with a user YAML file (reference: config/patterns.yaml +
+    patterns.go:35-63) — the override flows through BOTH engines so the
+    cross-engine property still holds for user patterns."""
+    patterns = None
+    if patterns_yaml:
+        from ..functions.masking import load_patterns_yaml
+
+        patterns = load_patterns_yaml(patterns_yaml)
     if engine == "sql":
-        return _parse_sql(df)
+        return _parse_sql(df, patterns)
     if engine == "pandas":
-        return _parse_pandas(df)
+        return _parse_pandas(df, patterns)
     raise ValueError(f"unknown parse engine: {engine!r}")
 
 
-def _parse_sql(df: DataFrame) -> DataFrame:
+def _parse_sql(df: DataFrame, patterns=None) -> DataFrame:
     text = F.col("text")
     return df.select(
         "*",
         severity_expr(text).alias("severity_inferred"),
-        template_expr(text).alias("template"),
+        template_expr(text, patterns).alias("template"),
         attrs_map_expr(text).alias("attrs"),
         F.coalesce(text.contains(INVALID_UTF8_MARKER), F.lit(False)).alias(
             "has_invalid_utf8"
@@ -57,9 +68,14 @@ def _parse_sql(df: DataFrame) -> DataFrame:
     )
 
 
-def _parse_pandas(df: DataFrame) -> DataFrame:
+def _parse_pandas(df: DataFrame, patterns=None) -> DataFrame:
     import pandas as pd
 
+    compiled = None
+    if patterns is not None:
+        from ..functions.masking import compile_patterns
+
+        compiled = compile_patterns(patterns)
     in_fields = df.schema.fieldNames()
     out_schema = (
         df.schema.simpleString()[7:-1]  # strip struct< >
@@ -72,7 +88,7 @@ def _parse_pandas(df: DataFrame) -> DataFrame:
             text = pdf["text"].astype("string").fillna("")
             out = pdf[list(in_fields)].copy()
             out["severity_inferred"] = severity_series(text)
-            out["template"] = template_series(text)
+            out["template"] = template_series(text, compiled)
             attrs = attrs_frame(text)
             out["attrs"] = [
                 {k: v for k, v in zip(ATTRIBUTE_KEYS, row) if v is not pd.NA and pd.notna(v)}

@@ -261,3 +261,36 @@ def test_catalyst_equals_scalar_on_non_ascii(spark):
     }
     for i, raw in enumerate(adversarial):
         assert got[i] == template_of(raw), f"divergence on {raw!r}"
+
+
+def test_parse_turns_yaml_override_both_engines(tmp_path, spark, tiny_frames):
+    """patterns_yaml flows through BOTH parse engines and they agree."""
+    from otlp_cardinality_checker_spark.operators.parse import parse_turns
+
+    yml = tmp_path / "user_patterns.yaml"
+    yml.write_text(
+        """
+patterns:
+  - name: everything_is_x
+    regex: '[A-Za-z]+'
+    placeholder: 'X'
+"""
+    )
+    transcripts, _, _ = tiny_frames
+    df = spark.createDataFrame(transcripts.head(40))
+    sql_t = [
+        r["template"]
+        for r in parse_turns(df, engine="sql", patterns_yaml=str(yml))
+        .orderBy("conv_id", "turn_idx")
+        .select("template")
+        .collect()
+    ]
+    pd_t = [
+        r["template"]
+        for r in parse_turns(df, engine="pandas", patterns_yaml=str(yml))
+        .orderBy("conv_id", "turn_idx")
+        .select("template")
+        .collect()
+    ]
+    assert sql_t == pd_t
+    assert any("X" in t for t in sql_t)  # the user mask actually applied
