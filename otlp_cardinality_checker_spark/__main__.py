@@ -1,0 +1,155 @@
+"""Command-line surface: the reference's operational workflows as
+subcommands over the Spark pipeline (`python -m
+otlp_cardinality_checker_spark <cmd>`). A reference user's day-to-day —
+run the analyzer, read the cardinality report, save/merge/diff sessions —
+maps 1:1:
+
+    report      parse+aggregate one table, print the severity-graded
+                cardinality report, exit 1 on critical (CI gate; reference
+                `internal/report/generator.go`)
+    key-stats   per-(sink, key) stats as JSON lines
+    diff        full-outer diff of two session snapshot dirs with
+                signal/severity filters (reference `/api/sessions/diff`)
+    save        write a mergeable session snapshot (binary HLL sketches)
+    merge       additively merge snapshot dirs into one
+
+All subcommands accept `--sf-dir` (default `$SPARK_GRAFT_SF_DIR` or
+/root/testdata/sf0.01) and `--cores`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark(app_name="otlp-cardinality-cli", cores=args.cores)
+
+
+def _routed(spark, args):
+    from .plans.pipeline import routed_turns
+
+    return routed_turns(
+        spark, args.sf_dir, engine=args.engine, patterns_yaml=args.patterns
+    )
+
+
+def cmd_report(args) -> int:
+    from .operators.aggregate import key_stats
+    from .report import generate_report
+
+    spark = _spark(args)
+    rep = generate_report(
+        key_stats(_routed(spark, args), exact=args.exact),
+        warn=args.warn,
+        critical=args.critical,
+        limit=args.limit,
+    )
+    print(rep.to_json() if args.json else rep.to_text())
+    return rep.exit_code if args.exit_on_threshold else 0
+
+
+def cmd_key_stats(args) -> int:
+    from .operators.aggregate import key_stats
+
+    spark = _spark(args)
+    for row in key_stats(_routed(spark, args), exact=args.exact).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
+def cmd_save(args) -> int:
+    from .operators.sessions import save_session, snapshot_key_stats
+
+    spark = _spark(args)
+    save_session(snapshot_key_stats(_routed(spark, args)), args.out)
+    print(f"session saved: {args.out}")
+    return 0
+
+
+def cmd_merge(args) -> int:
+    from .operators.sessions import load_session, merge_snapshots, save_session
+
+    spark = _spark(args)
+    merged = merge_snapshots(*[load_session(spark, p) for p in args.sessions])
+    save_session(merged, args.out)
+    print(f"merged {len(args.sessions)} sessions -> {args.out}")
+    return 0
+
+
+def cmd_diff(args) -> int:
+    from .operators.sessions import (
+        diff_key_stats,
+        estimate,
+        filter_diff,
+        load_session,
+    )
+
+    spark = _spark(args)
+    a = estimate(load_session(spark, args.from_session))
+    b = estimate(load_session(spark, args.to_session))
+    diff = filter_diff(
+        diff_key_stats(a, b),
+        signal_type=args.signal_type,
+        key_contains=args.key_contains,
+        min_severity=args.min_severity,
+    )
+    for row in diff.collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="otlp_cardinality_checker_spark")
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--engine", choices=("sql", "pandas"), default="sql")
+    ap.add_argument("--patterns", help="user mask-pattern YAML override")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("report")
+    p.add_argument("--warn", type=int, default=1000)
+    p.add_argument("--critical", type=int, default=10000)
+    p.add_argument("--limit", type=int, default=100)
+    p.add_argument("--json", action="store_true")
+    p.add_argument("--exact", action="store_true")
+    p.add_argument("--exit-on-threshold", action="store_true")
+    p.set_defaults(fn=cmd_report)
+
+    p = sub.add_parser("key-stats")
+    p.add_argument("--exact", action="store_true")
+    p.set_defaults(fn=cmd_key_stats)
+
+    p = sub.add_parser("save")
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_save)
+
+    p = sub.add_parser("merge")
+    p.add_argument("sessions", nargs="+")
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_merge)
+
+    p = sub.add_parser("diff")
+    p.add_argument("from_session")
+    p.add_argument("to_session")
+    p.add_argument("--signal-type")
+    p.add_argument("--key-contains")
+    p.add_argument(
+        "--min-severity", choices=("info", "warning", "critical")
+    )
+    p.set_defaults(fn=cmd_diff)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -371,9 +371,14 @@ def watched_values(
     the cap dropped, overflow flagged), applied via window rank so the
     result is deterministic.
     """
+    # empty watch set (all keys unwatched) => empty result, not an isin()
+    # analysis error
+    key_filter = (
+        F.col("key").isin(*watched_keys) if watched_keys else F.lit(False)
+    )
     freq = (
         exploded_attrs(routed)
-        .where(F.col("key").isin(*watched_keys))
+        .where(key_filter)
         .groupBy("key", "value")
         .agg(F.count(F.lit(1)).alias("count"))
     )

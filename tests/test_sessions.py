@@ -89,3 +89,57 @@ def test_diff_classification(spark):
     assert got["grew2x"]["change_type"] == "changed"
     assert got["grew2x"]["severity"] == "warning"  # ratio >= 2x
     assert got["grew10x"]["severity"] == "critical"  # ratio >= 10x
+
+
+def test_merge_is_associative_and_commutative(spark, tiny_routed):
+    """Additive session merge must be order-insensitive: merge(a, merge(b, c))
+    == merge(merge(a, b), c) == merge(c, a, b) on counts, samples, taint,
+    and HLL estimates (sketch registers are max-merged, so unions agree
+    regardless of grouping)."""
+    import pyspark.sql.functions as F
+
+    from otlp_cardinality_checker_spark.operators.sessions import (
+        estimate,
+        merge_snapshots,
+        snapshot_key_stats,
+    )
+
+    a = snapshot_key_stats(tiny_routed.where(F.col("turn_idx") < 3))
+    b = snapshot_key_stats(
+        tiny_routed.where((F.col("turn_idx") >= 3) & (F.col("turn_idx") < 7))
+    )
+    c = snapshot_key_stats(tiny_routed.where(F.col("turn_idx") >= 7))
+
+    def rows(snap):
+        return sorted(
+            tuple(r)
+            for r in estimate(snap)
+            .select("sink", "key", "count", "est_cardinality", "value_samples")
+            .collect()
+        )
+
+    left = rows(merge_snapshots(a, merge_snapshots(b, c)))
+    right = rows(merge_snapshots(merge_snapshots(a, b), c))
+    flat = rows(merge_snapshots(c, a, b))
+    assert left == right == flat
+
+
+def test_cli_report_and_diff(tmp_path, spark):
+    """The __main__ CLI maps the reference's workflows; drive report's
+    exit-code gate and the save/diff path in-process."""
+    from otlp_cardinality_checker_spark.__main__ import main
+
+    out = main(
+        [
+            "--sf-dir", "/root/testdata/sf0.001", "--cores", "8",
+            "report", "--exact", "--warn", "50", "--critical", "150",
+            "--exit-on-threshold",
+        ]
+    )
+    assert out == 1  # critical keys exist at these thresholds
+    sess = str(tmp_path / "sess")
+    assert main(
+        ["--sf-dir", "/root/testdata/sf0.001", "--cores", "8",
+         "save", "--out", sess]
+    ) == 0
+    assert main(["--cores", "8", "diff", sess, sess]) == 0
