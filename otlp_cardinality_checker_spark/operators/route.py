@@ -56,22 +56,38 @@ def write_sinks(
     out_dir: str,
     n_buckets: int | None = 32,
     mode: str = "overwrite",
+    table_format: str = "auto",
 ) -> dict[str, str]:
-    """Fan out to per-sink parquet tables, repartitioned by conv_id.
+    """Fan out to per-sink tables, co-located by conv_id.
 
-    On a real cluster these are Iceberg tables with a
-    ``bucket(n, conv_id)`` partition transform (`write.distribution-mode =
-    hash`); the container has no Iceberg runtime, so parquet + an explicit
-    ``repartition(n, conv_id)`` models the same co-location property.
-    Pass ``n_buckets=None`` when the input is already conv_id-clustered.
+    ``table_format="auto"`` writes Iceberg tables when an Iceberg catalog
+    is on the classpath (gated exactly like the loader,
+    `sources/transcripts._iceberg_available`) — there the bucketing is the
+    ``bucket(n, conv_id)`` partition transform and fan-out idempotence is
+    snapshot-based. This container has no Iceberg runtime, so the fallback
+    is parquet + an explicit ``repartition(n, conv_id)``, which models the
+    same co-location property. Pass ``n_buckets=None`` when the input is
+    already conv_id-clustered.
     """
     from concurrent.futures import ThreadPoolExecutor
 
+    from ..sources.transcripts import _iceberg_available
+
+    use_iceberg = table_format == "iceberg" or (
+        table_format == "auto" and _iceberg_available(routed.sparkSession)
+    )
     sinks = split_sinks(routed)
     paths = {name: str(Path(out_dir) / f"sink_{name}") for name in sinks}
 
     def _write(name: str) -> None:
         df = sinks[name]
+        if use_iceberg:  # pragma: no cover - no Iceberg jar in container
+            (
+                df.writeTo(f"sink_{name}")
+                .partitionedBy(F.bucket(n_buckets or 32, F.col("conv_id")))
+                .createOrReplace()
+            )
+            return
         if n_buckets is not None:
             df = df.repartition(n_buckets, "conv_id")
         df.write.mode(mode).parquet(paths[name])

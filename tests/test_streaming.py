@@ -68,3 +68,61 @@ def test_kill_resume_equivalence(spark, tmp_path):
         f"{straight}/out/sink_tool_call"
     ).count()
     assert total_routed == n_input
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Watermarked event-time window (append mode): a window row finalizes
+    once the watermark passes its end, and an event arriving LATER than
+    the watermark is dropped — bounded state, documented loss semantics."""
+    import time as _time
+
+    import pandas as pd
+
+    from otlp_cardinality_checker_spark.streaming.stream import (
+        run_windowed_stream,
+    )
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "event_type", "user_id", "value", "ts"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pdf.astype({"event_id": "int64", "user_id": "int64"}).to_parquet(
+            src / name, index=False
+        )
+
+    # batch 0: window [10:00, 11:00) gets 3 events; a 13:00 event advances
+    # the max event time so the watermark (30 min) will pass 11:00
+    write_batch(
+        "a.parquet",
+        [
+            (1, "click", 1, 1.0, "2026-01-01 10:05:00"),
+            (2, "click", 2, 1.0, "2026-01-01 10:15:00"),
+            (3, "click", 3, 1.0, "2026-01-01 10:25:00"),
+            (4, "click", 4, 1.0, "2026-01-01 13:00:00"),
+        ],
+    )
+    _time.sleep(1.1)  # file mtime order == processing order
+    # batch 1: the advanced watermark takes effect; the 10:00 window
+    # finalizes during THIS batch (watermark application lags one batch)
+    write_batch("b.parquet", [(6, "click", 6, 1.0, "2026-01-01 13:30:00")])
+    _time.sleep(1.1)
+    # batch 2: a LATE event for the already-finalized 10:00 window
+    write_batch("c.parquet", [(5, "click", 5, 99.0, "2026-01-01 10:30:00")])
+
+    out = tmp_path / "out"
+    run_windowed_stream(
+        spark, str(src), str(out), str(tmp_path / "ckpt"),
+        window_duration="1 hour", watermark="30 minutes",
+    )
+    got = {
+        (str(r["window_start"]), r["n_events"], r["total_value"])
+        for r in spark.read.parquet(str(out / "windowed")).collect()
+    }
+    # the 10:00 window finalized with exactly the 3 on-time events; the
+    # late 99.0-value event was dropped, not restated
+    assert ("2026-01-01 10:00:00", 3, 3.0) in got
+    assert not any(v == 102.0 or n == 4 for (_, n, v) in got)
