@@ -344,11 +344,15 @@ def mask_expr(col: Column, patterns: tuple[MaskPattern, ...] | None = None) -> C
     """Catalyst column: the ordered mask chain via `regexp_replace`.
 
     The reference's RequiredSubstring fast path (`patterns.go:31`) is *not*
-    replicated here: a conditional per pattern would reference the running
-    expression three times per level (exponential tree growth — measured:
-    Catalyst analysis hangs past ~12 levels), while a plain chain is linear
-    and a no-match `regexp_replace` is already the identity. The pandas
-    engine keeps the guard, where it is a genuine vectorized win.
+    replicated here — not even as one guard around the sql_* group: any
+    `when(contains(running_expr), ...)` references the running expression
+    THREE times, and because the downstream template tokenization uses
+    higher-order functions (no whole-stage codegen, so no common
+    subexpression elimination) the prefix chain re-evaluates per
+    reference — measured 3.6x slower for the full parse. A plain linear
+    chain is evaluated once and a no-match `regexp_replace` is already
+    the identity. The pandas engine keeps the per-pattern guard, where it
+    is a genuine vectorized win.
     """
     c = F.coalesce(col, F.lit(""))
     for p in patterns or MASK_PATTERNS:
