@@ -201,6 +201,19 @@ def q_session_diff_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_service_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service-grain session diff (per-service entries, sessions.go:608-685)."""
+    from otlp_cardinality_checker_spark.operators.sessions import (
+        diff_service_stats,
+        service_grain_stats,
+    )
+
+    routed = _routed(spark, sf_dir)
+    a = service_grain_stats(routed.where(F.col("turn_idx") < 13))
+    b = service_grain_stats(routed)
+    return diff_service_stats(a, b)
+
+
 def q_series_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: Prometheus-equivalent series per sink (metric_types.go:140-190)."""
     from otlp_cardinality_checker_spark.datagen import ensure_dataset
@@ -645,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complexity": q_complexity,
         "session_diff": q_session_diff,
         "session_diff_filtered": q_session_diff_filtered,
+        "service_diff": q_service_diff,
         "series_estimate": q_series_estimate,
         "session_merge": q_session_merge,
         "enriched_tool_stats": q_enriched_tool_stats,
@@ -851,6 +865,28 @@ FROM ks GROUP BY sink
 """,
         "session_diff": diff_sql,
         "session_diff_filtered": diff_filtered_sql,
+        "service_diff": pre
+        + """
+, a AS (
+  SELECT sink, service, severity, count(*) AS count_from
+  FROM routed WHERE turn_idx < 13 GROUP BY sink, service, severity
+), b AS (
+  SELECT sink, service, severity, count(*) AS count_to
+  FROM routed GROUP BY sink, service, severity
+)
+SELECT coalesce(a.sink, b.sink) AS sink,
+       coalesce(a.service, b.service) AS service,
+       coalesce(a.severity, b.severity) AS severity,
+       CASE WHEN a.count_from IS NULL THEN 'added'
+            WHEN b.count_to IS NULL THEN 'removed'
+            WHEN a.count_from != b.count_to THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       a.count_from, b.count_to,
+       CAST(coalesce(b.count_to, 0) - coalesce(a.count_from, 0) AS BIGINT)
+         AS delta
+FROM a FULL OUTER JOIN b
+  ON a.sink = b.sink AND a.service = b.service AND a.severity = b.severity
+""",
         "series_estimate": pre
         + f"""
 , fps AS (

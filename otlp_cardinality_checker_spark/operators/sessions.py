@@ -151,6 +151,53 @@ def diff_key_stats(from_stats: DataFrame, to_stats: DataFrame) -> DataFrame:
     )
 
 
+def service_grain_stats(routed: DataFrame) -> DataFrame:
+    """(sink, service, severity) sample counts — the grain the reference's
+    per-service diff entries compare."""
+    return routed.groupBy("sink", "service", "severity").agg(
+        F.count(F.lit(1)).alias("sample_count")
+    )
+
+
+def diff_service_stats(
+    from_stats: DataFrame, to_stats: DataFrame
+) -> DataFrame:
+    """Service-grain diff (the reference's per-service diff entries,
+    `sessions.go:608-685` over the service|severity grain): full-outer on
+    (sink, service, severity) with sample-count deltas and the same
+    added/removed/changed classification as the key-grain diff."""
+    a = from_stats.select(
+        "sink",
+        "service",
+        "severity",
+        F.col("sample_count").alias("count_from"),
+    )
+    b = to_stats.select(
+        "sink",
+        "service",
+        "severity",
+        F.col("sample_count").alias("count_to"),
+    )
+    joined = a.join(b, ["sink", "service", "severity"], "full_outer")
+    change = (
+        F.when(F.col("count_from").isNull(), F.lit("added"))
+        .when(F.col("count_to").isNull(), F.lit("removed"))
+        .when(F.col("count_from") != F.col("count_to"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        "sink",
+        "service",
+        "severity",
+        change.alias("change_type"),
+        "count_from",
+        "count_to",
+        (F.coalesce("count_to", F.lit(0)) - F.coalesce("count_from", F.lit(0)))
+        .cast("long")
+        .alias("delta"),
+    )
+
+
 _SEVERITY_RANK = {"info": 0, "warning": 1, "critical": 2}
 
 

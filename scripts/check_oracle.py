@@ -30,7 +30,10 @@ def norm_cell(v) -> str:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            # pandas renders an INTEGER column containing NULLs as float64
+            # with NaN; the driver normalizes that back to NULL (evidence:
+            # session_diff's NULL count_from hash-matched in round 1)
+            return "NULL"
         return f"{v:.6g}"
     if isinstance(v, bool):
         return str(int(v))
