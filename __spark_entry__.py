@@ -489,6 +489,66 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 driver-verified STREAMING query: the watermarked event-time
+    window run as a real Structured Streaming job (two file micro-batches,
+    append mode), returning exactly the finalized windows.
+
+    Deterministic contract the DuckDB oracle replicates: the source is
+    split at cutoff = max(ts) - 2h into (A: ts < cutoff, B: rest) processed
+    A-then-B. After batch B the availableNow no-data micro-batch advances
+    the watermark to max(ts) - 30min and finalizes everything behind it,
+    so the emitted set is exactly the windows with window_end <= max(ts) -
+    30min, with FULL counts: no input row is ever late here (every B row
+    has ts >= max(ts)-2h, above the batch-B watermark max(ts in A)-30min,
+    and its window is still open at that point since max(A) < cutoff)."""
+    import tempfile
+    import time as _time
+    from pathlib import Path
+
+    from otlp_cardinality_checker_spark.streaming.stream import (
+        run_windowed_stream,
+    )
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "event_type", "user_id", "value", "ts")
+    )
+    tmax = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    import datetime as _dt
+
+    cutoff = tmax - _dt.timedelta(hours=2)
+    tmp = Path(tempfile.mkdtemp(prefix="evstream_"))
+    src = tmp / "src"
+    src.mkdir()
+    a = ev.where(F.col("ts") < F.lit(cutoff)).toPandas()
+    b = ev.where(F.col("ts") >= F.lit(cutoff)).toPandas()
+    # Spark cannot read parquet TIMESTAMP(NANOS); pin to microseconds
+    a["ts"] = a["ts"].astype("datetime64[us]")
+    b["ts"] = b["ts"].astype("datetime64[us]")
+    a.to_parquet(src / "a.parquet", index=False)
+    _time.sleep(1.2)  # mtime order == micro-batch order
+    b.to_parquet(src / "b.parquet", index=False)
+    run_windowed_stream(
+        spark,
+        str(src),
+        str(tmp / "out"),
+        str(tmp / "ckpt"),
+        window_duration="1 hour",
+        watermark="30 minutes",
+    )
+    res = spark.read.parquet(str(tmp / "out" / "windowed"))
+    return res.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped anchor: scan-heavy agg with full pushdown."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -675,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "doc_fingerprints": q_doc_fingerprints,
         "events_windowed": q_events_windowed,
+        "events_windowed_stream": q_events_windowed_stream,
         "events_json_props": q_events_json_props,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
@@ -1022,6 +1083,19 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        round(sum(value), 2) AS total_value,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2
+""",
+        "events_windowed_stream": """
+WITH b AS (SELECT max(ts) AS tmax FROM events),
+w AS (
+  SELECT date_trunc('hour', ts) AS ws, event_type,
+         count(*) AS n_events, round(sum(value), 2) AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(ws + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type, n_events, total_value
+FROM w, b
+WHERE ws + INTERVAL 1 HOUR <= tmax - INTERVAL 30 MINUTE
 """,
         "events_json_props": """
 SELECT event_type, count(*) AS n_events,
