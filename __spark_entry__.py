@@ -181,13 +181,17 @@ def q_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_session_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from otlp_cardinality_checker_spark.operators.aggregate import key_stats
-    from otlp_cardinality_checker_spark.operators.sessions import diff_key_stats
+    """Prefix-session (turn_idx < 13) vs now, fused into ONE parse pass
+    (sessions.diff_from_predicate); row-identical to the two-pass
+    diff_key_stats(key_stats(subset), key_stats(full)) form, which
+    tests/test_sessions.py asserts and the arbitrary-two-session API
+    still uses."""
+    from otlp_cardinality_checker_spark.operators.sessions import (
+        diff_from_predicate,
+    )
 
     routed = _routed(spark, sf_dir)
-    a = key_stats(routed.where(F.col("turn_idx") < 13), exact=True)
-    b = key_stats(routed, exact=True)
-    return diff_key_stats(a, b)
+    return diff_from_predicate(routed, F.col("turn_idx") < 13)
 
 
 def q_session_diff_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,14 +208,11 @@ def q_session_diff_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_service_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Service-grain session diff (per-service entries, sessions.go:608-685)."""
     from otlp_cardinality_checker_spark.operators.sessions import (
-        diff_service_stats,
-        service_grain_stats,
+        service_diff_from_predicate,
     )
 
     routed = _routed(spark, sf_dir)
-    a = service_grain_stats(routed.where(F.col("turn_idx") < 13))
-    b = service_grain_stats(routed)
-    return diff_service_stats(a, b)
+    return service_diff_from_predicate(routed, F.col("turn_idx") < 13)
 
 
 def q_series_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -151,6 +151,141 @@ def diff_key_stats(from_stats: DataFrame, to_stats: DataFrame) -> DataFrame:
     )
 
 
+def diff_from_predicate(
+    routed: DataFrame, from_pred: F.Column, n_salt: int = 16
+) -> DataFrame:
+    """Single-scan session diff for the prefix-vs-now pattern.
+
+    When the "from" session is a predicate-subset of the "to" session (the
+    reference's commonest diff: an earlier checkpoint of the SAME stream vs
+    now, `internal/api/sessions.go:608-685`), running
+    ``diff_key_stats(key_stats(subset), key_stats(full))`` parses and
+    explodes the corpus twice — the regex parse is the dominant cost, so
+    the diff pays ~1.6x the work it needs. This fuses both sides into ONE
+    exploded-attrs pass with conditional aggregation:
+
+    * value grain: per (sink, key, salt, value) count rows overall
+      (``to``) and rows satisfying ``from_pred`` (``from``);
+    * salt grain: exact distinct = count of values / values with a
+      ``from`` occurrence (rows are distinct values, salts are disjoint);
+    * final: sums across salts, then the same change/severity grading as
+      :func:`diff_key_stats`, with the ``from`` side nulled where the key
+      never occurred under the predicate.
+
+    Output is row-identical to the two-pass form (asserted in
+    tests/test_sessions.py) — same columns, same grading — at one parse,
+    one shuffle chain.
+    """
+    from .aggregate import exploded_attrs
+
+    attrs = exploded_attrs(routed).withColumn(
+        "_in_from", from_pred.cast("int")
+    )
+    vals = attrs.groupBy(
+        "sink",
+        "key",
+        F.pmod(F.hash("value"), F.lit(n_salt)).alias("_salt"),
+        "value",
+    ).agg(
+        F.count(F.lit(1)).alias("_vc_to"),
+        F.sum("_in_from").alias("_vc_from"),
+    )
+    partial = vals.groupBy("sink", "key", "_salt").agg(
+        F.sum("_vc_to").alias("_cnt_to"),
+        F.sum("_vc_from").alias("_cnt_from"),
+        F.count(F.lit(1)).alias("_dcard_to"),
+        F.sum((F.col("_vc_from") > 0).cast("long")).alias("_dcard_from"),
+    )
+    agg = partial.groupBy("sink", "key").agg(
+        F.sum("_cnt_to").alias("count_to"),
+        F.sum("_cnt_from").alias("_count_from_raw"),
+        F.sum("_dcard_to").alias("card_to"),
+        F.sum("_dcard_from").alias("_card_from_raw"),
+    )
+    present_from = F.col("_count_from_raw") > 0
+    joined = agg.select(
+        "sink",
+        "key",
+        F.when(present_from, F.col("_count_from_raw")).alias("count_from"),
+        F.when(present_from, F.col("_card_from_raw")).alias("card_from"),
+        "count_to",
+        "card_to",
+    )
+    # keys only in "from" cannot exist (from ⊆ to), so "removed" is
+    # unreachable here by construction — kept for column parity
+    change = (
+        F.when(F.col("count_from").isNull(), F.lit("added"))
+        .when(F.col("count_to").isNull(), F.lit("removed"))
+        .when(
+            (F.col("count_from") != F.col("count_to"))
+            | (F.col("card_from") != F.col("card_to")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    ratio = F.col("card_to") / F.nullif(F.col("card_from"), F.lit(0))
+    severity = (
+        F.when(
+            (change == "added")
+            & (F.col("card_to") >= NEW_KEY_WARNING_CARDINALITY),
+            F.lit("warning"),
+        )
+        .when((change == "changed") & (ratio >= CRITICAL_RATIO), F.lit("critical"))
+        .when((change == "changed") & (ratio >= WARNING_RATIO), F.lit("warning"))
+        .otherwise(F.lit("info"))
+    )
+    return joined.select(
+        "sink",
+        "key",
+        change.alias("change_type"),
+        severity.alias("severity"),
+        "count_from",
+        "count_to",
+        "card_from",
+        "card_to",
+    )
+
+
+def service_diff_from_predicate(
+    routed: DataFrame, from_pred: F.Column
+) -> DataFrame:
+    """Single-scan service-grain diff (prefix-vs-now pattern): one
+    aggregation with a conditional "from" count instead of two parse
+    branches; output row-identical to
+    ``diff_service_stats(service_grain_stats(subset),
+    service_grain_stats(full))`` when the subset is ``from_pred``."""
+    agg = routed.groupBy("sink", "service", "severity").agg(
+        F.count(F.lit(1)).alias("count_to"),
+        F.sum(from_pred.cast("long")).alias("_from_raw"),
+    )
+    joined = agg.select(
+        "sink",
+        "service",
+        "severity",
+        F.when(F.col("_from_raw") > 0, F.col("_from_raw")).alias(
+            "count_from"
+        ),
+        "count_to",
+    )
+    change = (
+        F.when(F.col("count_from").isNull(), F.lit("added"))
+        .when(F.col("count_to").isNull(), F.lit("removed"))
+        .when(F.col("count_from") != F.col("count_to"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        "sink",
+        "service",
+        "severity",
+        change.alias("change_type"),
+        "count_from",
+        "count_to",
+        (F.coalesce("count_to", F.lit(0)) - F.coalesce("count_from", F.lit(0)))
+        .cast("long")
+        .alias("delta"),
+    )
+
+
 def service_grain_stats(routed: DataFrame) -> DataFrame:
     """(sink, service, severity) sample counts — the grain the reference's
     per-service diff entries compare."""

@@ -124,6 +124,53 @@ def test_merge_is_associative_and_commutative(spark, tiny_routed):
     assert left == right == flat
 
 
+def test_fused_diff_equals_two_pass(tiny_routed):
+    """diff_from_predicate (one parse pass, conditional aggregation) must be
+    row-identical to diff_key_stats(key_stats(subset), key_stats(full)) —
+    the two-pass reference form — including change/severity grading and
+    NULL from-side columns for keys absent under the predicate."""
+    from otlp_cardinality_checker_spark.operators.aggregate import key_stats
+    from otlp_cardinality_checker_spark.operators.sessions import (
+        diff_from_predicate,
+        diff_key_stats,
+    )
+
+    pred = F.col("turn_idx") < 5
+    two_pass = sorted(
+        tuple(r)
+        for r in diff_key_stats(
+            key_stats(tiny_routed.where(pred), exact=True),
+            key_stats(tiny_routed, exact=True),
+        ).collect()
+    )
+    fused = sorted(
+        tuple(r) for r in diff_from_predicate(tiny_routed, pred).collect()
+    )
+    assert fused == two_pass and len(fused) > 0
+
+
+def test_fused_service_diff_equals_two_pass(tiny_routed):
+    from otlp_cardinality_checker_spark.operators.sessions import (
+        diff_service_stats,
+        service_diff_from_predicate,
+        service_grain_stats,
+    )
+
+    pred = F.col("turn_idx") < 5
+    two_pass = sorted(
+        tuple(r)
+        for r in diff_service_stats(
+            service_grain_stats(tiny_routed.where(pred)),
+            service_grain_stats(tiny_routed),
+        ).collect()
+    )
+    fused = sorted(
+        tuple(r)
+        for r in service_diff_from_predicate(tiny_routed, pred).collect()
+    )
+    assert fused == two_pass and len(fused) > 0
+
+
 def test_cli_report_and_diff(tmp_path, spark):
     """The __main__ CLI maps the reference's workflows; drive report's
     exit-code gate and the save/diff path in-process."""
