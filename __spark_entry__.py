@@ -550,6 +550,69 @@ def q_events_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conv_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 custom stateful streaming operator, driver-verified: per-
+    conversation session-gap splitting via applyInPandasWithState
+    (streaming/stream.py:sessionize_stream) run as a real two-micro-batch
+    job.
+
+    Source prep (mirrored EXACTLY by the DuckDB oracle): transcripts with
+    deterministic intra-conversation quiet periods injected — ts' = ts +
+    1h * (turn_idx div 7), so a 25-turn conversation splits into 4
+    sessions at gap=30min. Split at cutoff = max(ts') - 2h into batches
+    (A: ts' < cutoff) then B; no row is ever late (every B row sits above
+    the batch-B watermark max(ts' in A) - 45min). Emitted sessions =
+    every non-final session of a conversation (closed by its successor)
+    plus final sessions with session_end + gap < max(ts') - 45min (closed
+    by event-time timeout in the availableNow no-data batch)."""
+    import datetime as _dt
+    import tempfile
+    import time as _time
+    from pathlib import Path
+
+    from otlp_cardinality_checker_spark.datagen import ensure_dataset
+    from otlp_cardinality_checker_spark.streaming.stream import (
+        sessionize_stream,
+    )
+
+    data_dir = ensure_dataset(sf_dir)
+    turns = (
+        spark.read.parquet(str(data_dir / "transcripts.parquet"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            "tool",
+            F.expr(
+                "ts + make_interval(0, 0, 0, 0, turn_idx div 7, 0, 0)"
+            ).alias("ts"),
+        )
+    )
+    tmax = turns.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    cutoff = tmax - _dt.timedelta(hours=2)
+    tmp = Path(tempfile.mkdtemp(prefix="convsess_"))
+    src = tmp / "src"
+    src.mkdir()
+    a = turns.where(F.col("ts") < F.lit(cutoff)).toPandas()
+    b = turns.where(F.col("ts") >= F.lit(cutoff)).toPandas()
+    # Spark cannot read parquet TIMESTAMP(NANOS); pin to microseconds
+    a["ts"] = a["ts"].astype("datetime64[us]")
+    b["ts"] = b["ts"].astype("datetime64[us]")
+    a.to_parquet(src / "a.parquet", index=False)
+    _time.sleep(1.2)  # mtime order == micro-batch order
+    b.to_parquet(src / "b.parquet", index=False)
+    sessionize_stream(
+        spark,
+        str(src),
+        str(tmp / "out"),
+        str(tmp / "ckpt"),
+        gap="30 minutes",
+        watermark="45 minutes",
+    )
+    return spark.read.parquet(str(tmp / "out" / "sessions"))
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped anchor: scan-heavy agg with full pushdown."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -737,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "events_windowed": q_events_windowed,
         "events_windowed_stream": q_events_windowed_stream,
+        "conv_sessions": q_conv_sessions,
         "events_json_props": q_events_json_props,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
@@ -1098,6 +1162,38 @@ SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
 FROM w, b
 WHERE ws + INTERVAL 1 HOUR <= tmax - INTERVAL 30 MINUTE
 """,
+        "conv_sessions": f"""
+WITH src AS (
+  SELECT conv_id, turn_idx, tool,
+         ts + to_hours(CAST(turn_idx // 7 AS BIGINT)) AS ts
+  FROM read_parquet('{_transcripts_path()}')
+), m AS (SELECT max(ts) AS tmax FROM src),
+l AS (
+  SELECT conv_id, turn_idx, tool, ts,
+         lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev
+  FROM src
+), s AS (
+  SELECT conv_id, tool, ts,
+         sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM l
+), agg AS (
+  SELECT conv_id, sid,
+         min(ts) AS s_start, max(ts) AS s_end,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(count(tool) AS BIGINT) AS n_tool_calls
+  FROM s GROUP BY 1, 2
+), mx AS (SELECT conv_id, max(sid) AS max_sid FROM agg GROUP BY 1)
+SELECT a.conv_id,
+       strftime(a.s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(a.s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+       a.n_turns, a.n_tool_calls
+FROM agg a JOIN mx ON a.conv_id = mx.conv_id CROSS JOIN m
+WHERE a.sid < mx.max_sid
+   OR a.s_end + INTERVAL 30 MINUTE < m.tmax - INTERVAL 45 MINUTE
+""",
         "events_json_props": """
 SELECT event_type, count(*) AS n_events,
        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
@@ -1213,6 +1309,12 @@ def _tool_dim_path() -> str:
     from otlp_cardinality_checker_spark.sources.transcripts import truth_paths
 
     return truth_paths(SF01)["tool_dim"]
+
+
+def _transcripts_path() -> str:
+    from otlp_cardinality_checker_spark.sources.transcripts import truth_paths
+
+    return truth_paths(SF01)["transcripts"]
 
 
 def _metric_dim_path() -> str:

@@ -245,6 +245,139 @@ def read_lineage(out_dir: str):
     return rows
 
 
+SESSION_OUT_SCHEMA = (
+    "conv_id string, session_start string, session_end string, "
+    "n_turns long, n_tool_calls long"
+)
+_SESSION_STATE_SCHEMA = "start_ns long, last_ns long, n_turns long, n_tool long"
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "45 minutes",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Custom stateful operator: event-time session-gap splitting per
+    conversation via ``applyInPandasWithState`` (SURVEY §2.10 — the
+    reference's continuously-accumulating per-entity state, expressed as
+    Spark's arbitrary-stateful-streaming primitive rather than a built-in
+    window).
+
+    Semantics (deterministic given a fixed micro-batch split):
+
+    * rows group by ``conv_id``; within a conversation, a quiet period
+      longer than ``gap`` starts a new session;
+    * a session closes EITHER when a later row of the same conversation
+      arrives past the gap (closed-by-successor — emitted in that batch)
+      OR when the event-time watermark passes ``session_end + gap``
+      (closed-by-timeout via ``GroupStateTimeout.EventTimeTimeout``);
+    * state per conversation is four longs — bounded regardless of
+      conversation length, and keyed state shards across executors, so
+      10^12 turns stream through with O(#active conversations) state.
+
+    All per-batch work is vectorized pandas over Arrow batches (numpy
+    diff/cumsum + one groupby per conversation-chunk); no per-row Python.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ns = int(_duration_to_seconds(gap) * 1_000_000_000)
+    gap_ms = gap_ns // 1_000_000
+
+    def _row(conv_id: str, start_ns: int, last_ns: int, n: int, ntool: int):
+        fmt = "%Y-%m-%d %H:%M:%S"
+        return {
+            "conv_id": conv_id,
+            "session_start": pd.Timestamp(start_ns).strftime(fmt),
+            "session_end": pd.Timestamp(last_ns).strftime(fmt),
+            "n_turns": n,
+            "n_tool_calls": ntool,
+        }
+
+    def close_sessions(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            start_ns, last_ns, n, ntool = state.get
+            state.remove()
+            yield pd.DataFrame([_row(conv_id, start_ns, last_ns, n, ntool)])
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "turn_idx"])
+        ts = rows["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        tool = rows["tool"].notna().to_numpy()
+        if state.exists:
+            s_start, s_last, s_n, s_ntool = state.get
+        else:
+            s_start = s_last = None
+        # vectorized gap split: a break before row i iff the quiet period
+        # since the previous event (carried state for i=0) exceeds the gap
+        brk = np.empty(len(ts), dtype=bool)
+        brk[0] = s_last is None or (ts[0] - s_last) > gap_ns
+        brk[1:] = np.diff(ts) > gap_ns
+        sid = np.cumsum(brk)  # 0 == continuation of the carried session
+        agg = (
+            pd.DataFrame({"sid": sid, "ts": ts, "tool": tool})
+            .groupby("sid", sort=True)
+            .agg(start=("ts", "min"), end=("ts", "max"),
+                 n=("ts", "size"), ntool=("tool", "sum"))
+        )
+        closed = []
+        if s_last is not None:
+            if brk[0]:
+                # carried session closed by a successor past the gap
+                closed.append(_row(conv_id, s_start, s_last, s_n, s_ntool))
+            else:
+                first = agg.index[0]
+                agg.loc[first, "start"] = s_start
+                agg.loc[first, "n"] += s_n
+                agg.loc[first, "ntool"] += s_ntool
+        for r in agg.iloc[:-1].itertuples():  # all but the still-open tail
+            closed.append(_row(conv_id, r.start, r.end, int(r.n), int(r.ntool)))
+        tail = agg.iloc[-1]
+        state.update(
+            (int(tail["start"]), int(tail["end"]),
+             int(tail["n"]), int(tail["ntool"]))
+        )
+        state.setTimeoutTimestamp(int(tail["end"]) // 1_000_000 + gap_ms)
+        if closed:
+            yield pd.DataFrame(closed)
+
+    turns = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+        .select("conv_id", "turn_idx", "tool", "ts")
+        .withWatermark("ts", watermark)
+    )
+    sessions = turns.groupBy("conv_id").applyInPandasWithState(
+        close_sessions,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(Path(out_dir) / "sessions"))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def _duration_to_seconds(s: str) -> float:
+    n, unit = s.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600}[unit]
+    return float(n) * mult
+
+
 EVENT_SCHEMA = "event_id long, event_type string, user_id long, value double, ts timestamp"
 
 

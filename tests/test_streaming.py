@@ -126,3 +126,58 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # late 99.0-value event was dropped, not restated
     assert ("2026-01-01 10:00:00", 3, 3.0) in got
     assert not any(v == 102.0 or n == 4 for (_, n, v) in got)
+
+
+def test_sessionize_stream_semantics(spark, tmp_path):
+    """applyInPandasWithState sessionization: close-by-successor,
+    close-by-timeout, cross-batch state carry, and the still-open tail
+    staying unemitted — on a hand-built two-batch timeline.
+
+    gap=30min, watermark=45min, final watermark = 02:30 - 45min = 01:45;
+    a trailing session emits iff end + 30min < 01:45."""
+    import time
+
+    from otlp_cardinality_checker_spark.streaming.stream import (
+        sessionize_stream,
+    )
+
+    t = lambda s: pd.Timestamp(f"2026-01-01 {s}")
+    rows = [
+        # conv, turn, tool, ts
+        ("c1", 0, None, t("00:00:00")),   # sess1 (closed by 02:00 row)
+        ("c1", 1, "web", t("00:00:10")),
+        ("c1", 2, None, t("02:00:00")),   # sess2: open tail, NOT emitted
+        ("c1", 3, None, t("02:00:05")),
+        ("c2", 0, None, t("00:00:00")),   # timeout-emitted (no-data batch)
+        ("c3", 0, None, t("01:00:00")),   # batch A ...
+        ("c3", 1, None, t("01:00:10")),   # batch A
+        ("c3", 2, "db", t("01:00:20")),   # batch B, within gap -> merges
+        ("c4", 0, None, t("02:30:00")),   # sentinel: tmax, open tail
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "tool", "ts"]
+    ).assign(role="user", text="hi")
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    src = tmp_path / "src"
+    src.mkdir()
+    cutoff = t("01:00:15")
+    pdf[pdf.ts < cutoff][cols].to_parquet(src / "a.parquet", index=False)
+    time.sleep(1.2)
+    pdf[pdf.ts >= cutoff][cols].to_parquet(src / "b.parquet", index=False)
+
+    sessionize_stream(
+        spark, str(src), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        gap="30 minutes", watermark="45 minutes",
+    )
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "out" / "sessions"))
+        .collect()
+    )
+    assert got == [
+        ("c1", "2026-01-01 00:00:00", "2026-01-01 00:00:10", 2, 1),
+        ("c2", "2026-01-01 00:00:00", "2026-01-01 00:00:00", 1, 0),
+        ("c3", "2026-01-01 01:00:00", "2026-01-01 01:00:20", 3, 1),
+    ]
