@@ -448,6 +448,19 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard(word_shingles(docs), min_jaccard=0.2)
 
 
+def q_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: exact n-gram Jaccard pairs (>=0.2) → distributed
+    connected components (large-star/small-star) → per-doc cluster id,
+    size, survivor flag. The oracle recomputes the same pair graph in SQL
+    and takes its transitive closure with a recursive CTE."""
+    from otlp_cardinality_checker_spark.operators.graph import (
+        jaccard_clusters,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return jaccard_clusters(docs, min_jaccard=0.2)
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otlp_cardinality_checker_spark.operators.similarity import (
         brute_force_topk,
@@ -806,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": q_top_orders,
         "language_id": q_language_id,
         "ngram_jaccard": q_ngram_jaccard,
+        "jaccard_clusters": q_jaccard_clusters,
         "embedding_topk": q_embedding_topk,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_groups": q_simhash_groups,
@@ -1244,6 +1258,46 @@ FROM pairs
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+""",
+        "jaccard_clusters": """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), shingled AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+         THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                             for i in range(1, len(t) - 1)])
+         ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+), pairs AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_common
+  FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(shingles) AS n FROM shingled),
+edges0 AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+), edges AS (SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0),
+reach AS (
+  SELECT u AS node, v AS r FROM edges
+  UNION
+  SELECT w.node, e.v FROM reach w JOIN edges e ON w.r = e.u
+), labels AS (
+  SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node
+), lab AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         AS cluster_size,
+       CAST(doc_id = cluster_id AS INT) AS is_survivor
+FROM lab
 """,
         "embedding_topk": """
 WITH q AS (

@@ -1,0 +1,148 @@
+"""Distributed connected components + near-dup clustering (graph step of
+a training-data dedup pipeline).
+
+Pair generators (`dedup.exact_jaccard`, `dedup.minhash_near_dups`,
+`similarity.embedding_near_dups`) emit near-duplicate EDGES; an actual
+dedup needs the transitive closure — one cluster id per document, one
+survivor per cluster (the standard CCNet/RefinedWeb-style final step).
+
+Connected components here is the alternating **large-star / small-star**
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SOCC'14 — public literature): each round is two
+groupBy-join passes over the edge list, and the edge set converges to a
+star forest rooted at each component's minimum id in O(log n) rounds —
+not O(diameter) like naive label propagation, so pathological chain
+components at 100 TB don't dominate. Per round the working set only
+shrinks (edges point at smaller ids), every pass is a hash
+aggregation + equi-join on node id (AQE handles the skew of a giant
+component's root), and `localCheckpoint` truncates the growing lineage
+so plan compilation stays O(1) per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least("_mn", F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges large→small, then connect each smaller neighborhood
+    (and u itself) to its minimum."""
+    oriented = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    to_min = (
+        oriented.join(m, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edge = m.select("u", F.col("m").alias("v"))
+    return to_min.union(self_edge).where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(node, component) labels; component = min node id reachable.
+
+    Nodes appearing in no edge are absent — callers union isolated nodes
+    back with self-labels (see :func:`jaccard_clusters`). Convergence is
+    detected by an order-insensitive (count, hash-sum) signature of the
+    canonicalized edge set — two scalar aggregates per round, no
+    driver-side edge materialization.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_sig = None
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # bit_xor: order-insensitive and overflow-free (the edge set is
+        # distinct, so xor-cancellation of duplicates cannot occur)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:  # pragma: no cover - converges in O(log n) rounds
+        raise RuntimeError("connected_components did not converge")
+    # converged: e is a star forest (child > root), root = component min
+    children = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = (
+        e.select(F.col("v").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+    )
+    return children.union(roots)
+
+
+def jaccard_clusters(
+    docs: DataFrame,
+    min_jaccard: float = 0.2,
+    n: int = 3,
+    use_lsh: bool = False,
+) -> DataFrame:
+    """Near-duplicate clusters over the documents table: n-gram Jaccard
+    pairs → connected components → per-doc cluster id, cluster size, and
+    the survivor flag (min doc_id of the cluster is kept — the dedup
+    output a training-data pipeline feeds downstream).
+
+    ``use_lsh=True`` swaps the exact inverted-index pair join for the
+    MinHash/LSH candidate path (`dedup.minhash_near_dups`) — the scale
+    configuration; the exact path is the oracle-checkable one.
+    """
+    from .dedup import exact_jaccard, minhash_near_dups, word_shingles
+
+    pairs = (
+        minhash_near_dups(docs, min_jaccard=min_jaccard, n=n)
+        if use_lsh
+        else exact_jaccard(word_shingles(docs, n=n), min_jaccard=min_jaccard)
+    )
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    with_labels = docs.select("doc_id").join(
+        labels, docs["doc_id"] == labels["node"], "left"
+    )
+    clustered = with_labels.select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+    )
+    sizes = clustered.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        clustered.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id"))
+            .cast("int")
+            .alias("is_survivor"),
+        )
+    )

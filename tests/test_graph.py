@@ -1,0 +1,81 @@
+"""Connected-components (large-star/small-star) correctness tests."""
+
+from __future__ import annotations
+
+import random
+
+
+def _union_find_labels(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # label = min node id in component
+    label = {}
+    for x in range(n_nodes):
+        r = find(x)
+        label.setdefault(r, min(i for i in range(n_nodes) if find(i) == r))
+    return {x: label[find(x)] for x in range(n_nodes)}
+
+
+def _spark_labels(spark, edges):
+    from otlp_cardinality_checker_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    return {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+
+
+def test_cc_matches_union_find_random(spark):
+    rng = random.Random(42)
+    n = 120
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+    edges = [(u, v) for u, v in edges if u != v]
+    truth = _union_find_labels(n, edges)
+    got = _spark_labels(spark, edges)
+    touched = {u for e in edges for u in e}
+    assert set(got) == touched  # isolated nodes are the caller's job
+    for node in touched:
+        assert got[node] == truth[node], node
+
+
+def test_cc_structures(spark):
+    """Chain (worst case for naive propagation), clique, two components."""
+    chain = [(i, i + 1) for i in range(40)]  # diameter 40
+    clique = [(u, v) for u in range(100, 106) for v in range(100, u)]
+    pair = [(500, 501)]
+    got = _spark_labels(spark, chain + clique + pair)
+    assert all(got[i] == 0 for i in range(41))
+    assert all(got[i] == 100 for i in range(100, 106))
+    assert got[500] == got[501] == 500
+
+
+def test_jaccard_clusters_partition(spark):
+    """Cluster ids partition the docs; survivors are cluster minima; sizes
+    sum to the doc count; near-identical planted docs cluster together."""
+    from otlp_cardinality_checker_spark.operators.graph import (
+        jaccard_clusters,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(i, base + f" tail{i}") for i in range(4)]  # near-dups of base
+    rows += [(10 + i, f"completely different text number {i} about topic {i} stuff") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = jaccard_clusters(docs, min_jaccard=0.3).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert len(got) == 7
+    assert all(got[i]["cluster_id"] == 0 for i in range(4))
+    assert got[0]["is_survivor"] == 1 and got[1]["is_survivor"] == 0
+    assert got[0]["cluster_size"] == 4
+    assert sum({r["cluster_id"]: r["cluster_size"] for r in out}.values()) == 7
