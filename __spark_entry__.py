@@ -750,6 +750,26 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups_exact(emb, threshold=0.35)
 
 
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup clusters: exact pair graph (id slice,
+    cosine >= 0.35) → connected components → cluster id / size / survivor
+    per vector. Same CC operator as jaccard_clusters, different edge
+    generator — the oracle re-derives the pairs and closes them with a
+    recursive CTE."""
+    from otlp_cardinality_checker_spark.operators.graph import (
+        attach_clusters,
+    )
+    from otlp_cardinality_checker_spark.operators.similarity import (
+        embedding_near_dups_exact,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") < 200
+    )
+    pairs = embedding_near_dups_exact(emb, threshold=0.35)
+    return attach_clusters(emb, "vec_id", pairs, src="id_a", dst="id_b")
+
+
 def q_key_stats_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-stage HLL key stats (estimates: rows-only check; the
     <=10% band vs exact is asserted in tests/test_pipeline.py)."""
@@ -826,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_clusters": q_embedding_clusters,
         "key_stats_hll": q_key_stats_hll,
         "media_features": q_media_features,
     }
@@ -1324,6 +1345,32 @@ WHERE a.vec_id < 200 AND b.vec_id < 200
   AND round(list_cosine_similarity(
         CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
       >= 0.35
+""",
+        "embedding_clusters": """
+WITH RECURSIVE edges0 AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < 200 AND b.vec_id < 200
+    AND round(list_cosine_similarity(
+          CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
+        >= 0.35
+), edges AS (SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0),
+reach AS (
+  SELECT u AS node, v AS r FROM edges
+  UNION
+  SELECT w.node, e.v FROM reach w JOIN edges e ON w.r = e.u
+), labels AS (
+  SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node
+), lab AS (
+  SELECT m.vec_id, coalesce(l.cluster_id, m.vec_id) AS cluster_id
+  FROM (SELECT vec_id FROM embeddings WHERE vec_id < 200) m
+  LEFT JOIN labels l ON m.vec_id = l.node
+)
+SELECT vec_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         AS cluster_size,
+       CAST(vec_id = cluster_id AS INT) AS is_survivor
+FROM lab
 """,
     }
 

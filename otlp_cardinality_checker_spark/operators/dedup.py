@@ -134,15 +134,18 @@ def exact_jaccard(shingled: DataFrame, min_jaccard: float = 0.0) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # no broadcast hint: `sizes` is one row per document — tiny at test
+    # scale (AQE will still pick a broadcast join) but a driver-OOM if
+    # forced at 10^9 docs; the equi-join degrades gracefully to shuffle
     with_sizes = (
         pairs.join(
-            F.broadcast(sizes).withColumnsRenamed(
+            sizes.withColumnsRenamed(
                 {"doc_id": "doc_a", "n_shingles": "size_a"}
             ),
             "doc_a",
         )
         .join(
-            F.broadcast(sizes).withColumnsRenamed(
+            sizes.withColumnsRenamed(
                 {"doc_id": "doc_b", "n_shingles": "size_b"}
             ),
             "doc_b",

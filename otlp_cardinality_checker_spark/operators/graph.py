@@ -102,6 +102,33 @@ def connected_components(
     return children.union(roots)
 
 
+def attach_clusters(
+    entities: DataFrame,
+    id_col: str,
+    edges: DataFrame,
+    src: str,
+    dst: str,
+) -> DataFrame:
+    """(id, cluster_id, cluster_size, is_survivor) for every entity:
+    connected components over ``edges``, isolated entities as singleton
+    clusters, survivor = the cluster's minimum id."""
+    labels = connected_components(edges, src=src, dst=dst)
+    ids = entities.select(F.col(id_col))
+    clustered = ids.join(labels, ids[id_col] == labels["node"], "left").select(
+        id_col,
+        F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+    )
+    sizes = clustered.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return clustered.join(sizes, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        (F.col(id_col) == F.col("cluster_id")).cast("int").alias("is_survivor"),
+    )
+
+
 def jaccard_clusters(
     docs: DataFrame,
     min_jaccard: float = 0.2,
@@ -124,25 +151,4 @@ def jaccard_clusters(
         if use_lsh
         else exact_jaccard(word_shingles(docs, n=n), min_jaccard=min_jaccard)
     )
-    labels = connected_components(pairs, src="doc_a", dst="doc_b")
-    with_labels = docs.select("doc_id").join(
-        labels, docs["doc_id"] == labels["node"], "left"
-    )
-    clustered = with_labels.select(
-        "doc_id",
-        F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
-    )
-    sizes = clustered.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return (
-        clustered.join(sizes, "cluster_id")
-        .select(
-            "doc_id",
-            "cluster_id",
-            "cluster_size",
-            (F.col("doc_id") == F.col("cluster_id"))
-            .cast("int")
-            .alias("is_survivor"),
-        )
-    )
+    return attach_clusters(docs, "doc_id", pairs, src="doc_a", dst="doc_b")
