@@ -422,6 +422,16 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count_stats(docs)
 
 
+def q_doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact token-length percentiles (length-filter stats)."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        length_percentiles,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return length_percentiles(docs)
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otlp_cardinality_checker_spark.operators.text_analysis import (
         fingerprints,
@@ -831,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "doc_fingerprints": q_doc_fingerprints,
+        "doc_length_stats": q_doc_length_stats,
         "events_windowed": q_events_windowed,
         "events_windowed_stream": q_events_windowed_stream,
         "conv_sessions": q_conv_sessions,
@@ -1127,6 +1138,19 @@ SELECT lang,
   CAST(max(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)
        AS BIGINT) AS max_tokens
 FROM documents GROUP BY lang
+""",
+        "doc_length_stats": """
+WITH n AS (
+  SELECT lang,
+         length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS nt
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       round(quantile_cont(nt, 0.5), 4) AS p50_tokens,
+       round(quantile_cont(nt, 0.9), 4) AS p90_tokens,
+       round(quantile_cont(nt, 0.99), 4) AS p99_tokens,
+       round(avg(nt), 4) AS mean_tokens
+FROM n GROUP BY lang
 """,
         "doc_fingerprints": """
 SELECT doc_id,

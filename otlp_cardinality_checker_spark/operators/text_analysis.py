@@ -48,6 +48,24 @@ def token_count_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def length_percentiles(docs: DataFrame) -> DataFrame:
+    """Per-language token-length distribution (p50/p90/p99 + mean): the
+    stats behind a training pipeline's length-filter thresholds. Exact
+    interpolated percentiles (`percentile`, not `approx_percentile`) so
+    the DuckDB `quantile_cont` oracle matches bit-for-bit; at 100 TB this
+    is one hash-agg per language — swap in approx_percentile(…, accuracy)
+    if exact sort-based percentiles ever dominate, at the cost of the
+    exactness guarantee."""
+    n = _token_count(F.col("text"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile(n, F.lit(0.5)), 4).alias("p50_tokens"),
+        F.round(F.percentile(n, F.lit(0.9)), 4).alias("p90_tokens"),
+        F.round(F.percentile(n, F.lit(0.99)), 4).alias("p99_tokens"),
+        F.round(F.avg(n), 4).alias("mean_tokens"),
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Canonical document fingerprint: md5 of whitespace-collapsed lowercase."""
     canon = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))

@@ -181,3 +181,61 @@ def test_sessionize_stream_semantics(spark, tmp_path):
         ("c2", "2026-01-01 00:00:00", "2026-01-01 00:00:00", 1, 0),
         ("c3", "2026-01-01 01:00:00", "2026-01-01 01:00:20", 3, 1),
     ]
+
+
+def test_sessionize_stream_checkpoint_restart(spark, tmp_path):
+    """Keyed state must survive a full query restart: run the stream with
+    only batch A on disk, then add batch B and run AGAIN from the same
+    checkpoint — the union of outputs must equal the single-run result
+    (state for open sessions is restored, not rebuilt)."""
+    import time
+
+    from otlp_cardinality_checker_spark.streaming.stream import (
+        sessionize_stream,
+    )
+
+    t = lambda s: pd.Timestamp(f"2026-01-01 {s}")
+    rows = [
+        ("c1", 0, None, t("00:00:00")),
+        ("c1", 1, "web", t("00:00:10")),
+        ("c1", 2, None, t("02:00:00")),
+        ("c1", 3, None, t("02:00:05")),
+        ("c2", 0, None, t("00:00:00")),
+        ("c3", 0, None, t("01:00:00")),
+        ("c3", 1, None, t("01:00:10")),
+        ("c3", 2, "db", t("01:00:20")),
+        ("c4", 0, None, t("02:30:00")),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "tool", "ts"]
+    ).assign(role="user", text="hi")
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    cutoff = t("01:00:15")
+
+    def run_split(workdir, restart):
+        src = workdir / "src"
+        src.mkdir(parents=True)
+        kw = dict(gap="30 minutes", watermark="45 minutes")
+        pdf[pdf.ts < cutoff][cols].to_parquet(src / "a.parquet", index=False)
+        if restart:
+            sessionize_stream(
+                spark, str(src), str(workdir / "out"),
+                str(workdir / "ckpt"), **kw,
+            )
+        time.sleep(1.2)
+        pdf[pdf.ts >= cutoff][cols].to_parquet(src / "b.parquet", index=False)
+        sessionize_stream(
+            spark, str(src), str(workdir / "out"), str(workdir / "ckpt"), **kw
+        )
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                str(workdir / "out" / "sessions")
+            ).collect()
+        )
+
+    single = run_split(tmp_path / "single", restart=False)
+    restarted = run_split(tmp_path / "restarted", restart=True)
+    assert restarted == single and len(single) == 3
