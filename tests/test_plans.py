@@ -139,3 +139,39 @@ def test_topk_windows_are_two_stage(spark, tiny_routed):
     )
     plan2 = plan_of(brute_force_topk(emb, q, k=1))
     assert "_salt" in plan2
+
+
+def test_fused_diff_scans_once(tiny_routed):
+    """diff_from_predicate must read/parse the corpus ONCE: a single
+    data FileScan (the dims broadcast), no sort-merge join, and the
+    three-stage bounded aggregation chain — not the two-pass diff's
+    doubled parse subtree."""
+    from otlp_cardinality_checker_spark.operators.sessions import (
+        diff_from_predicate,
+    )
+
+    from otlp_cardinality_checker_spark.operators.aggregate import key_stats
+    from otlp_cardinality_checker_spark.operators.sessions import (
+        diff_key_stats,
+    )
+
+    def fact_scans(p: str) -> int:
+        # tiny_routed is cached, so its reads appear as InMemoryTableScan
+        return p.count("InMemoryTableScan")
+
+    pred = F.col("turn_idx") < 5
+    # "simple" mode prints each node once ("formatted" repeats nodes in
+    # the details section, double-counting scans)
+    fused = plan_of(diff_from_predicate(tiny_routed, pred), "simple")
+    two_pass = plan_of(
+        diff_key_stats(
+            key_stats(tiny_routed.where(pred), exact=True),
+            key_stats(tiny_routed, exact=True),
+        ),
+        "simple",
+    )
+    assert "SortMergeJoin" not in fused
+    assert fact_scans(fused) == 1
+    # key_stats' own grouping branches mean the two-pass shape scans the
+    # corpus at least twice (4 at HEAD); the fused form strictly wins.
+    assert fact_scans(two_pass) > fact_scans(fused)
