@@ -798,6 +798,62 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modality_stats(extract_features(synthetic_media(spark, 64)))
 
 
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.15}
+SAMPLE_DEFAULT_RATE = 0.1
+
+
+def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sink PII scan/redaction audit (uuid/email/ipv4/long-digit-run
+    counts + distinct-text cardinality before/after redaction)."""
+    from otlp_cardinality_checker_spark.operators.pii import pii_stats
+
+    return pii_stats(_routed(spark, sf_dir))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold stratified sample audit: the DuckDB
+    oracle reproduces the EXACT same sample membership (pinned by the
+    sampled-id checksum), evidencing engine-portable reproducibility."""
+    from otlp_cardinality_checker_spark.operators.sampling import (
+        stratified_sample_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample_stats(
+        docs, SAMPLE_RATES, default_rate=SAMPLE_DEFAULT_RATE
+    )
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per language over the documents corpus."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(docs, k=5)
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination: best n-gram containment of each test-split
+    document (source src10..src19) inside any train-split document."""
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        cross_split_containment,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cross_split_containment(
+        docs, F.length(F.col("source")) >= 5, min_containment=0.3
+    )
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key hot-value skew audit (two-stage argmax, no full-key sort)."""
+    from otlp_cardinality_checker_spark.operators.aggregate import key_skew
+
+    return key_skew(_routed(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -860,6 +916,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_clusters": q_embedding_clusters,
         "key_stats_hll": q_key_stats_hll,
         "media_features": q_media_features,
+        "pii_stats": q_pii_stats,
+        "stratified_sample": q_stratified_sample,
+        "tfidf_terms": q_tfidf_terms,
+        "contamination": q_contamination,
+        "key_skew": q_key_skew,
     }
 
 
@@ -1396,7 +1457,146 @@ SELECT vec_id, cluster_id,
        CAST(vec_id = cluster_id AS INT) AS is_survivor
 FROM lab
 """,
+        "pii_stats": pre + _pii_stats_sql(),
+        "stratified_sample": _stratified_sample_sql(),
+        "tfidf_terms": """
+WITH ex AS (
+  SELECT doc_id, lang, t AS term FROM (
+    SELECT doc_id, lang,
+           unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t
+    FROM documents
+  ) WHERE length(t) >= 3
+), tf AS (SELECT lang, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_total FROM documents)
+SELECT lang, term, tf, df, score, rank FROM (
+  SELECT lang, term, tf, df,
+    round(tf * ln(CAST(n_total AS DOUBLE) / df), 4) AS score,
+    row_number() OVER (
+      PARTITION BY lang
+      ORDER BY round(tf * ln(CAST(n_total AS DOUBLE) / df), 4) DESC,
+               term ASC) AS rank
+  FROM tf JOIN dfx USING (term) CROSS JOIN n
+) WHERE rank <= 5
+""",
+        "contamination": """
+WITH toks AS (
+  SELECT doc_id, length(source) >= 5 AS is_test,
+         string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), shingled AS (
+  SELECT doc_id, is_test,
+    CASE WHEN len(t) >= 3
+         THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                             for i in range(1, len(t) - 1)])
+         ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+), inv AS (
+  SELECT doc_id, is_test, unnest(shingles) AS shingle FROM shingled
+), pairs AS (
+  SELECT l.doc_id AS doc_id, r.doc_id AS train_doc_id,
+         count(*) AS n_common
+  FROM inv l JOIN inv r ON l.shingle = r.shingle
+  WHERE l.is_test AND NOT r.is_test
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n FROM shingled WHERE is_test
+), scored AS (
+  SELECT p.doc_id, train_doc_id, n_common,
+         round(CAST(n_common AS DOUBLE) / s.n, 6) AS containment
+  FROM pairs p JOIN sizes s ON p.doc_id = s.doc_id
+)
+SELECT doc_id, train_doc_id, n_common, containment FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id
+    ORDER BY containment DESC, train_doc_id ASC) AS rn
+  FROM scored
+) WHERE rn = 1 AND containment >= 0.3
+""",
+        "key_skew": pre
+        + """
+, freq AS (
+  SELECT "key", "value", count(*) AS vcount FROM rattrs GROUP BY 1, 2
+), top AS (
+  SELECT "key", "value" AS top_value, vcount AS top_count FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY "key" ORDER BY vcount DESC, "value" ASC) AS rn
+    FROM freq
+  ) WHERE rn = 1
+), totals AS (
+  SELECT "key", CAST(sum(vcount) AS BIGINT) AS n_rows,
+         count(*) AS n_values
+  FROM freq GROUP BY 1
+)
+SELECT t."key", n_rows, n_values, top_value, top_count,
+  round(top_count / n_rows, 4) AS top_share,
+  round(top_count * n_values / n_rows, 4) AS skew_ratio
+FROM totals t JOIN top USING ("key")
+""",
     }
+
+
+def _pii_stats_sql() -> str:
+    """Generated from the SAME pattern table the Spark operator compiles,
+    so the two engines can never drift: staged counts (class i counted on
+    text already redacted by classes 0..i-1) + the full redaction chain."""
+    from otlp_cardinality_checker_spark.operators.pii import PII_PATTERNS
+
+    count_cols = []
+    staged = "coalesce(text,'')"
+    for name, pat, placeholder in PII_PATTERNS:
+        count_cols.append(
+            f"len(regexp_extract_all({staged}, '{pat}')) AS n_{name}"
+        )
+        staged = f"regexp_replace({staged}, '{pat}', '{placeholder}', 'g')"
+    names = [name for name, _p, _ph in PII_PATTERNS]
+    any_pii = " + ".join(f"n_{n}" for n in names)
+    sum_cols = ",\n  ".join(
+        f"CAST(sum(n_{n}) AS BIGINT) AS total_{n}" for n in names
+    )
+    counts_sql = ",\n         ".join(count_cols)
+    return f"""
+, scanned AS (
+  SELECT sink, coalesce(text,'') AS raw,
+         {counts_sql},
+         {staged} AS redacted
+  FROM routed
+)
+SELECT sink, count(*) AS n_turns,
+  CAST(sum(CASE WHEN {any_pii} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_pii_turns,
+  {sum_cols},
+  count(DISTINCT redacted) AS n_distinct_redacted,
+  count(DISTINCT raw) AS n_distinct_raw
+FROM scanned GROUP BY sink
+"""
+
+
+def _stratified_sample_sql() -> str:
+    """CASE thresholds generated from the same rate table as the operator."""
+    from otlp_cardinality_checker_spark.operators.sampling import (
+        _hex_threshold,
+    )
+
+    whens = "\n           ".join(
+        f"WHEN '{stratum}' THEN '{_hex_threshold(rate)}'"
+        for stratum, rate in sorted(SAMPLE_RATES.items())
+    )
+    default = _hex_threshold(SAMPLE_DEFAULT_RATE)
+    return f"""
+WITH k AS (
+  SELECT lang, doc_id,
+    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE lang {whens} ELSE '{default}' END
+    THEN 1 ELSE 0 END AS keep
+  FROM documents
+)
+SELECT lang, count(*) AS n_total,
+  CAST(sum(keep) AS BIGINT) AS n_sampled,
+  round(sum(keep) / count(*), 4) AS realized_rate,
+  CAST(sum(doc_id * keep) AS BIGINT) AS sampled_id_sum
+FROM k GROUP BY lang
+"""
 
 
 def _language_id_sql() -> str:

@@ -592,3 +592,52 @@ def metadata_complexity(
         )
         .orderBy(F.desc("complexity_score"))
     )
+
+
+def key_skew(routed: DataFrame, n_salt: int = 16) -> DataFrame:
+    """Per-key value-skew audit: which attribute keys have a hot value.
+
+    For every attribute key: row volume, distinct-value count, the single
+    hottest value (two-stage argmax — salted local top-1, then a final
+    top-1 over at most n_salt rows per key, so no reducer ever sorts a full
+    key partition), its share of the key's rows, and the skew ratio
+    ``top_count / mean_count = top_count * n_values / n_rows`` (1.0 =
+    perfectly uniform). This is the report that tells an operator which
+    join/groupBy keys need salting BEFORE the 10^12-turn run falls over —
+    the same diagnosis this pipeline's own salted aggregates are built on.
+    """
+    freq = (
+        exploded_attrs(routed)
+        .groupBy("key", "value")
+        .agg(F.count(F.lit(1)).alias("vcount"))
+    )
+    order = (F.desc("vcount"), F.asc("value"))
+    w1 = Window.partitionBy("key", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("key").orderBy(*order)
+    top = (
+        freq.withColumn("_salt", F.pmod(F.hash("value"), F.lit(n_salt)))
+        .withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= 1)
+        .withColumn("_rank", F.row_number().over(w2))
+        .where(F.col("_rank") <= 1)
+        .select(
+            "key",
+            F.col("value").alias("top_value"),
+            F.col("vcount").alias("top_count"),
+        )
+    )
+    totals = freq.groupBy("key").agg(
+        F.sum("vcount").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_values"),
+    )
+    return totals.join(top, "key").select(
+        "key",
+        "n_rows",
+        "n_values",
+        "top_value",
+        "top_count",
+        F.round(F.col("top_count") / F.col("n_rows"), 4).alias("top_share"),
+        F.round(
+            F.col("top_count") * F.col("n_values") / F.col("n_rows"), 4
+        ).alias("skew_ratio"),
+    )

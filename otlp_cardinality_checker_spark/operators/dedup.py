@@ -208,6 +208,64 @@ def minhash_near_dups(
     )
 
 
+def cross_split_containment(
+    docs: DataFrame,
+    test_pred,
+    min_containment: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Train/test contamination check: best n-gram containment of each
+    *test* document inside any *train* document.
+
+    containment(T in R) = |shingles(T) ∩ shingles(R)| / |shingles(T)| — the
+    asymmetric overlap used for benchmark-leakage audits (a short test doc
+    fully quoted inside a long train doc scores 1.0 even though its Jaccard
+    is tiny).
+
+    Scale shape: the pair space is generated by an inverted-index equi-join
+    on the shingle hash *across the split boundary only* (test side joins
+    train side — never test x test or train x train), then one hash-agg per
+    surviving pair and a per-test-doc argmax window over the aggregated
+    candidates (bounded by candidates per doc, not corpus size). Ties break
+    deterministically (containment desc, train doc id asc).
+    """
+    sh = word_shingles(docs, n=n).join(
+        docs.select("doc_id", test_pred.alias("is_test")), "doc_id"
+    )
+    inv = sh.select(
+        "doc_id", "is_test", F.explode("shingles").alias("shingle")
+    )
+    pairs = (
+        inv.where(F.col("is_test")).alias("t")
+        .join(
+            inv.where(~F.col("is_test")).alias("r"),
+            F.col("t.shingle") == F.col("r.shingle"),
+        )
+        .groupBy(
+            F.col("t.doc_id").alias("doc_id"),
+            F.col("r.doc_id").alias("train_doc_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    test_sizes = sh.where(F.col("is_test")).select(
+        "doc_id", F.size("shingles").alias("n_shingles")
+    )
+    scored = pairs.join(test_sizes, "doc_id").withColumn(
+        "containment",
+        F.round(F.col("n_common") / F.col("n_shingles"), 6),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("containment"), F.asc("train_doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("containment") >= min_containment))
+        .select("doc_id", "train_doc_id", "n_common", "containment")
+    )
+
+
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document from whitespace-token hashes.
 

@@ -1,0 +1,97 @@
+"""PII / sensitive-token detection and redaction over transcript text.
+
+Training pipelines scrub identifiers before text reaches a model. This
+module provides the scan (per-turn counts per pattern class), the redaction
+(placeholder substitution), and the per-sink audit aggregate, all as pure
+Catalyst expressions — a scan + project + hash-agg that holds up at 100 TB
+(no UDFs, no shuffle beyond the final aggregate).
+
+Patterns are RE2-safe (no lookarounds, explicit ASCII classes) so the
+DuckDB oracle evaluates the exact same automaton; Java's `regexp_extract_all`
+and DuckDB's produce identical non-overlapping leftmost match sets for
+these expressions (the ASCII-class parity rules from functions/masking.py).
+
+Redaction order matters and is part of the contract: UUIDs are replaced
+before long digit runs so a UUID's 12-hex tail is never double-counted as
+an account number; IPv4 octets (<=3 digits) can never reach the >=6-digit
+run pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (name, regex, placeholder) — ordered: redaction applies top to bottom.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    (
+        "uuid",
+        "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}",
+        "<UUID>",
+    ),
+    (
+        "email",
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    (
+        "ipv4",
+        "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+        "<IP>",
+    ),
+    ("longnum", "[0-9]{6,}", "<NUM>"),
+)
+
+
+def _redact_chain(text: Column, upto: int) -> Column:
+    """Text with the first `upto` pattern classes already replaced."""
+    out = text
+    for name, pat, placeholder in PII_PATTERNS[:upto]:
+        out = F.regexp_replace(out, pat, placeholder)
+    return out
+
+
+def pii_scan(turns: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-turn PII hit counts + the fully redacted text.
+
+    Counts for pattern class i are taken on text already redacted by
+    classes 0..i-1, so classes never double-count each other's bytes.
+    """
+    base = F.coalesce(F.col(text_col), F.lit(""))
+    cols = list(turns.columns)
+    out = turns.withColumn(text_col, base)
+    for i, (name, pat, _ph) in enumerate(PII_PATTERNS):
+        staged = _redact_chain(F.col(text_col), i)
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(staged, F.lit(pat), F.lit(0))),
+        )
+    return out.withColumn(
+        "redacted", _redact_chain(F.col(text_col), len(PII_PATTERNS))
+    ).select(
+        *cols,
+        *[f"n_{name}" for name, _p, _ph in PII_PATTERNS],
+        "redacted",
+    )
+
+
+def pii_stats(routed: DataFrame) -> DataFrame:
+    """Per-sink PII audit: turn volume, turns containing any PII, hit
+    totals per class, and the distinct-redacted-text count (how much
+    cardinality redaction removes — the tie-in to the cardinality
+    pipeline's reason for existing)."""
+    scanned = pii_scan(routed)
+    any_pii = sum(
+        (F.col(f"n_{name}") for name, _p, _ph in PII_PATTERNS),
+        start=F.lit(0),
+    ) > 0
+    return scanned.groupBy("sink").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(any_pii.cast("long")).alias("n_pii_turns"),
+        *[
+            F.sum(f"n_{name}").alias(f"total_{name}")
+            for name, _p, _ph in PII_PATTERNS
+        ],
+        F.count_distinct(F.col("redacted")).alias("n_distinct_redacted"),
+        F.count_distinct(F.col("text")).alias("n_distinct_raw"),
+    )

@@ -1,0 +1,89 @@
+"""Deterministic stratified sampling for training-data pipelines.
+
+Data-mixing for LLM training needs *reproducible* per-source sampling: the
+same row must be kept or dropped on every run, on every engine, at any
+parallelism.  Random-number sampling (``df.sample``) cannot promise that, so
+the operator here is a **hash-threshold Bernoulli sample**: a row survives
+iff the first 16 bits of ``md5(id || salt)`` fall below ``rate * 2^16`` for
+its stratum.  md5 is bit-identical across engines (the DuckDB oracle
+reproduces the exact same sample), the salt gives independent re-draws, and
+the whole thing is a pure scan + filter — no shuffle, no state, trivially
+correct at 100 TB (predicate pushdown still applies to every other filter
+in the plan).
+
+Scale notes: the per-stratum threshold is compiled into a single CASE
+expression (no join against a rates table needed below ~thousands of
+strata; swap to a broadcast join above that), and the audit aggregate is
+one map-side-combinable hash aggregation over the stratum column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hex_threshold(rate: float) -> str:
+    """First-4-hex-chars cutoff: keep iff substr(md5,1,4) < this.
+
+    rate=1.0 maps to "zzzz", lexicographically above every hex digest, so
+    the comparison keeps everything without a special case in the plan."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    if rate >= 1.0:
+        return "zzzz"
+    return format(int(rate * 65536), "04x")
+
+
+def _keep_expr(
+    rates: dict[str, float],
+    default_rate: float,
+    stratum_col: str,
+    id_col: str,
+    salt: str,
+) -> Column:
+    digest = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 4
+    )
+    threshold = F.lit(_hex_threshold(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(stratum_col) == stratum, F.lit(_hex_threshold(rate))
+        ).otherwise(threshold)
+    return digest < threshold
+
+
+def hash_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Rows surviving the deterministic per-stratum Bernoulli sample."""
+    return docs.where(
+        _keep_expr(rates, default_rate, stratum_col, id_col, salt)
+    )
+
+
+def stratified_sample_stats(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum sample audit in ONE pass: totals, kept count, realized
+    rate, and the kept-id checksum (sum of sampled ids) that pins the exact
+    membership of the sample, not just its size."""
+    keep = _keep_expr(rates, default_rate, stratum_col, id_col, salt).cast(
+        "long"
+    )
+    return docs.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(keep).alias("n_sampled"),
+        F.round(F.sum(keep) / F.count(F.lit(1)), 4).alias("realized_rate"),
+        F.sum(F.col(id_col) * keep).alias("sampled_id_sum"),
+    )

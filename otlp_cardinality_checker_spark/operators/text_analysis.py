@@ -72,6 +72,57 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.md5(canon).alias("fingerprint"))
 
 
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 5, min_len: int = 3
+) -> DataFrame:
+    """Top-k corpus-characterizing terms per language by TF-IDF.
+
+    tf = term frequency within the language partition; df = number of
+    distinct documents (corpus-wide) containing the term; score =
+    tf * ln(N/df), rounded to 4 places BEFORE ranking so the tie-break
+    (score desc, term asc) is identical across engines.
+
+    Scale shape: explode -> two hash aggregations (tf by (lang, term), df
+    by term) -> equi-join on term -> top-k window. The window partitions by
+    language over the *aggregated vocabulary* (bounded by dictionary size,
+    not corpus size), so there is no unbounded single-reducer sort; the
+    corpus-size scalar N joins in as a broadcast of one row.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"),
+        lambda t: F.length(t) >= min_len,
+    )
+    ex = docs.select("doc_id", "lang", F.explode(toks).alias("term"))
+    tf = ex.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        ex.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_total = docs.agg(F.count_distinct("doc_id").alias("n_total"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log(F.col("n_total") / F.col("df")), 4
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("lang", "term", "tf", "df", "score", "rank")
+    )
+
+
 # Stopword-profile language ID: count hits of per-language marker words.
 # Heuristic stopword approach (no external models in the container). Scores
 # are integer matched-char counts so the DuckDB oracle can mirror exactly;

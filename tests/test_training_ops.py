@@ -1,0 +1,181 @@
+"""Tests for the round-2 training-pipeline additions: deterministic
+stratified sampling, PII scan/redaction, TF-IDF terms, cross-split
+containment, and the key-skew audit."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    from otlp_cardinality_checker_spark.operators.sampling import hash_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rates = {"en": 0.5, "de": 0.0}
+    a = sorted(
+        r["doc_id"] for r in hash_sample(docs, rates, 0.1).collect()
+    )
+    b = sorted(
+        r["doc_id"] for r in hash_sample(docs, rates, 0.1).collect()
+    )
+    assert a == b and a  # same membership on every run, non-empty
+    # rate 0.0 drops the stratum entirely
+    langs = {
+        r["lang"]
+        for r in hash_sample(docs, rates, 0.1).select("lang").distinct().collect()
+    }
+    assert "de" not in langs
+
+
+def test_hash_sample_rate_one_keeps_all_and_salt_redraws(spark):
+    from otlp_cardinality_checker_spark.operators.sampling import hash_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_all = docs.count()
+    assert hash_sample(docs, {}, default_rate=1.0).count() == n_all
+    s0 = {r["doc_id"] for r in hash_sample(docs, {}, 0.3, salt="a").collect()}
+    s1 = {r["doc_id"] for r in hash_sample(docs, {}, 0.3, salt="b").collect()}
+    assert s0 != s1  # independent draw under a different salt
+
+
+def test_sample_stats_rate_within_band(spark):
+    from otlp_cardinality_checker_spark.operators.sampling import (
+        stratified_sample_stats,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {
+        r["lang"]: r
+        for r in stratified_sample_stats(docs, {"en": 0.5}, 0.1).collect()
+    }
+    assert abs(got["en"]["realized_rate"] - 0.5) < 0.25
+    for lang, row in got.items():
+        assert 0 <= row["n_sampled"] <= row["n_total"]
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scan_counts_and_redaction_order(spark):
+    from otlp_cardinality_checker_spark.operators.pii import pii_scan
+
+    rows = [
+        # uuid's 12-hex tail must NOT be re-counted as a long digit run
+        (1, "trace 9e3779b1-0003-4005-8007-000043f41c39 done"),
+        (2, "login from 10.0.12.7 acct 123456789"),
+        (3, "mail bob@example.com and alice@test.org"),
+        (4, "clean text with no identifiers"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "conv_id long, text string")
+    got = {r["conv_id"]: r for r in pii_scan(df).collect()}
+    assert got[1]["n_uuid"] == 1 and got[1]["n_longnum"] == 0
+    assert "<UUID>" in got[1]["redacted"]
+    assert got[2]["n_ipv4"] == 1 and got[2]["n_longnum"] == 1
+    assert got[2]["redacted"] == "login from <IP> acct <NUM>"
+    assert got[3]["n_email"] == 2
+    assert got[4]["redacted"] == "clean text with no identifiers"
+    assert got[5]["redacted"] == ""  # NULL text -> empty, not NULL
+
+
+def test_pii_stats_reduces_cardinality(spark, tiny_routed):
+    from otlp_cardinality_checker_spark.operators.pii import pii_stats
+
+    got = pii_stats(tiny_routed).collect()
+    assert got
+    for row in got:
+        assert row["n_distinct_redacted"] <= row["n_distinct_raw"]
+        assert row["n_pii_turns"] <= row["n_turns"]
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_discriminative_term_wins(spark):
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        tfidf_top_terms,
+    )
+
+    rows = [
+        (1, "en", "shared shared shared apple apple apple apple"),
+        (2, "en", "shared shared shared"),
+        (3, "de", "shared shared shared banane banane banane banane"),
+        (4, "de", "shared shared shared"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = tfidf_top_terms(docs, k=2).collect()
+    best = {r["lang"]: r["term"] for r in got if r["rank"] == 1}
+    # 'shared' appears in every doc (idf = ln(1) = 0); the per-language
+    # exclusive term must rank first
+    assert best == {"en": "apple", "de": "banane"}
+    assert all(r["score"] == 0.0 for r in got if r["term"] == "shared")
+
+
+# ---------------------------------------------------------------------------
+# containment
+# ---------------------------------------------------------------------------
+
+
+def test_containment_full_quote_scores_one(spark):
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        cross_split_containment,
+    )
+
+    train_text = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    )
+    rows = [
+        (1, "train", train_text),
+        # test doc 2 is a verbatim substring of train doc 1
+        (2, "test", "beta gamma delta epsilon zeta"),
+        # test doc 3 shares nothing
+        (3, "test", "one two three four five six"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in cross_split_containment(
+            docs, F.col("source") == "test", min_containment=0.5
+        ).collect()
+    }
+    assert got[2]["containment"] == 1.0
+    assert got[2]["train_doc_id"] == 1
+    assert 3 not in got
+
+
+# ---------------------------------------------------------------------------
+# key skew
+# ---------------------------------------------------------------------------
+
+
+def test_key_skew_flags_hot_value(spark):
+    from otlp_cardinality_checker_spark.operators.aggregate import key_skew
+
+    rows = []
+    for i in range(100):
+        rows.append(("chat", f"c{i}", 0, None, {"hot": "same", "flat": f"v{i}"}))
+    routed = spark.createDataFrame(
+        rows,
+        "sink string, conv_id string, turn_idx int, ts timestamp, "
+        "attrs map<string,string>",
+    )
+    got = {r["key"]: r for r in key_skew(routed).collect()}
+    assert got["hot"]["top_value"] == "same"
+    assert got["hot"]["skew_ratio"] == 1.0 and got["hot"]["top_share"] == 1.0
+    assert got["hot"]["n_values"] == 1
+    assert got["flat"]["skew_ratio"] == 1.0  # uniform: top*n/total == 1
+    assert got["flat"]["top_share"] == 0.01
+    assert got["flat"]["top_value"] == "v0"  # deterministic tie-break
