@@ -458,6 +458,19 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard(word_shingles(docs), min_jaccard=0.2)
 
 
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-gram-filtered Jaccard: shingles with document frequency > 4 are
+    dropped before the pair join (bounds per-shingle fan-out at web scale);
+    similarity is over the filtered sets. The oracle mirrors the cap."""
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        exact_jaccard,
+        word_shingles,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_jaccard(word_shingles(docs), min_jaccard=0.2, max_df=4)
+
+
 def q_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: exact n-gram Jaccard pairs (>=0.2) → distributed
     connected components (large-star/small-star) → per-doc cluster id,
@@ -906,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": q_top_orders,
         "language_id": q_language_id,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "jaccard_clusters": q_jaccard_clusters,
         "embedding_topk": q_embedding_topk,
         "minhash_near_dups": q_minhash_near_dups,
@@ -1358,6 +1372,36 @@ WITH toks AS (
   FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
   GROUP BY 1, 2
 ), sizes AS (SELECT doc_id, len(shingles) AS n FROM shingled)
+SELECT doc_a, doc_b, n_common,
+  round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+""",
+        "ngram_jaccard_capped": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), shingled AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+         THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                             for i in range(1, len(t) - 1)])
+         ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+), inv0 AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+), dfreq AS (
+  SELECT shingle, count(*) AS c FROM inv0 GROUP BY 1
+), inv AS (
+  SELECT i.doc_id, i.shingle FROM inv0 i
+  JOIN dfreq d USING (shingle) WHERE d.c <= 4
+), pairs AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_common
+  FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY 1)
 SELECT doc_a, doc_b, n_common,
   round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
 FROM pairs

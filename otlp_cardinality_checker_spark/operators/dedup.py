@@ -109,19 +109,59 @@ def lsh_candidate_pairs(
     )
 
 
-def exact_jaccard(shingled: DataFrame, min_jaccard: float = 0.0) -> DataFrame:
+def _capped_inverted_index(
+    shingled: DataFrame, max_df: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """(inverted index, per-doc sizes), optionally dropping stop-grams.
+
+    At web scale a stop-word shingle ("of the and") appears in a constant
+    fraction of ALL documents, so its posting list alone generates
+    O(corpus^2) candidate pairs — the one part of the inverted-index join
+    that does not survive a 100x scale-up. ``max_df`` drops shingles whose
+    document frequency exceeds the cap (the standard stop-gram filter in
+    web-dedup pipelines): per-shingle fan-out is then bounded by
+    max_df^2/2 pairs, making the whole join linear in corpus size. The hot
+    list is tiny by construction (only shingles above the cap), so the
+    anti-join broadcasts.
+
+    Similarity is then computed over the FILTERED shingle sets (sizes count
+    surviving shingles only) — the documented semantics: ubiquitous
+    n-grams carry no dedup signal. Docs whose shingles are all stop-grams
+    drop out of the pair graph entirely.
+    """
+    inv = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    if max_df is None:
+        sizes = shingled.select(
+            "doc_id", F.size("shingles").alias("n_shingles")
+        )
+        return inv, sizes
+    hot = (
+        inv.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > max_df)
+        .select("shingle")
+    )
+    inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = inv.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    return inv, sizes
+
+
+def exact_jaccard(
+    shingled: DataFrame,
+    min_jaccard: float = 0.0,
+    max_df: int | None = None,
+) -> DataFrame:
     """Exact pairwise n-gram Jaccard via inverted-index join.
 
     Pairs are generated only for docs sharing >=1 shingle (explode + self
     equi-join on the shingle hash), then |intersection| is a group count and
-    |union| = |A| + |B| - |intersection|.
+    |union| = |A| + |B| - |intersection|. With ``max_df`` set, stop-grams
+    are removed first (see _capped_inverted_index) and the Jaccard is over
+    the filtered sets.
     """
-    sizes = shingled.select(
-        "doc_id", F.size("shingles").alias("n_shingles")
-    )
-    inv = shingled.select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
+    inv, sizes = _capped_inverted_index(shingled, max_df)
     pairs = (
         inv.alias("l")
         .join(
@@ -213,6 +253,7 @@ def cross_split_containment(
     test_pred,
     min_containment: float = 0.5,
     n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Train/test contamination check: best n-gram containment of each
     *test* document inside any *train* document.
@@ -229,12 +270,9 @@ def cross_split_containment(
     candidates (bounded by candidates per doc, not corpus size). Ties break
     deterministically (containment desc, train doc id asc).
     """
-    sh = word_shingles(docs, n=n).join(
-        docs.select("doc_id", test_pred.alias("is_test")), "doc_id"
-    )
-    inv = sh.select(
-        "doc_id", "is_test", F.explode("shingles").alias("shingle")
-    )
+    base_inv, sizes = _capped_inverted_index(word_shingles(docs, n=n), max_df)
+    flags = docs.select("doc_id", test_pred.alias("is_test"))
+    inv = base_inv.join(flags, "doc_id")
     pairs = (
         inv.where(F.col("is_test")).alias("t")
         .join(
@@ -247,8 +285,8 @@ def cross_split_containment(
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    test_sizes = sh.where(F.col("is_test")).select(
-        "doc_id", F.size("shingles").alias("n_shingles")
+    test_sizes = sizes.join(flags.where(F.col("is_test")), "doc_id").select(
+        "doc_id", "n_shingles"
     )
     scored = pairs.join(test_sizes, "doc_id").withColumn(
         "containment",

@@ -179,3 +179,67 @@ def test_key_skew_flags_hot_value(spark):
     assert got["flat"]["skew_ratio"] == 1.0  # uniform: top*n/total == 1
     assert got["flat"]["top_share"] == 0.01
     assert got["flat"]["top_value"] == "v0"  # deterministic tie-break
+
+
+# ---------------------------------------------------------------------------
+# stop-gram df cap
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_max_df_drops_hot_shingles(spark):
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        exact_jaccard,
+        word_shingles,
+    )
+
+    # "the big dog" appears in EVERY doc (the hot stop-gram); only docs
+    # 1 and 2 also share a rare tail.
+    rows = [
+        (1, "the big dog ran far away yesterday evening"),
+        (2, "the big dog ran far away yesterday morning"),
+        (3, "the big dog sat quietly under a tree"),
+        (4, "the big dog barked loudly at the mailman"),
+        (5, "the big dog chased its tail in circles"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = word_shingles(docs)
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in exact_jaccard(sh, min_jaccard=0.01).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in exact_jaccard(sh, min_jaccard=0.01, max_df=3).collect()
+    }
+    # every pair shares the hot shingle -> uncapped pairs all 10 combos
+    assert len(uncapped) == 10
+    # capped: only the pair sharing rare shingles survives
+    assert capped == {(1, 2)}
+
+
+def test_containment_respects_max_df(spark):
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        cross_split_containment,
+    )
+
+    rows = [
+        (1, "train", "common common common rare alpha beta gamma delta"),
+        (2, "train", "common common common nothing else here today"),
+        (3, "test", "common common common rare alpha beta gamma delta"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    import pyspark.sql.functions as FF
+
+    pred = FF.col("source") == "test"
+    # without the cap doc 3 matches doc 1 exactly
+    full = cross_split_containment(docs, pred, min_containment=0.5).collect()
+    assert full and full[0]["train_doc_id"] == 1
+    # with an aggressive cap the ubiquitous "common common common" shingle
+    # is dropped from sizes AND pairs, but the rare tail still matches
+    capped = cross_split_containment(
+        docs, pred, min_containment=0.5, max_df=2
+    ).collect()
+    assert capped and capped[0]["train_doc_id"] == 1
+    assert capped[0]["containment"] == 1.0
