@@ -175,3 +175,46 @@ def test_fused_diff_scans_once(tiny_routed):
     # key_stats' own grouping branches mean the two-pass shape scans the
     # corpus at least twice (4 at HEAD); the fused form strictly wins.
     assert fact_scans(two_pass) > fact_scans(fused)
+
+
+def test_training_ops_plan_shapes(spark, tiny_routed):
+    """Scale-shape pins for the round-2 training ops:
+
+    * pii_stats — pure Catalyst (no Python eval nodes)
+    * stratified sample stats — scan + one exchange (the final hash-agg)
+    * tfidf — the corpus-size scalar joins via broadcast, never a
+      shuffled cartesian
+    * capped jaccard — the hot-shingle anti-join broadcasts
+    * key_skew — salted two-stage argmax present
+    """
+    from otlp_cardinality_checker_spark.operators.aggregate import key_skew
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        exact_jaccard,
+        word_shingles,
+    )
+    from otlp_cardinality_checker_spark.operators.pii import pii_stats
+    from otlp_cardinality_checker_spark.operators.sampling import (
+        stratified_sample_stats,
+    )
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    pii = plan_of(pii_stats(tiny_routed))
+    assert "BatchEvalPython" not in pii and "ArrowEvalPython" not in pii
+
+    samp = plan_of(stratified_sample_stats(docs, {"en": 0.5}, 0.1), "simple")
+    assert samp.count("Exchange") == 1  # only the final aggregation shuffle
+    assert "BatchEvalPython" not in samp
+
+    tfidf = plan_of(tfidf_top_terms(docs))
+    assert "BroadcastNestedLoopJoin" in tfidf  # 1-row N joins broadcast
+    assert "CartesianProduct" not in tfidf
+
+    capped = plan_of(exact_jaccard(word_shingles(docs), max_df=4))
+    assert "BroadcastHashJoin" in capped and "LeftAnti" in capped
+
+    skew = plan_of(key_skew(tiny_routed))
+    assert "_salt" in skew  # two-stage argmax, no full-key single sort
