@@ -586,6 +586,50 @@ def q_events_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup-at-ingest (§2.10 x training ops): incremental exact
+    dedup with cross-batch digest state, run as a real Structured
+    Streaming job over three doc_id-range micro-batches.
+
+    Deterministic contract the oracle replicates: batches are ascending
+    doc_id ranges processed in order, and within a batch the min doc_id
+    per digest wins — so first-seen == global min doc_id per digest. The
+    driver corpus has no duplicate texts, so the wrapper injects them:
+    every doc with doc_id < 50 re-enters as doc_id + 10000 (landing in the
+    LAST batch), exercising the cross-batch duplicate path non-trivially;
+    the oracle applies the same UNION ALL."""
+    import tempfile
+    import time as _time
+    from pathlib import Path
+
+    import pandas as pd
+
+    from otlp_cardinality_checker_spark.streaming.stream import dedup_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pdf = docs.toPandas()
+    dups = pdf[pdf["doc_id"] < 50].copy()
+    dups["doc_id"] = dups["doc_id"] + 10000
+    pdf = (
+        pd.concat([pdf, dups], ignore_index=True)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    tmp = Path(tempfile.mkdtemp(prefix="dedupstream_"))
+    src = tmp / "src"
+    src.mkdir()
+    n = len(pdf)
+    cuts = (pdf.iloc[: n // 3], pdf.iloc[n // 3 : 2 * n // 3], pdf.iloc[2 * n // 3 :])
+    for i, chunk in enumerate(cuts):
+        if i:
+            _time.sleep(1.2)  # mtime order == micro-batch order
+        chunk.to_parquet(src / f"part{i}.parquet", index=False)
+    dedup_stream(spark, str(src), str(tmp / "out"), str(tmp / "ckpt"))
+    return spark.read.parquet(str(tmp / "out" / "decisions")).select(
+        "doc_id", "text_hash", "is_first"
+    )
+
+
 def q_conv_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 custom stateful streaming operator, driver-verified: per-
     conversation session-gap splitting via applyInPandasWithState
@@ -913,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_stats": q_doc_length_stats,
         "events_windowed": q_events_windowed,
         "events_windowed_stream": q_events_windowed_stream,
+        "dedup_stream": q_dedup_stream,
         "conv_sessions": q_conv_sessions,
         "events_json_props": q_events_json_props,
         "pricing_summary": q_pricing_summary,
@@ -1295,6 +1340,17 @@ SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, n_events, total_value
 FROM w, b
 WHERE ws + INTERVAL 1 HOUR <= tmax - INTERVAL 30 MINUTE
+""",
+        "dedup_stream": """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
+)
+SELECT doc_id, md5(text) AS text_hash,
+  CAST(doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS INT)
+    AS is_first
+FROM corpus
 """,
         "conv_sessions": f"""
 WITH src AS (

@@ -371,6 +371,110 @@ def sessionize_stream(
     q.awaitTermination(300)
 
 
+DOC_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def dedup_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> int:
+    """Dedup-at-ingest: incremental exact dedup with cross-batch digest
+    state (first-seen wins).
+
+    Each micro-batch of documents is hashed (md5 of text), deduped within
+    the batch (min doc_id per digest), then anti-joined against the
+    accumulated digest-state table: digests already seen in an EARLIER
+    batch are duplicates. Decisions and new digests are written partitioned
+    by batch_id with dynamic partition overwrite, so a checkpoint replay of
+    a batch overwrites its own output instead of double-inserting — and the
+    state read excludes partitions >= the current batch_id, so a replayed
+    batch never sees its own earlier write as "prior state".
+
+    Scale shape: state is (digest, first_doc_id) — 16 bytes + id per unique
+    document, shuffled only on the digest equi-join; the document text
+    never enters the state or the join. On a real cluster the state is an
+    Iceberg table maintained with MERGE INTO; here it is a partitioned
+    parquet directory with the identical replay-safety contract.
+
+    Returns the number of micro-batches executed.
+    """
+    from pathlib import Path as _P
+
+    state_dir = _P(out_dir) / "digest_state"
+    decisions_dir = _P(out_dir) / "decisions"
+    executed = {"n": 0}
+
+    def on_batch(df: DataFrame, batch_id: int) -> None:
+        hashed = df.withColumn("text_hash", F.md5(F.col("text")))
+        batch_first = hashed.groupBy("text_hash").agg(
+            F.min("doc_id").alias("_batch_first")
+        )
+        d = hashed.join(batch_first, "text_hash")
+        prior_parts = [
+            p
+            for p in state_dir.glob("_batch_id=*")
+            if int(p.name.split("=")[1]) < batch_id
+        ]
+        if prior_parts:
+            seen = (
+                spark.read.option("basePath", str(state_dir))
+                .parquet(*[str(p) for p in prior_parts])
+                .select("text_hash")
+                .distinct()
+                .withColumn("_seen", F.lit(True))
+            )
+            d = d.join(seen, "text_hash", "left").withColumn(
+                "_unseen", F.col("_seen").isNull()
+            )
+        else:
+            d = d.withColumn("_unseen", F.lit(True))
+        decisions = d.select(
+            "doc_id",
+            "text_hash",
+            (
+                F.col("_unseen") & (F.col("doc_id") == F.col("_batch_first"))
+            ).cast("int").alias("is_first"),
+        ).withColumn("_batch_id", F.lit(batch_id))
+        (
+            decisions.write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(str(decisions_dir))
+        )
+        new_digests = (
+            d.where(F.col("_unseen"))
+            .select("text_hash", F.col("_batch_first").alias("first_doc_id"))
+            .distinct()
+            .withColumn("_batch_id", F.lit(batch_id))
+        )
+        (
+            new_digests.write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(str(state_dir))
+        )
+        executed["n"] += 1
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return executed["n"]
+
+
 def _duration_to_seconds(s: str) -> float:
     n, unit = s.split()
     mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,

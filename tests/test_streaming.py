@@ -239,3 +239,48 @@ def test_sessionize_stream_checkpoint_restart(spark, tmp_path):
     single = run_split(tmp_path / "single", restart=False)
     restarted = run_split(tmp_path / "restarted", restart=True)
     assert restarted == single and len(single) == 3
+
+
+def test_dedup_stream_incremental_resume(spark, tmp_path):
+    """Dedup-at-ingest: cross-batch digest state + checkpoint resume.
+
+    Phase 1 streams two files; phase 2 adds a third file containing
+    duplicates of phase-1 texts and re-runs with the SAME checkpoint — only
+    the new file is processed, and its rows must be flagged as duplicates
+    against the persisted digest state."""
+    import time
+
+    import pandas as pd
+
+    from otlp_cardinality_checker_spark.streaming.stream import dedup_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def doc(i, text):
+        return {"doc_id": i, "text": text, "lang": "en",
+                "source": "s", "n_chars": len(text)}
+
+    # batch 0: unique texts + an IN-batch duplicate (docs 1 and 2)
+    pd.DataFrame([doc(1, "aaa"), doc(2, "aaa"), doc(3, "bbb")]).to_parquet(
+        src / "f0.parquet", index=False
+    )
+    time.sleep(1.2)
+    pd.DataFrame([doc(4, "ccc"), doc(5, "bbb")]).to_parquet(
+        src / "f1.parquet", index=False
+    )
+    assert dedup_stream(spark, str(src), out, ckpt) == 2
+
+    time.sleep(1.2)
+    # batch 2 (after resume): duplicates of earlier texts + one new
+    pd.DataFrame([doc(6, "aaa"), doc(7, "ddd")]).to_parquet(
+        src / "f2.parquet", index=False
+    )
+    assert dedup_stream(spark, str(src), out, ckpt) == 1  # only the new file
+
+    got = {
+        r["doc_id"]: r["is_first"]
+        for r in spark.read.parquet(f"{out}/decisions").collect()
+    }
+    assert got == {1: 1, 2: 0, 3: 1, 4: 1, 5: 0, 6: 0, 7: 1}
