@@ -855,6 +855,17 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modality_stats(extract_features(synthetic_media(spark, 64)))
 
 
+
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel: first-failing-stage drop accounting."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        filter_funnel,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return filter_funnel(docs)
+
+
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.15}
 SAMPLE_DEFAULT_RATE = 0.1
 
@@ -978,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_stats": q_pii_stats,
         "stratified_sample": q_stratified_sample,
         "tfidf_terms": q_tfidf_terms,
+        "filter_funnel": q_filter_funnel,
         "contamination": q_contamination,
         "key_skew": q_key_skew,
     }
@@ -1558,6 +1570,7 @@ SELECT vec_id, cluster_id,
 FROM lab
 """,
         "pii_stats": pre + _pii_stats_sql(),
+        "filter_funnel": _filter_funnel_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "tfidf_terms": """
 WITH ex AS (
@@ -1696,6 +1709,40 @@ SELECT lang, count(*) AS n_total,
   round(sum(keep) / count(*), 4) AS realized_rate,
   CAST(sum(doc_id * keep) AS BIGINT) AS sampled_id_sum
 FROM k GROUP BY lang
+"""
+
+
+def _filter_funnel_sql() -> str:
+    """Funnel oracle generated from the same marker table as the operator."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        LANG_MARKERS,
+    )
+
+    lang_sums = []
+    for markers in LANG_MARKERS.values():
+        terms = " + ".join(
+            f"(length(t) - length(replace(t, '{m}', '')))" for m in markers
+        )
+        lang_sums.append(f"({terms})")
+    best = "greatest(" + ", ".join(lang_sums) + ")"
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+    length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS nt,
+    round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1), 4) AS ar,
+    {best} AS best
+  FROM (SELECT *, ' ' || lower(text) || ' ' AS t FROM documents)
+), staged AS (
+  SELECT CASE WHEN nt < 16 THEN '1_too_short'
+              WHEN ar < 0.81 THEN '2_low_alpha'
+              WHEN best = 0 THEN '3_lang_unknown'
+              ELSE '4_kept' END AS stage
+  FROM f
+), c AS (SELECT stage, count(*) AS n_docs FROM staged GROUP BY 1),
+n AS (SELECT count(*) AS n_total FROM documents)
+SELECT stage, n_docs, round(n_docs / n_total, 4) AS share
+FROM c CROSS JOIN n
 """
 
 

@@ -140,6 +140,48 @@ def _matched_chars(text: F.Column, needle: str) -> F.Column:
     return F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))
 
 
+def _marker_best(text_col: F.Column) -> F.Column:
+    """Best per-language marker score (0 = no language detected)."""
+    padded = F.concat(F.lit(" "), F.lower(text_col), F.lit(" "))
+    return F.greatest(
+        *[
+            sum((_matched_chars(padded, m) for m in markers), start=F.lit(0))
+            for markers in LANG_MARKERS.values()
+        ]
+    )
+
+
+def filter_funnel(
+    docs: DataFrame,
+    min_tokens: int = 16,
+    min_alpha: float = 0.81,
+) -> DataFrame:
+    """Quality-filter funnel: each document attributed to its FIRST failing
+    stage (too_short → low_alpha → lang_unknown → kept), with counts and
+    corpus share per stage — the drop-accounting report every training-data
+    curation pipeline publishes. One scan + one hash-agg; the corpus total
+    joins back as a broadcast of one row."""
+    text = F.col("text")
+    stage = (
+        F.when(_token_count(text) < min_tokens, F.lit("1_too_short"))
+        .when(
+            _char_class_ratio(text, r"[^A-Za-z]") < min_alpha,
+            F.lit("2_low_alpha"),
+        )
+        .when(_marker_best(text) == 0, F.lit("3_lang_unknown"))
+        .otherwise(F.lit("4_kept"))
+    )
+    counts = docs.groupBy(stage.alias("stage")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "stage",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("n_total"), 4).alias("share"),
+    )
+
+
 def language_id(docs: DataFrame) -> DataFrame:
     """Best-scoring language per document, 'und' when no marker hits."""
     text = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))

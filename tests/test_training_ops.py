@@ -243,3 +243,37 @@ def test_containment_respects_max_df(spark):
     ).collect()
     assert capped and capped[0]["train_doc_id"] == 1
     assert capped[0]["containment"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# filter funnel
+# ---------------------------------------------------------------------------
+
+
+def test_filter_funnel_first_stage_attribution(spark):
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        filter_funnel,
+    )
+
+    rows = [
+        # fails too_short AND low_alpha -> attributed to too_short only
+        (1, "xx", "1 2 3"),
+        # long enough, fails alpha (digits)
+        (2, "xx", " ".join(["123"] * 20)),
+        # long, alphabetic (long words keep alpha ratio high), but no
+        # language markers
+        (3, "xx", " ".join(["zzzzzzzzzzzz"] * 20)),
+        # passes everything: English markers + long words for alpha ratio
+        (4, "xx", " ".join(["extraordinary", "the", "marvelous", "and",
+                            "wonderful", "the", "magnificent", "of",
+                            "the", "spectacular", "and", "the",
+                            "incredible", "of", "the", "fantastic"])),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["stage"]: r for r in filter_funnel(docs).collect()}
+    assert got["1_too_short"]["n_docs"] == 1
+    assert got["2_low_alpha"]["n_docs"] == 1
+    assert got["3_lang_unknown"]["n_docs"] == 1
+    assert got["4_kept"]["n_docs"] == 1
+    assert sum(r["n_docs"] for r in got.values()) == 4
+    assert abs(sum(r["share"] for r in got.values()) - 1.0) < 1e-9
