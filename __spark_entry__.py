@@ -866,6 +866,35 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_funnel(docs)
 
 
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation job: quality filter (the funnel's `kept`
+    predicate) -> deterministic stratified sample -> per-(lang, source)
+    document and token accounting. One scan, two stacked filters (both
+    pushdown-friendly), one hash-agg: the composition every training-data
+    pipeline runs before mixing, as a single Spark job."""
+    from otlp_cardinality_checker_spark.operators.sampling import hash_sample
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        passes_quality,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = docs.where(passes_quality())
+    sampled = hash_sample(
+        kept, SAMPLE_RATES, default_rate=SAMPLE_DEFAULT_RATE
+    )
+    n_tok = (
+        F.length(F.trim(F.col("text")))
+        - F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("")))
+        + 1
+    )
+    return sampled.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.15}
 SAMPLE_DEFAULT_RATE = 0.1
 
@@ -990,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "tfidf_terms": q_tfidf_terms,
         "filter_funnel": q_filter_funnel,
+        "curation_pipeline": q_curation_pipeline,
         "contamination": q_contamination,
         "key_skew": q_key_skew,
     }
@@ -1571,6 +1601,7 @@ FROM lab
 """,
         "pii_stats": pre + _pii_stats_sql(),
         "filter_funnel": _filter_funnel_sql(),
+        "curation_pipeline": _curation_pipeline_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "tfidf_terms": """
 WITH ex AS (
@@ -1743,6 +1774,48 @@ WITH f AS (
 n AS (SELECT count(*) AS n_total FROM documents)
 SELECT stage, n_docs, round(n_docs / n_total, 4) AS share
 FROM c CROSS JOIN n
+"""
+
+
+def _curation_pipeline_sql() -> str:
+    """Composition oracle: funnel `kept` predicate + the sample threshold
+    CASE, both generated from the operators' own tables."""
+    from otlp_cardinality_checker_spark.operators.sampling import (
+        _hex_threshold,
+    )
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        LANG_MARKERS,
+    )
+
+    lang_sums = []
+    for markers in LANG_MARKERS.values():
+        terms = " + ".join(
+            f"(length(t) - length(replace(t, '{m}', '')))" for m in markers
+        )
+        lang_sums.append(f"({terms})")
+    best = "greatest(" + ", ".join(lang_sums) + ")"
+    whens = "\n             ".join(
+        f"WHEN '{stratum}' THEN '{_hex_threshold(rate)}'"
+        for stratum, rate in sorted(SAMPLE_RATES.items())
+    )
+    default = _hex_threshold(SAMPLE_DEFAULT_RATE)
+    return f"""
+WITH kept AS (
+  SELECT * FROM (SELECT *, ' ' || lower(text) || ' ' AS t FROM documents)
+  WHERE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 >= 16
+    AND round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   AS DOUBLE) / greatest(length(text), 1), 4) >= 0.81
+    AND {best} > 0
+), sampled AS (
+  SELECT * FROM kept
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        CASE lang {whens} ELSE '{default}' END
+)
+SELECT lang, source, count(*) AS n_docs,
+  CAST(sum(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)
+       AS BIGINT) AS total_tokens,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM sampled GROUP BY 1, 2
 """
 
 

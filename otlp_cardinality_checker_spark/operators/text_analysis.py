@@ -182,6 +182,22 @@ def filter_funnel(
     )
 
 
+def passes_quality(
+    text: F.Column | None = None,
+    min_tokens: int = 16,
+    min_alpha: float = 0.81,
+) -> F.Column:
+    """True iff a document clears every filter_funnel stage (the `kept`
+    predicate, reusable as a standalone filter in composed pipelines)."""
+    if text is None:
+        text = F.col("text")
+    return (
+        (_token_count(text) >= min_tokens)
+        & (_char_class_ratio(text, r"[^A-Za-z]") >= min_alpha)
+        & (_marker_best(text) > 0)
+    )
+
+
 def language_id(docs: DataFrame) -> DataFrame:
     """Best-scoring language per document, 'und' when no marker hits."""
     text = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
