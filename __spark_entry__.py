@@ -895,6 +895,28 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters with QUALITY-based survivor selection: the longest
+    member (token count; ties -> min doc_id) of each Jaccard cluster is
+    kept — the production dedup policy, vs the min-id baseline of
+    jaccard_clusters."""
+    from otlp_cardinality_checker_spark.operators.graph import (
+        jaccard_clusters,
+        survivor_by_score,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clustered = jaccard_clusters(docs, min_jaccard=0.2)
+    t = F.trim(F.col("text"))
+    scores = docs.select(
+        "doc_id",
+        (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1)
+        .alias("score"),
+    )
+    return survivor_by_score(clustered, scores)
+
+
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.15}
 SAMPLE_DEFAULT_RATE = 0.1
 
@@ -1006,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "jaccard_clusters": q_jaccard_clusters,
+        "quality_survivors": q_quality_survivors,
         "embedding_topk": q_embedding_topk,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_groups": q_simhash_groups,
@@ -1546,6 +1569,56 @@ SELECT doc_id, cluster_id,
          AS cluster_size,
        CAST(doc_id = cluster_id AS INT) AS is_survivor
 FROM lab
+""",
+        "quality_survivors": """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), shingled AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+         THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                             for i in range(1, len(t) - 1)])
+         ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+), pairs AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_common
+  FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(shingles) AS n FROM shingled),
+edges0 AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+), edges AS (SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0),
+reach AS (
+  SELECT u AS node, v AS r FROM edges
+  UNION
+  SELECT w.node, e.v FROM reach w JOIN edges e ON w.r = e.u
+), labels AS (
+  SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node
+), lab AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+), scr AS (
+  SELECT doc_id,
+         length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+           AS score
+  FROM documents
+), lab2 AS (
+  SELECT l.doc_id, l.cluster_id, s.score,
+         count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+         row_number() OVER (
+           PARTITION BY l.cluster_id
+           ORDER BY s.score DESC, l.doc_id ASC) AS rn
+  FROM lab l JOIN scr s USING (doc_id)
+)
+SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(score AS BIGINT) AS score, CAST(rn = 1 AS INT) AS is_survivor
+FROM lab2
 """,
         "embedding_topk": """
 WITH q AS (

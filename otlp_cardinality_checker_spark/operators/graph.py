@@ -129,6 +129,46 @@ def attach_clusters(
     )
 
 
+def survivor_by_score(
+    clustered: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    n_salt: int = 16,
+) -> DataFrame:
+    """Re-pick each cluster's survivor by QUALITY instead of min id.
+
+    Production dedup keeps the best member of a near-dup cluster (longest /
+    cleanest / highest-scoring), not the smallest id. Given cluster labels
+    (from :func:`attach_clusters`) and a per-entity score, the survivor is
+    the argmax by (score desc, id asc) — computed with the same salted
+    two-stage argmax used everywhere else, so a pathological giant cluster
+    never sorts on one reducer. Ties are deterministic.
+    """
+    from pyspark.sql import Window
+
+    j = clustered.drop("is_survivor").join(scores, id_col)
+    order = (F.desc(score_col), F.asc(id_col))
+    w1 = Window.partitionBy("cluster_id", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("cluster_id").orderBy(*order)
+    best = (
+        j.withColumn("_salt", F.pmod(F.hash(id_col), F.lit(n_salt)))
+        .withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= 1)
+        .withColumn("_r2", F.row_number().over(w2))
+        .where(F.col("_r2") == 1)
+        .select("cluster_id", F.col(id_col).alias("_keep"))
+    )
+    return (
+        j.join(best, "cluster_id")
+        .withColumn(
+            "is_survivor",
+            (F.col(id_col) == F.col("_keep")).cast("int"),
+        )
+        .select(id_col, "cluster_id", "cluster_size", score_col, "is_survivor")
+    )
+
+
 def jaccard_clusters(
     docs: DataFrame,
     min_jaccard: float = 0.2,

@@ -79,3 +79,22 @@ def test_jaccard_clusters_partition(spark):
     assert got[0]["is_survivor"] == 1 and got[1]["is_survivor"] == 0
     assert got[0]["cluster_size"] == 4
     assert sum({r["cluster_id"]: r["cluster_size"] for r in out}.values()) == 7
+
+
+def test_survivor_by_score_keeps_best_quality(spark):
+    from otlp_cardinality_checker_spark.operators.graph import (
+        survivor_by_score,
+    )
+    import pyspark.sql.functions as F
+
+    clustered = spark.createDataFrame(
+        [(1, 1, 3), (2, 1, 3), (3, 1, 3), (9, 9, 1)],
+        "doc_id long, cluster_id long, cluster_size long",
+    ).withColumn("is_survivor", (F.col("doc_id") == F.col("cluster_id")).cast("int"))
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (9, 7)], "doc_id long, score long"
+    )
+    got = {r["doc_id"]: r for r in survivor_by_score(clustered, scores).collect()}
+    # doc 2 wins: max score, tie vs doc 3 broken by min id — NOT min-id doc 1
+    assert [got[i]["is_survivor"] for i in (1, 2, 3)] == [0, 1, 0]
+    assert got[9]["is_survivor"] == 1  # singleton keeps itself
