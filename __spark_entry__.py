@@ -917,6 +917,25 @@ def q_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivor_by_score(clustered, scores)
 
 
+
+def q_dup_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated n-gram fraction (memorization-risk audit)."""
+    from otlp_cardinality_checker_spark.operators.dedup import dup_ngram_rate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dup_ngram_rate(docs)
+
+
+def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc letter-distribution Shannon entropy (gibberish detector)."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        char_entropy,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return char_entropy(docs)
+
+
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.15}
 SAMPLE_DEFAULT_RATE = 0.1
 
@@ -1027,6 +1046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "dup_ngram_rate": q_dup_ngram_rate,
+        "doc_entropy": q_doc_entropy,
         "jaccard_clusters": q_jaccard_clusters,
         "quality_survivors": q_quality_survivors,
         "embedding_topk": q_embedding_topk,
@@ -1674,6 +1695,28 @@ FROM lab
 """,
         "pii_stats": pre + _pii_stats_sql(),
         "filter_funnel": _filter_funnel_sql(),
+        "doc_entropy": _char_entropy_sql(),
+        "dup_ngram_rate": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), shingled AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+         THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                             for i in range(1, len(t) - 1)])
+         ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+), dfreq AS (SELECT shingle, count(*) AS c FROM inv GROUP BY 1)
+SELECT doc_id, count(*) AS n_shingles,
+  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_shingles,
+  round(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) / count(*), 4) AS dup_rate
+FROM inv JOIN dfreq USING (shingle)
+GROUP BY doc_id
+""",
         "curation_pipeline": _curation_pipeline_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "tfidf_terms": """
@@ -1889,6 +1932,33 @@ SELECT lang, source, count(*) AS n_docs,
        AS BIGINT) AS total_tokens,
   CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM sampled GROUP BY 1, 2
+"""
+
+
+
+def _char_entropy_sql() -> str:
+    """Entropy oracle with the EXACT same term order as the operator, so
+    IEEE summation order matches and round(…,4) parity is bit-stable."""
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    cnts = [
+        f"(length(t) - length(replace(t, '{c}', '')))" for c in letters
+    ]
+    total = " + ".join(cnts)
+    terms = " + ".join(
+        f"CASE WHEN {c} > 0 THEN -({c} / safe) * ln({c} / safe) "
+        f"ELSE 0.0 END"
+        for c in cnts
+    )
+    return f"""
+WITH b AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+s AS (
+  SELECT doc_id, lang, ({total}) AS total,
+         CAST(greatest(({total}), 1) AS DOUBLE) AS safe, t
+  FROM b
+)
+SELECT doc_id, lang, CAST(total AS BIGINT) AS n_letters,
+       round(0.0 + {terms}, 4) AS entropy
+FROM s
 """
 
 

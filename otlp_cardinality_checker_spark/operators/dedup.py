@@ -248,6 +248,39 @@ def minhash_near_dups(
     )
 
 
+def dup_ngram_rate(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document duplicated n-gram fraction (memorization-risk audit).
+
+    For each document: the share of its distinct word n-grams that also
+    occur in at least one OTHER document — the 'duplicate n-gram fraction'
+    used by web-corpus curation pipelines to find boilerplate-heavy or
+    partially-copied documents that exact/near dedup misses.
+
+    Scale shape: explode → shingle-df hash-agg → equi-join back on the
+    shingle hash → per-doc hash-agg. No pair join at all, so hot shingles
+    cost one aggregation row each, never quadratic fan-out.
+    """
+    sh = word_shingles(docs, n=n)
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        inv.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("_df") >= 2).cast("long")).alias("n_dup_shingles"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup_shingles",
+            F.round(
+                F.col("n_dup_shingles") / F.col("n_shingles"), 4
+            ).alias("dup_rate"),
+        )
+    )
+
+
 def cross_split_containment(
     docs: DataFrame,
     test_pred,

@@ -182,6 +182,46 @@ def filter_funnel(
     )
 
 
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy over the letter distribution (a-z) —
+    the gibberish/repetition detector: natural prose sits near the
+    language's letter-entropy (~2.9 nats for English); keyboard mashing,
+    repeated padding, and base64 blobs land far from it.
+
+    Entirely scalar Catalyst expressions: 26 `replace`-based letter counts
+    per row, then the entropy sum with a zero-count guard — no explode, no
+    shuffle, no Python. The ~100-subexpression tree exceeds the 64KB
+    whole-stage-codegen method limit, so Spark logs one compile error and
+    falls back to interpreted expression eval (documented Spark behavior;
+    still JVM-side and linear in text bytes). The DuckDB oracle evaluates
+    the identical arithmetic in the identical term order, so IEEE parity
+    is exact after round(…, 4).
+    """
+    lower = F.lower(F.col("text"))
+    counts = {
+        c: F.length(lower) - F.length(F.replace(lower, F.lit(c), F.lit("")))
+        for c in "abcdefghijklmnopqrstuvwxyz"
+    }
+    total = sum(counts.values(), start=F.lit(0))
+    safe_total = F.greatest(total, F.lit(1)).cast("double")
+    ent = sum(
+        (
+            F.when(
+                cnt > 0,
+                -(cnt / safe_total) * F.log(cnt / safe_total),
+            ).otherwise(F.lit(0.0))
+            for cnt in counts.values()
+        ),
+        start=F.lit(0.0),
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        total.cast("long").alias("n_letters"),
+        F.round(ent, 4).alias("entropy"),
+    )
+
+
 def passes_quality(
     text: F.Column | None = None,
     min_tokens: int = 16,

@@ -277,3 +277,43 @@ def test_filter_funnel_first_stage_attribution(spark):
     assert got["4_kept"]["n_docs"] == 1
     assert sum(r["n_docs"] for r in got.values()) == 4
     assert abs(sum(r["share"] for r in got.values()) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# dup n-gram rate + entropy
+# ---------------------------------------------------------------------------
+
+
+def test_dup_ngram_rate_flags_copied_text(spark):
+    from otlp_cardinality_checker_spark.operators.dedup import dup_ngram_rate
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # full copy
+        (3, "one two three four five six seven eight nine"),   # unique
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dup_ngram_rate(docs).collect()}
+    assert got[1]["dup_rate"] == 1.0 and got[2]["dup_rate"] == 1.0
+    assert got[3]["dup_rate"] == 0.0
+
+
+def test_char_entropy_orders_texts(spark):
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        char_entropy,
+    )
+
+    rows = [
+        (1, "en", "aaaaaaaaaaaaaaaaaaaa"),                 # zero entropy
+        (2, "en", "abcdefghijklmnopqrstuvwxyz"),           # max: ln(26)
+        (3, "en", "the quick brown fox jumps over a dog"), # in between
+        (4, "en", "1234 5678 !!!"),                        # no letters
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    import math
+
+    assert got[1]["entropy"] == 0.0
+    assert got[2]["entropy"] == round(math.log(26), 4)
+    assert 0 < got[3]["entropy"] < math.log(26)
+    assert got[4]["entropy"] == 0.0 and got[4]["n_letters"] == 0
