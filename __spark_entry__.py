@@ -878,16 +878,16 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         passes_quality,
     )
 
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        _token_count,
+    )
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     kept = docs.where(passes_quality())
     sampled = hash_sample(
         kept, SAMPLE_RATES, default_rate=SAMPLE_DEFAULT_RATE
     )
-    n_tok = (
-        F.length(F.trim(F.col("text")))
-        - F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("")))
-        + 1
-    )
+    n_tok = _token_count(F.col("text"))
     return sampled.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tok).alias("total_tokens"),
@@ -907,12 +907,13 @@ def q_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        _token_count,
+    )
+
     clustered = jaccard_clusters(docs, min_jaccard=0.2)
-    t = F.trim(F.col("text"))
     scores = docs.select(
-        "doc_id",
-        (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1)
-        .alias("score"),
+        "doc_id", _token_count(F.col("text")).alias("score")
     )
     return survivor_by_score(clustered, scores)
 

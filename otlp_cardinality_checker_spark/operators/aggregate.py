@@ -91,6 +91,32 @@ def sink_totals(routed: DataFrame) -> DataFrame:
     return routed.groupBy("sink").agg(F.count(F.lit(1)).alias("sink_rows"))
 
 
+def salted_top_k(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: tuple,
+    k: int = 1,
+    salt_col: str = "value",
+    n_salt: int = 16,
+) -> DataFrame:
+    """Two-stage top-k per group with bounded reducers (the shared shape
+    behind watched_values, key_skew, and graph.survivor_by_score): rank
+    within (group, salt) first — any global top-k row is in its salt's
+    top-k — so the final window sorts at most n_salt * k rows per group
+    instead of the group's full partition. Helper columns are dropped;
+    ties must be fully broken by order_cols for determinism."""
+    w1 = Window.partitionBy(*partition_cols, "_salt").orderBy(*order_cols)
+    w2 = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_salt", F.pmod(F.hash(salt_col), F.lit(n_salt)))
+        .withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= k)
+        .withColumn("_rank", F.row_number().over(w2))
+        .where(F.col("_rank") <= k)
+        .drop("_salt", "_r", "_rank")
+    )
+
+
 def value_grain(
     attrs: DataFrame,
     cols: list[str],
@@ -382,22 +408,14 @@ def watched_values(
         .groupBy("key", "value")
         .agg(F.count(F.lit(1)).alias("count"))
     )
-    # Two-stage top-k: a single window over `key` would sort EVERY distinct
-    # value of a watched key on one reducer (one hot partition for a
-    # user-id-like key at 10^12 turns). Stage 1 ranks within (key, salt) —
-    # any value in the global top-`cap` is in its salt's top-`cap` — so the
-    # final window sees at most n_salt * cap rows per key.
-    n_salt = 16
-    order = (F.desc("count"), F.asc("value"))
-    w1 = Window.partitionBy("key", "_salt").orderBy(*order)
-    w2 = Window.partitionBy("key").orderBy(*order)
+    # Two-stage top-k (salted_top_k): a single window over `key` would sort
+    # EVERY distinct value of a watched key on one reducer (one hot
+    # partition for a user-id-like key at 10^12 turns).
     totals = freq.groupBy("key").agg(F.count(F.lit(1)).alias("_n_values"))
     return (
-        freq.withColumn("_salt", F.pmod(F.hash("value"), F.lit(n_salt)))
-        .withColumn("_r", F.row_number().over(w1))
-        .where(F.col("_r") <= cap)
-        .withColumn("_rank", F.row_number().over(w2))
-        .where(F.col("_rank") <= cap)
+        salted_top_k(
+            freq, ["key"], (F.desc("count"), F.asc("value")), k=cap
+        )
         .join(F.broadcast(totals), "key")
         .withColumn("overflow", F.col("_n_values") > cap)
         .select("key", "value", "count", "overflow")
@@ -611,20 +629,16 @@ def key_skew(routed: DataFrame, n_salt: int = 16) -> DataFrame:
         .groupBy("key", "value")
         .agg(F.count(F.lit(1)).alias("vcount"))
     )
-    order = (F.desc("vcount"), F.asc("value"))
-    w1 = Window.partitionBy("key", "_salt").orderBy(*order)
-    w2 = Window.partitionBy("key").orderBy(*order)
-    top = (
-        freq.withColumn("_salt", F.pmod(F.hash("value"), F.lit(n_salt)))
-        .withColumn("_r", F.row_number().over(w1))
-        .where(F.col("_r") <= 1)
-        .withColumn("_rank", F.row_number().over(w2))
-        .where(F.col("_rank") <= 1)
-        .select(
-            "key",
-            F.col("value").alias("top_value"),
-            F.col("vcount").alias("top_count"),
-        )
+    top = salted_top_k(
+        freq,
+        ["key"],
+        (F.desc("vcount"), F.asc("value")),
+        k=1,
+        n_salt=n_salt,
+    ).select(
+        "key",
+        F.col("value").alias("top_value"),
+        F.col("vcount").alias("top_count"),
     )
     totals = freq.groupBy("key").agg(
         F.sum("vcount").alias("n_rows"),

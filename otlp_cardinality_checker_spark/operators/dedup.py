@@ -191,16 +191,15 @@ def exact_jaccard(
             "doc_b",
         )
     )
+    # filter on the UNROUNDED ratio (the oracles do the same); round only
+    # the displayed column — else a pair at the threshold boundary could
+    # round up into the result on one engine and not the other
+    raw = F.col("n_common") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
     return (
-        with_sizes.withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
-                6,
-            ),
-        )
-        .where(F.col("jaccard") >= min_jaccard)
+        with_sizes.where(raw >= min_jaccard)
+        .withColumn("jaccard", F.round(raw, 6))
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
 
@@ -236,15 +235,18 @@ def minhash_near_dups(
             "doc_a",
             "doc_b",
             F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
-            F.round(
+            (
                 F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ).alias("jaccard"),
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("_raw"),
         )
     )
-    return scored.where(F.col("jaccard") >= min_jaccard).select(
-        "doc_a", "doc_b", "n_common", "jaccard"
+    # unrounded threshold, rounded display (same contract as exact_jaccard)
+    return scored.where(F.col("_raw") >= min_jaccard).select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        F.round("_raw", 6).alias("jaccard"),
     )
 
 

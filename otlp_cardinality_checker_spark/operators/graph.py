@@ -141,24 +141,25 @@ def survivor_by_score(
     Production dedup keeps the best member of a near-dup cluster (longest /
     cleanest / highest-scoring), not the smallest id. Given cluster labels
     (from :func:`attach_clusters`) and a per-entity score, the survivor is
-    the argmax by (score desc, id asc) — computed with the same salted
-    two-stage argmax used everywhere else, so a pathological giant cluster
-    never sorts on one reducer. Ties are deterministic.
+    the argmax by (score desc NULLS LAST, id asc) — computed with the
+    shared salted two-stage argmax (`aggregate.salted_top_k`), so a
+    pathological giant cluster never sorts on one reducer. Ties are
+    deterministic. The score join is LEFT: an entity with no score row
+    keeps its output row (score NULL) and only wins its cluster if no
+    member is scored — one row per entity in, one row out, matching the
+    attach_clusters contract.
     """
-    from pyspark.sql import Window
+    from .aggregate import salted_top_k
 
-    j = clustered.drop("is_survivor").join(scores, id_col)
-    order = (F.desc(score_col), F.asc(id_col))
-    w1 = Window.partitionBy("cluster_id", "_salt").orderBy(*order)
-    w2 = Window.partitionBy("cluster_id").orderBy(*order)
-    best = (
-        j.withColumn("_salt", F.pmod(F.hash(id_col), F.lit(n_salt)))
-        .withColumn("_r", F.row_number().over(w1))
-        .where(F.col("_r") <= 1)
-        .withColumn("_r2", F.row_number().over(w2))
-        .where(F.col("_r2") == 1)
-        .select("cluster_id", F.col(id_col).alias("_keep"))
-    )
+    j = clustered.drop("is_survivor").join(scores, id_col, "left")
+    best = salted_top_k(
+        j,
+        ["cluster_id"],
+        (F.desc_nulls_last(score_col), F.asc(id_col)),
+        k=1,
+        salt_col=id_col,
+        n_salt=n_salt,
+    ).select("cluster_id", F.col(id_col).alias("_keep"))
     return (
         j.join(best, "cluster_id")
         .withColumn(

@@ -160,8 +160,10 @@ def filter_funnel(
     stage (too_short → low_alpha → lang_unknown → kept), with counts and
     corpus share per stage — the drop-accounting report every training-data
     curation pipeline publishes. One scan + one hash-agg; the corpus total
-    joins back as a broadcast of one row."""
-    text = F.col("text")
+    joins back as a broadcast of one row. NULL text coalesces to '' (one
+    token, fails too_short), keeping the funnel's kept count consistent
+    with passes_quality on every row."""
+    text = F.coalesce(F.col("text"), F.lit(""))
     stage = (
         F.when(_token_count(text) < min_tokens, F.lit("1_too_short"))
         .when(
@@ -228,9 +230,12 @@ def passes_quality(
     min_alpha: float = 0.81,
 ) -> F.Column:
     """True iff a document clears every filter_funnel stage (the `kept`
-    predicate, reusable as a standalone filter in composed pipelines)."""
+    predicate, reusable as a standalone filter in composed pipelines).
+    NULL text coalesces to '' so the predicate is never NULL and agrees
+    row-for-row with filter_funnel's stage attribution."""
     if text is None:
         text = F.col("text")
+    text = F.coalesce(text, F.lit(""))
     return (
         (_token_count(text) >= min_tokens)
         & (_char_class_ratio(text, r"[^A-Za-z]") >= min_alpha)

@@ -317,3 +317,50 @@ def test_char_entropy_orders_texts(spark):
     assert got[2]["entropy"] == round(math.log(26), 4)
     assert 0 < got[3]["entropy"] < math.log(26)
     assert got[4]["entropy"] == 0.0 and got[4]["n_letters"] == 0
+
+
+def test_null_text_consistency_funnel_vs_predicate(spark):
+    """Review fix: NULL text must fail the funnel (too_short), and the
+    funnel's kept set must equal the passes_quality filter row-for-row."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        filter_funnel,
+        passes_quality,
+    )
+
+    rows = [
+        (1, "en", None),
+        (2, "en", " ".join(["extraordinary", "the", "marvelous", "and",
+                            "wonderful", "the", "magnificent", "of",
+                            "the", "spectacular", "and", "the",
+                            "incredible", "of", "the", "fantastic"])),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["stage"]: r["n_docs"] for r in filter_funnel(docs).collect()}
+    assert got.get("1_too_short") == 1 and got.get("4_kept") == 1
+    assert docs.where(passes_quality()).count() == 1
+
+
+def test_survivor_by_score_keeps_unscored_members(spark):
+    """Review fix: entities missing a score row stay in the output (score
+    NULL, never survivor unless the whole cluster is unscored)."""
+    import pyspark.sql.functions as FF
+
+    from otlp_cardinality_checker_spark.operators.graph import (
+        survivor_by_score,
+    )
+
+    clustered = spark.createDataFrame(
+        [(1, 1, 3), (2, 1, 3), (3, 1, 3), (7, 7, 2), (8, 7, 2)],
+        "doc_id long, cluster_id long, cluster_size long",
+    ).withColumn(
+        "is_survivor", (FF.col("doc_id") == FF.col("cluster_id")).cast("int")
+    )
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 50)], "doc_id long, score long"  # 3, 7, 8 unscored
+    )
+    got = {r["doc_id"]: r for r in survivor_by_score(clustered, scores).collect()}
+    assert set(got) == {1, 2, 3, 7, 8}  # nobody dropped
+    assert [got[i]["is_survivor"] for i in (1, 2, 3)] == [0, 1, 0]
+    assert got[3]["score"] is None
+    # fully-unscored cluster: min id wins deterministically
+    assert got[7]["is_survivor"] == 1 and got[8]["is_survivor"] == 0
