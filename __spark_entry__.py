@@ -937,6 +937,43 @@ def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(docs)
 
 
+
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (the merge_asof operator Spark lacks): events enriched
+    with the latest <= ts version of a per-type config history, then
+    rolled up per (event_type, version). The config dim is synthesized
+    deterministically (8 versions per type at 6-hour boundaries from
+    min(ts)); the DuckDB oracle uses its native ASOF JOIN against the
+    identically-generated dim."""
+    from otlp_cardinality_checker_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t0 = ev.agg(F.min("ts").alias("t0"))
+    cfg = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(t0))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("version"),
+            "t0",
+        )
+        .select(
+            "event_type",
+            "version",
+            F.expr("timestampadd(HOUR, 6 * version, t0)").alias("eff_ts"),
+            F.round(F.col("version") * 0.5 + 1.0, 1).alias("threshold"),
+        )
+    )
+    enriched = asof_join(
+        ev, cfg, key_cols=["event_type"], fact_id="event_id"
+    )
+    return enriched.groupBy("event_type", "version", "threshold").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.15}
 SAMPLE_DEFAULT_RATE = 0.1
 
@@ -1038,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "doc_length_stats": q_doc_length_stats,
         "events_windowed": q_events_windowed,
+        "asof_enrich": q_asof_enrich,
         "events_windowed_stream": q_events_windowed_stream,
         "dedup_stream": q_dedup_stream,
         "conv_sessions": q_conv_sessions,
@@ -1407,6 +1445,21 @@ SELECT "key", "value", count(*) AS count
 FROM rattrs WHERE "key" = 'user_id' AND "value" LIKE '1%'
 GROUP BY "key", "value"
 ORDER BY count DESC, "value" ASC LIMIT 20
+""",
+        "asof_enrich": """
+WITH b AS (SELECT min(ts) AS t0 FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+cfg AS (
+  SELECT event_type, i AS version,
+         t0 + to_hours(6 * i) AS eff_ts,
+         round(i * 0.5 + 1.0, 1) AS threshold
+  FROM types, b, range(8) r(i)
+)
+SELECT e.event_type, c.version, c.threshold,
+       count(*) AS n_events, round(sum(e.value), 2) AS total_value
+FROM events e
+ASOF JOIN cfg c ON e.event_type = c.event_type AND e.ts >= c.eff_ts
+GROUP BY 1, 2, 3
 """,
         "events_windowed": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

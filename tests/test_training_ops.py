@@ -364,3 +364,54 @@ def test_survivor_by_score_keeps_unscored_members(spark):
     assert got[3]["score"] is None
     # fully-unscored cluster: min id wins deterministically
     assert got[7]["is_survivor"] == 1 and got[8]["is_survivor"] == 0
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest eff_ts <= ts; boundary inclusive; facts
+    before the first version keep NULL payload (left semantics)."""
+    import datetime as dt
+
+    from otlp_cardinality_checker_spark.operators.asof import asof_join
+
+    T = lambda h: dt.datetime(2026, 1, 1, h)  # noqa: E731
+    facts = spark.createDataFrame(
+        [(1, "a", T(0)), (2, "a", T(5)), (3, "a", T(6)), (4, "b", T(9)),
+         (5, "c", T(9))],
+        "event_id long, k string, ts timestamp",
+    )
+    dim = spark.createDataFrame(
+        [("a", T(3), 30), ("a", T(6), 60), ("b", T(1), 10)],
+        "k string, eff_ts timestamp, v int",
+    )
+    got = {
+        r["event_id"]: r["v"]
+        for r in asof_join(facts, dim, ["k"], "event_id").collect()
+    }
+    assert got[1] is None          # before first version
+    assert got[2] == 30            # T(5) -> version at T(3)
+    assert got[3] == 60            # boundary: eff_ts == ts is included
+    assert got[4] == 10
+    assert got[5] is None          # key with no versions at all
+
+
+def test_asof_join_plan_is_broadcast_no_window(spark):
+    import datetime as dt
+
+    from otlp_cardinality_checker_spark.operators.asof import asof_join
+    from tests.test_plans import plan_of
+
+    T = dt.datetime(2026, 1, 1)
+    facts = spark.createDataFrame(
+        [(1, "a", T)], "event_id long, k string, ts timestamp"
+    )
+    dim = spark.createDataFrame(
+        [("a", T, 1)], "k string, eff_ts timestamp, v int"
+    )
+    plan = plan_of(asof_join(facts, dim, ["k"], "event_id"))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan  # winner via max_by hash-agg, not a window
