@@ -974,6 +974,35 @@ def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via time-bucket equi-join: events inside synthesized
+    maintenance windows (90 min every 8 h from min(ts)), rolled up per
+    window. The oracle is the plain BETWEEN inequality join."""
+    from otlp_cardinality_checker_spark.operators.asof import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t0 = ev.agg(F.min("ts").alias("t0"))
+    windows = (
+        spark.range(12)
+        .select(F.col("id").cast("int").alias("window_id"))
+        .crossJoin(F.broadcast(t0))
+        .select(
+            "window_id",
+            F.expr("timestampadd(HOUR, 8 * window_id, t0)").alias("start_ts"),
+            F.expr(
+                "timestampadd(MINUTE, 90, timestampadd(HOUR, 8 * window_id, t0))"
+            ).alias("end_ts"),
+        )
+    )
+    j = interval_join(ev, windows)
+    return j.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.15}
 SAMPLE_DEFAULT_RATE = 0.1
 
@@ -1076,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_stats": q_doc_length_stats,
         "events_windowed": q_events_windowed,
         "asof_enrich": q_asof_enrich,
+        "interval_join": q_interval_join,
         "events_windowed_stream": q_events_windowed_stream,
         "dedup_stream": q_dedup_stream,
         "conv_sessions": q_conv_sessions,
@@ -1460,6 +1490,20 @@ SELECT e.event_type, c.version, c.threshold,
 FROM events e
 ASOF JOIN cfg c ON e.event_type = c.event_type AND e.ts >= c.eff_ts
 GROUP BY 1, 2, 3
+""",
+        "interval_join": """
+WITH b AS (SELECT min(ts) AS t0 FROM events),
+w AS (
+  SELECT CAST(i AS INT) AS window_id,
+         t0 + to_hours(8 * i) AS start_ts,
+         t0 + to_hours(8 * i) + to_minutes(90) AS end_ts
+  FROM b, range(12) r(i)
+)
+SELECT w.window_id, count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users,
+       round(sum(e.value), 2) AS total_value
+FROM events e JOIN w ON e.ts >= w.start_ts AND e.ts < w.end_ts
+GROUP BY 1
 """,
         "events_windowed": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

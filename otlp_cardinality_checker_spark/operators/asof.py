@@ -31,6 +31,63 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def interval_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    fact_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    key_cols: list[str] | None = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Range (interval-containment) join: fact rows matched to every
+    interval with ``start <= ts < end`` — the second classic join Spark's
+    API lacks (maintenance windows, incident ranges, promo periods).
+
+    A naive inequality join is a cross join with a filter — O(facts x
+    intervals). The scalable construction buckets time instead:
+
+    1. each interval EXPLODES to the time buckets it overlaps (an interval
+       of length L produces ceil(L/bucket)+1 rows — bounded, tiny for
+       window-like dims);
+    2. each fact computes its single bucket;
+    3. plain shuffle EQUI-join on (bucket [, keys]) — partitioned,
+       AQE-skew-handled, prunable — then the exact containment predicate
+       filters within the bucket match.
+
+    A (fact, interval) pair meets in exactly ONE bucket (the fact's), so
+    no post-join dedup is needed. Inner semantics: unmatched facts drop.
+    """
+    keys = key_cols or []
+    ivl = intervals.alias("_ivl_d")
+    f = facts.alias("_ivl_f")
+    b = F.lit(bucket_seconds)
+    start_b = (F.unix_timestamp(F.col(f"_ivl_d.{start_col}")) / b).cast("long")
+    end_b = (F.unix_timestamp(F.col(f"_ivl_d.{end_col}")) / b).cast("long")
+    ivl_b = ivl.withColumn("_bucket", F.explode(F.sequence(start_b, end_b)))
+    f_b = f.withColumn(
+        "_bucket",
+        (F.unix_timestamp(F.col(f"_ivl_f.{fact_ts}")) / b).cast("long"),
+    )
+    cond = f_b["_bucket"] == ivl_b["_bucket"]
+    for k in keys:
+        cond = cond & (F.col(f"_ivl_f.{k}") == F.col(f"_ivl_d.{k}"))
+    contained = (F.col(f"_ivl_d.{start_col}") <= F.col(f"_ivl_f.{fact_ts}")) & (
+        F.col(f"_ivl_f.{fact_ts}") < F.col(f"_ivl_d.{end_col}")
+    )
+    ivl_payload = [
+        c for c in intervals.columns if c not in set(keys)
+    ]
+    return (
+        f_b.join(ivl_b, cond, "inner")
+        .where(contained)
+        .select(
+            *[F.col(f"_ivl_f.{c}") for c in facts.columns],
+            *[F.col(f"_ivl_d.{c}") for c in ivl_payload],
+        )
+    )
+
+
 def asof_join(
     facts: DataFrame,
     dim: DataFrame,

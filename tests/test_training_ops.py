@@ -415,3 +415,28 @@ def test_asof_join_plan_is_broadcast_no_window(spark):
     plan = plan_of(asof_join(facts, dim, ["k"], "event_id"))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan  # winner via max_by hash-agg, not a window
+
+
+def test_interval_join_boundaries_and_multimatch(spark):
+    """[start, end) semantics; a fact inside two overlapping intervals
+    matches both; intervals spanning multiple buckets still match once."""
+    import datetime as dt
+
+    from otlp_cardinality_checker_spark.operators.asof import interval_join
+
+    T = lambda h, m=0: dt.datetime(2026, 1, 1, h, m)  # noqa: E731
+    facts = spark.createDataFrame(
+        [(1, T(1, 30)), (2, T(2, 0)), (3, T(5, 0)), (4, T(0, 0))],
+        "event_id long, ts timestamp",
+    )
+    ivl = spark.createDataFrame(
+        [(10, T(1), T(2)),        # fact 1 in; fact 2 at end -> excluded
+         (20, T(1, 15), T(4)),    # overlaps 10; spans 3+ hourly buckets
+         (30, T(0), T(0, 30))],   # fact 4 at start -> included
+        "window_id int, start_ts timestamp, end_ts timestamp",
+    )
+    got = sorted(
+        (r["event_id"], r["window_id"])
+        for r in interval_join(facts, ivl).collect()
+    )
+    assert got == [(1, 10), (1, 20), (2, 20), (4, 30)]
