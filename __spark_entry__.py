@@ -1003,6 +1003,24 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: 1h and 6h resolutions BOTH
+    derived by merging one 15-min partial table (single raw scan). The
+    oracle aggregates each resolution directly from the raw events —
+    partial-merge must equal direct aggregation exactly."""
+    from otlp_cardinality_checker_spark.operators.rollup import (
+        rollup_hierarchy,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rollup_hierarchy(
+        ev,
+        ["event_type"],
+        {"1h": 3600, "6h": 21600},
+    )
+
+
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.15}
 SAMPLE_DEFAULT_RATE = 0.1
 
@@ -1106,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "asof_enrich": q_asof_enrich,
         "interval_join": q_interval_join,
+        "rollup_hierarchy": q_rollup_hierarchy,
         "events_windowed_stream": q_events_windowed_stream,
         "dedup_stream": q_dedup_stream,
         "conv_sessions": q_conv_sessions,
@@ -1504,6 +1523,30 @@ SELECT w.window_id, count(*) AS n_events,
        round(sum(e.value), 2) AS total_value
 FROM events e JOIN w ON e.ts >= w.start_ts AND e.ts < w.end_ts
 GROUP BY 1
+""",
+        "rollup_hierarchy": """
+WITH r1 AS (
+  SELECT '1h' AS resolution,
+         strftime(TIMESTAMP '1970-01-01'
+                  + to_seconds(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600),
+                  '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, count(*) AS n_events,
+         round(sum(value), 2) AS sum_value,
+         round(min(value), 2) AS min_value,
+         round(max(value), 2) AS max_value
+  FROM events GROUP BY 2, 3
+), r6 AS (
+  SELECT '6h' AS resolution,
+         strftime(TIMESTAMP '1970-01-01'
+                  + to_seconds(CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600),
+                  '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, count(*) AS n_events,
+         round(sum(value), 2) AS sum_value,
+         round(min(value), 2) AS min_value,
+         round(max(value), 2) AS max_value
+  FROM events GROUP BY 2, 3
+)
+SELECT * FROM r1 UNION ALL SELECT * FROM r6
 """,
         "events_windowed": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -1,0 +1,98 @@
+"""Hierarchical time rollup (hypertable continuous-aggregate pattern).
+
+The TimescaleDB/Druid idea, Spark-first: aggregate the raw stream ONCE
+into fine-grained mergeable partials (15-min buckets here), then derive
+every coarser resolution (1 h, 6 h, 1 d, ...) by MERGING partials —
+count→sum, sum→sum, min→min, max→max — never rescanning the fact table.
+At 10^12 events the raw scan happens once; each extra resolution costs an
+aggregation over the (tiny) partial table. This is the same
+mergeable-partial design as the pipeline's HLL key stats, applied to the
+time axis; every aggregate here is algebraic, so partial-merge equals
+direct aggregation EXACTLY (the oracle asserts it per resolution).
+
+Correctness requirement: coarser bucket widths must be integer multiples
+of the base width, so every base bucket nests inside exactly one coarse
+bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(ts_col: str, seconds: int):
+    return F.timestamp_seconds(
+        (F.unix_timestamp(F.col(ts_col)) / seconds).cast("long") * seconds
+    )
+
+
+def time_partials(
+    events: DataFrame,
+    group_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    base_seconds: int = 900,
+) -> DataFrame:
+    """One raw-table scan -> base-resolution mergeable partials."""
+    return events.groupBy(
+        _bucket(ts_col, base_seconds).alias("bucket"), *group_cols
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value_col).alias("sum_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )
+
+
+def rollup_to(
+    partials: DataFrame,
+    group_cols: list[str],
+    resolution_seconds: int,
+    base_seconds: int = 900,
+) -> DataFrame:
+    """Derive a coarser resolution purely by merging partials."""
+    if resolution_seconds % base_seconds != 0:
+        raise ValueError(
+            f"resolution {resolution_seconds}s must be a multiple of the "
+            f"base {base_seconds}s"
+        )
+    return partials.groupBy(
+        _bucket("bucket", resolution_seconds).alias("bucket"), *group_cols
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
+def rollup_hierarchy(
+    events: DataFrame,
+    group_cols: list[str],
+    resolutions: dict[str, int],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    base_seconds: int = 900,
+) -> DataFrame:
+    """All resolutions stacked into one frame, every one derived from the
+    SAME single-scan partial table (cache the partials when running more
+    than one resolution in one action)."""
+    partials = time_partials(
+        events, group_cols, ts_col, value_col, base_seconds
+    )
+    out = None
+    for label, secs in sorted(resolutions.items(), key=lambda kv: kv[1]):
+        r = rollup_to(partials, group_cols, secs, base_seconds).select(
+            F.lit(label).alias("resolution"),
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            *group_cols,
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+            F.round("min_value", 2).alias("min_value"),
+            F.round("max_value", 2).alias("max_value"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out

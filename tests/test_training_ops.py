@@ -440,3 +440,48 @@ def test_interval_join_boundaries_and_multimatch(spark):
         for r in interval_join(facts, ivl).collect()
     )
     assert got == [(1, 10), (1, 20), (2, 20), (4, 30)]
+
+
+def test_rollup_partials_equal_direct(spark):
+    """Merging 15-min partials to 1h must equal aggregating raw directly,
+    including min/max and float sums; non-multiple resolutions raise."""
+    import pytest as _pytest
+
+    from otlp_cardinality_checker_spark.operators.rollup import (
+        rollup_to,
+        time_partials,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    partials = time_partials(ev, ["event_type"])
+    merged = {
+        (r["bucket"], r["event_type"]): r
+        for r in rollup_to(partials, ["event_type"], 3600).collect()
+    }
+    from pyspark.sql import functions as FF
+
+    direct = {
+        (r["bucket"], r["event_type"]): r
+        for r in ev.groupBy(
+            FF.timestamp_seconds(
+                (FF.unix_timestamp("ts") / 3600).cast("long") * 3600
+            ).alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            FF.count(FF.lit(1)).alias("n_events"),
+            FF.sum("value").alias("sum_value"),
+            FF.min("value").alias("min_value"),
+            FF.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert set(merged) == set(direct)
+    for k in merged:
+        assert merged[k]["n_events"] == direct[k]["n_events"]
+        assert merged[k]["min_value"] == direct[k]["min_value"]
+        assert merged[k]["max_value"] == direct[k]["max_value"]
+        assert abs(merged[k]["sum_value"] - direct[k]["sum_value"]) < 1e-6
+
+    with _pytest.raises(ValueError):
+        rollup_to(partials, ["event_type"], 4000)  # not a multiple of 900
