@@ -76,11 +76,15 @@ def rollup_hierarchy(
     base_seconds: int = 900,
 ) -> DataFrame:
     """All resolutions stacked into one frame, every one derived from the
-    SAME single-scan partial table (cache the partials when running more
-    than one resolution in one action)."""
+    SAME single-scan partial table. The partials are materialized once
+    (localCheckpoint — ReuseExchange does NOT fire across the union
+    branches, verified by plan inspection), so the raw table is scanned
+    exactly once no matter how many resolutions are requested."""
     partials = time_partials(
         events, group_cols, ts_col, value_col, base_seconds
     )
+    if len(resolutions) > 1:
+        partials = partials.localCheckpoint(eager=True)
     out = None
     for label, secs in sorted(resolutions.items(), key=lambda kv: kv[1]):
         r = rollup_to(partials, group_cols, secs, base_seconds).select(

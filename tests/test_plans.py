@@ -218,3 +218,16 @@ def test_training_ops_plan_shapes(spark, tiny_routed):
 
     skew = plan_of(key_skew(tiny_routed))
     assert "_salt" in skew  # two-stage argmax, no full-key single sort
+
+
+def test_rollup_hierarchy_scans_raw_once(spark):
+    """Multi-resolution rollup must not rescan the raw table per
+    resolution: partials are checkpointed, so the downstream plan has NO
+    parquet scan at all (the single scan ran during materialization)."""
+    from otlp_cardinality_checker_spark.operators.rollup import (
+        rollup_hierarchy,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    df = rollup_hierarchy(ev, ["event_type"], {"1h": 3600, "6h": 21600})
+    assert "Scan parquet" not in plan_of(df)
