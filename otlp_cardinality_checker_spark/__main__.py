@@ -104,6 +104,46 @@ def cmd_diff(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Training-data curation job: quality filter -> deterministic
+    stratified sample -> write curated parquet; prints the funnel report
+    and per-stratum sample audit as JSON."""
+    from pyspark.sql import functions as F
+
+    from .operators.sampling import hash_sample, stratified_sample_stats
+    from .operators.text_analysis import filter_funnel, passes_quality
+
+    rates = {}
+    for spec in args.rate or []:
+        stratum, _, r = spec.partition("=")
+        rates[stratum] = float(r)
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs or f"{args.sf_dir}/documents.parquet")
+    funnel = [r.asDict() for r in filter_funnel(docs).collect()]
+    kept = docs.where(passes_quality())
+    sampled = hash_sample(
+        kept, rates, default_rate=args.default_rate, salt=args.salt
+    )
+    audit = [
+        r.asDict()
+        for r in stratified_sample_stats(
+            kept, rates, default_rate=args.default_rate, salt=args.salt
+        ).collect()
+    ]
+    if args.out:
+        sampled.repartition(max(args.cores, 1)).write.mode(
+            "overwrite"
+        ).parquet(args.out)
+    n_out = sampled.agg(F.count(F.lit(1))).collect()[0][0]
+    print(
+        json.dumps(
+            {"funnel": funnel, "sample_audit": audit, "n_curated": n_out},
+            default=str,
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="otlp_cardinality_checker_spark")
     ap.add_argument(
@@ -146,6 +186,19 @@ def main(argv: list[str] | None = None) -> int:
         "--min-severity", choices=("info", "warning", "critical")
     )
     p.set_defaults(fn=cmd_diff)
+
+    p = sub.add_parser("curate")
+    p.add_argument("--docs", help="documents parquet (default sf-dir's)")
+    p.add_argument(
+        "--rate",
+        action="append",
+        metavar="STRATUM=FRAC",
+        help="per-language sample rate, repeatable (e.g. --rate en=0.5)",
+    )
+    p.add_argument("--default-rate", type=float, default=0.1)
+    p.add_argument("--salt", default="")
+    p.add_argument("--out", help="write the curated sample parquet here")
+    p.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -190,3 +190,32 @@ def test_cli_report_and_diff(tmp_path, spark):
          "save", "--out", sess]
     ) == 0
     assert main(["--cores", "8", "diff", sess, sess]) == 0
+
+
+def test_cli_curate(tmp_path, spark):
+    """curate subcommand: funnel + audit JSON on stdout, curated parquet
+    out, deterministic across runs."""
+    import json as _json
+
+    from otlp_cardinality_checker_spark.__main__ import main
+
+    out = tmp_path / "curated"
+    import contextlib
+    import io
+
+    def run():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main(
+                ["--sf-dir", "/root/testdata/sf0.001", "--cores", "4",
+                 "curate", "--rate", "en=0.5", "--out", str(out)]
+            )
+        assert rc == 0
+        return _json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    r1 = run()
+    assert {s["stage"] for s in r1["funnel"]} >= {"4_kept", "1_too_short"}
+    assert r1["n_curated"] > 0
+    got = spark.read.parquet(str(out))
+    assert got.count() == r1["n_curated"]
+    assert run()["n_curated"] == r1["n_curated"]  # deterministic
