@@ -271,3 +271,43 @@ def test_grouping_sets_key_stats_and_catalog(tiny_routed):
         assert plan.count("Expand") >= 1  # grouping sets lowers to Expand
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_salted_top_k_equals_global_window(spark):
+    """Property: the two-stage salted top-k must equal the naive single
+    global window for every k, on seeded random data with heavy ties."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from otlp_cardinality_checker_spark.operators.aggregate import (
+        salted_top_k,
+    )
+
+    rng = random.Random(42)
+    rows = [
+        (f"g{rng.randrange(5)}", f"v{rng.randrange(40)}", rng.randrange(4))
+        for _ in range(600)
+    ]
+    df = (
+        spark.createDataFrame(rows, "g string, value string, w int")
+        .groupBy("g", "value")
+        .agg(F.sum("w").alias("cnt"))
+    )
+    order = (F.desc("cnt"), F.asc("value"))
+    for k in (1, 3, 10):
+        fast = {
+            (r["g"], r["value"])
+            for r in salted_top_k(df, ["g"], order, k=k).collect()
+        }
+        naive = {
+            (r["g"], r["value"])
+            for r in df.withColumn(
+                "_rn",
+                F.row_number().over(Window.partitionBy("g").orderBy(*order)),
+            )
+            .where(F.col("_rn") <= k)
+            .collect()
+        }
+        assert fast == naive, k
