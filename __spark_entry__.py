@@ -1021,6 +1021,28 @@ def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over events (first-seen day x day offset)."""
+    from otlp_cardinality_checker_spark.operators.retention import (
+        cohort_retention,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(ev, max_offset=14)
+
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel signup -> view -> purchase."""
+    from otlp_cardinality_checker_spark.operators.retention import (
+        sequence_funnel,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sequence_funnel(ev, ("signup", "view", "purchase"))
+
+
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.15}
 SAMPLE_DEFAULT_RATE = 0.1
 
@@ -1125,6 +1147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_enrich": q_asof_enrich,
         "interval_join": q_interval_join,
         "rollup_hierarchy": q_rollup_hierarchy,
+        "cohort_retention": q_cohort_retention,
+        "event_funnel": q_event_funnel,
         "events_windowed_stream": q_events_windowed_stream,
         "dedup_stream": q_dedup_stream,
         "conv_sessions": q_conv_sessions,
@@ -1547,6 +1571,44 @@ WITH r1 AS (
   FROM events GROUP BY 2, 3
 )
 SELECT * FROM r1 UNION ALL SELECT * FROM r6
+""",
+        "cohort_retention": """
+WITH fs AS (
+  SELECT user_id, min(ts::DATE) AS cohort_day FROM events GROUP BY 1
+), cs AS (
+  SELECT cohort_day, count(*) AS cohort_size FROM fs GROUP BY 1
+), cells AS (
+  SELECT f.cohort_day,
+         datediff('day', f.cohort_day, e.ts::DATE) AS day_offset,
+         count(DISTINCT e.user_id) AS n_active
+  FROM events e JOIN fs f USING (user_id)
+  WHERE datediff('day', f.cohort_day, e.ts::DATE) <= 14
+  GROUP BY 1, 2
+)
+SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day, day_offset,
+       n_active, cohort_size,
+       round(n_active / cohort_size, 4) AS retention
+FROM cells c JOIN cs USING (cohort_day)
+""",
+        "event_funnel": """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+), stages AS (
+  SELECT 1 AS step_idx, 'signup' AS step, count(*) AS n_users FROM s1
+  UNION ALL SELECT 2, 'view', count(*) FROM s2
+  UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+), n1 AS (SELECT count(*) AS n FROM s1)
+SELECT step_idx, step, n_users, round(n_users / n, 4) AS conversion
+FROM stages, n1
 """,
         "events_windowed": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

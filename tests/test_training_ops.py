@@ -485,3 +485,57 @@ def test_rollup_partials_equal_direct(spark):
 
     with _pytest.raises(ValueError):
         rollup_to(partials, ["event_type"], 4000)  # not a multiple of 900
+
+
+# ---------------------------------------------------------------------------
+# retention + funnel
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_retention_day_zero_full(spark):
+    """Every user is active at their own first-seen day: day_offset 0 has
+    retention 1.0 for every cohort."""
+    from otlp_cardinality_checker_spark.operators.retention import (
+        cohort_retention,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = cohort_retention(ev).collect()
+    assert got
+    day0 = [r for r in got if r["day_offset"] == 0]
+    assert day0 and all(r["retention"] == 1.0 for r in day0)
+    assert all(r["n_active"] <= r["cohort_size"] for r in got)
+
+
+def test_sequence_funnel_strict_order(spark):
+    """Out-of-order completion must NOT count: a user whose only 'view'
+    precedes their signup never reaches stage 2."""
+    import datetime as dt
+
+    from otlp_cardinality_checker_spark.operators.retention import (
+        sequence_funnel,
+    )
+
+    T = lambda h: dt.datetime(2026, 1, 1, h)  # noqa: E731
+    rows = [
+        # u1: proper order -> reaches all 3
+        (1, "signup", T(1)), (1, "view", T(2)), (1, "purchase", T(3)),
+        # u2: view BEFORE signup only -> stops at stage 1
+        (2, "view", T(1)), (2, "signup", T(2)), (2, "purchase", T(3)),
+        # u3: never signs up -> stage 0
+        (3, "view", T(1)), (3, "purchase", T(2)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r["step"]: r
+        for r in sequence_funnel(
+            ev, ("signup", "view", "purchase")
+        ).collect()
+    }
+    assert got["signup"]["n_users"] == 2
+    assert got["view"]["n_users"] == 1      # only u1 viewed after signup
+    # u2 purchased after signup but never viewed after signup
+    assert got["purchase"]["n_users"] == 1
+    assert got["purchase"]["conversion"] == 0.5
