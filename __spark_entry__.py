@@ -1043,6 +1043,28 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_funnel(ev, ("signup", "view", "purchase"))
 
 
+
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram cross-entropy per document (perplexity filter)."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        unigram_cross_entropy,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_cross_entropy(docs)
+
+
+
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence vs the corpus token distribution."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        source_divergence,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_divergence(docs)
+
+
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.15}
 SAMPLE_DEFAULT_RATE = 0.1
 
@@ -1160,6 +1182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "dup_ngram_rate": q_dup_ngram_rate,
         "doc_entropy": q_doc_entropy,
+        "doc_perplexity": q_doc_perplexity,
+        "source_drift": q_source_drift,
         "jaccard_clusters": q_jaccard_clusters,
         "quality_survivors": q_quality_survivors,
         "embedding_topk": q_embedding_topk,
@@ -1899,6 +1923,41 @@ FROM lab
         "pii_stats": pre + _pii_stats_sql(),
         "filter_funnel": _filter_funnel_sql(),
         "doc_entropy": _char_entropy_sql(),
+        "source_drift": """
+WITH ex AS (
+  SELECT source, t AS term FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t
+    FROM documents
+  ) WHERE length(t) >= 1
+), st AS (SELECT source, term, count(*) AS c FROM ex GROUP BY 1, 2),
+corpus AS (SELECT term, CAST(sum(c) AS BIGINT) AS tc FROM st GROUP BY 1),
+stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS s_total FROM st GROUP BY 1),
+n AS (SELECT CAST(sum(tc) AS BIGINT) AS n_total FROM corpus)
+SELECT source, CAST(max(s_total) AS BIGINT) AS n_tokens,
+       count(*) AS n_terms,
+       round(sum((c / CAST(s_total AS DOUBLE))
+                 * ln((c / CAST(s_total AS DOUBLE))
+                      / (tc / CAST(n_total AS DOUBLE)))), 4)
+         AS kl_divergence
+FROM st JOIN corpus USING (term) JOIN stot USING (source) CROSS JOIN n
+GROUP BY 1
+""",
+        "doc_perplexity": """
+WITH ex AS (
+  SELECT doc_id, lang, t AS term FROM (
+    SELECT doc_id, lang,
+           unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t
+    FROM documents
+  ) WHERE length(t) >= 1
+), lm AS (SELECT term, count(*) AS tc FROM ex GROUP BY 1),
+s AS (SELECT CAST(sum(tc) AS BIGINT) AS n_total, count(*) AS v FROM lm)
+SELECT doc_id, lang, count(*) AS n_tokens,
+       round(avg(-ln((tc + 1) / CAST(n_total + v AS DOUBLE))), 4)
+         AS cross_entropy
+FROM ex JOIN lm USING (term) CROSS JOIN s
+GROUP BY 1, 2
+""",
         "dup_ngram_rate": """
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t

@@ -224,6 +224,86 @@ def char_entropy(docs: DataFrame) -> DataFrame:
     )
 
 
+def unigram_cross_entropy(docs: DataFrame, min_len: int = 1) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram LM — the
+    CCNet-style perplexity quality filter, statistical edition (no external
+    model): score(doc) = avg over tokens of -ln p(token), with add-one
+    smoothing p(t) = (count(t)+1) / (N+V). Natural prose full of common
+    words scores LOW; rare-word salad and near-gibberish score HIGH — the
+    ranking is what the filter thresholds on.
+
+    Scale shape: one explode, one term hash-agg (the LM — vocabulary-sized,
+    not corpus-sized), one (N, V) scalar broadcast, one equi-join of the
+    token stream against the LM on the term, one per-doc hash-agg. Nothing
+    here is driver-side; the LM itself stays distributed (it only joins,
+    never collects).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"),
+        lambda t: F.length(t) >= min_len,
+    )
+    ex = docs.select("doc_id", "lang", F.explode(toks).alias("term"))
+    lm = ex.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    scalars = lm.agg(
+        F.sum("tc").alias("n_total"), F.count(F.lit(1)).alias("v")
+    )
+    scored = (
+        ex.join(lm, "term")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                -F.log(
+                    (F.col("tc") + 1)
+                    / (F.col("n_total") + F.col("v")).cast("double")
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("nll"), 4).alias("cross_entropy"),
+    )
+
+
+def source_divergence(docs: DataFrame, min_len: int = 1) -> DataFrame:
+    """Per-source KL divergence of the token distribution against the
+    whole corpus — the mixture-drift audit: a source whose vocabulary
+    diverges (boilerplate farm, wrong language, machine spam) shows a high
+    KL(q_source || p_corpus) and gets investigated before it poisons the
+    training mix. No smoothing needed: every source token exists in the
+    corpus distribution by construction.
+
+    Scale shape: explode once, one (source, term) hash-agg, corpus term
+    counts derived from it by a second agg (vocabulary-sized input, NOT a
+    second corpus scan), per-source totals broadcast-joined, one final
+    per-source sum.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"),
+        lambda t: F.length(t) >= min_len,
+    )
+    ex = docs.select("source", F.explode(toks).alias("term"))
+    st = ex.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    corpus = st.groupBy("term").agg(F.sum("c").alias("tc"))
+    s_tot = st.groupBy("source").agg(F.sum("c").alias("s_total"))
+    n_total = corpus.agg(F.sum("tc").alias("n_total"))
+    q = F.col("c") / F.col("s_total").cast("double")
+    p = F.col("tc") / F.col("n_total").cast("double")
+    return (
+        st.join(corpus, "term")
+        .join(F.broadcast(s_tot), "source")
+        .crossJoin(F.broadcast(n_total))
+        .groupBy("source")
+        .agg(
+            F.max("s_total").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum(q * F.log(q / p)), 4).alias("kl_divergence"),
+        )
+    )
+
+
 def passes_quality(
     text: F.Column | None = None,
     min_tokens: int = 16,

@@ -539,3 +539,40 @@ def test_sequence_funnel_strict_order(spark):
     # u2 purchased after signup but never viewed after signup
     assert got["purchase"]["n_users"] == 1
     assert got["purchase"]["conversion"] == 0.5
+
+
+def test_unigram_cross_entropy_ranks_rarity(spark):
+    """Docs made of corpus-common words must score LOWER than docs made of
+    corpus-rare words under the self-trained unigram LM."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        unigram_cross_entropy,
+    )
+
+    common = "the quick brown fox " * 10
+    rows = (
+        [(i, "en", common) for i in range(9)]
+        + [(100, "en", "zyzzyva qoph xylem vex")]  # rare tokens, once each
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r["cross_entropy"] for r in unigram_cross_entropy(docs).collect()}
+    assert got[100] > got[0]
+
+
+def test_source_divergence_flags_outlier_source(spark):
+    """A source with an alien vocabulary must show the highest KL; a
+    source sampled from the corpus-dominant distribution stays near 0."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        source_divergence,
+    )
+
+    normal = "alpha beta gamma delta epsilon"
+    rows = (
+        [(i, "srcA", normal) for i in range(10)]
+        + [(20 + i, "srcB", normal) for i in range(10)]
+        + [(40, "srcX", "qqq www zzz yyy xxx")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r["kl_divergence"] for r in source_divergence(docs).collect()}
+    assert got["srcX"] > got["srcA"]
+    assert abs(got["srcA"] - got["srcB"]) < 1e-9
+    assert got["srcA"] < 0.1  # matches the corpus-dominant distribution
