@@ -1065,6 +1065,17 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_divergence(docs)
 
 
+
+def q_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers (farthest-from-centroid members)."""
+    from otlp_cardinality_checker_spark.operators.similarity import (
+        label_outliers,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return label_outliers(emb, k=3)
+
+
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.15}
 SAMPLE_DEFAULT_RATE = 0.1
 
@@ -1192,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "embedding_near_dups": q_embedding_near_dups,
+        "label_outliers": q_label_outliers,
         "embedding_clusters": q_embedding_clusters,
         "key_stats_hll": q_key_stats_hll,
         "media_features": q_media_features,
@@ -1882,6 +1894,25 @@ SELECT query_id, vec_id, cosine, rank FROM (
     PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 10
+""",
+        "label_outliers": """
+WITH d AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+), ce AS (SELECT label, pos, avg(v) AS c FROM d GROUP BY 1, 2),
+cent AS (SELECT label, list(c ORDER BY pos) AS cv FROM ce GROUP BY 1),
+scored AS (
+  SELECT e.label, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv),
+               6) AS cosine
+  FROM embeddings e JOIN cent c USING (label)
+)
+SELECT label, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY label ORDER BY cosine ASC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
 """,
         "embedding_near_dups": """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -336,3 +336,60 @@ def embedding_near_dups_exact(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def label_outliers(emb: DataFrame, k: int = 3) -> DataFrame:
+    """Embedding-space outlier detection per label: the k members FARTHEST
+    (lowest cosine) from their label's centroid — the mislabeled-sample /
+    contaminated-cluster audit run before embeddings feed training.
+
+    Scale shape: one posexplode -> (label, dim) hash-agg for the centroid
+    elements -> per-label array re-assembly (deterministic: sorted by dim
+    position, not collect order) -> BROADCAST join of the tiny centroid
+    table back onto the vectors -> JVM-side cosine (zip_with/aggregate
+    HOFs) -> salted two-stage bottom-k per label. Ranking uses the ROUNDED
+    cosine (asc, then vec_id) so the order is engine-portable.
+    """
+    from .aggregate import salted_top_k
+
+    d = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select("label", F.col("pos"), F.col("col").alias("v"))
+    cent = (
+        d.groupBy("label", "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda x: x["c"],
+            ).alias("cv")
+        )
+    )
+    scored = (
+        emb.join(F.broadcast(cent), "label")
+        .select(
+            "label",
+            "vec_id",
+            F.round(
+                cosine_expr(
+                    F.col("embedding").cast("array<double>"), F.col("cv")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return salted_top_k(
+        scored,
+        ["label"],
+        (F.asc("cosine"), F.asc("vec_id")),
+        k=k,
+        salt_col="vec_id",
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("label").orderBy(
+                F.asc("cosine"), F.asc("vec_id")
+            )
+        ),
+    )

@@ -57,7 +57,21 @@ def _process_batch(
     try:
         for sink in SINKS:
             part = routed.where(F.col("sink") == sink).select(*SINK_COLUMNS[sink])
-            n = part.count()
+            # per-PARTITION counts in one pass: total rows, partition count,
+            # and the min/max partition sizes (the skew signal an operator
+            # watches before a hot partition stalls the stage)
+            pstats = (
+                part.groupBy(F.spark_partition_id().alias("_pid"))
+                .agg(F.count(F.lit(1)).alias("_rows"))
+                .agg(
+                    F.coalesce(F.sum("_rows"), F.lit(0)).alias("n"),
+                    F.count(F.lit(1)).alias("n_parts"),
+                    F.coalesce(F.min("_rows"), F.lit(0)).alias("min_part"),
+                    F.coalesce(F.max("_rows"), F.lit(0)).alias("max_part"),
+                )
+                .collect()[0]
+            )
+            n = pstats["n"]
             # idempotent: partitioned by batch_id, replay overwrites itself
             (
                 part.withColumn("_batch_id", F.lit(batch_id))
@@ -72,6 +86,9 @@ def _process_batch(
                     "batch_id": batch_id,
                     "sink": sink,
                     "n_rows": n,
+                    "n_partitions": pstats["n_parts"],
+                    "min_partition_rows": pstats["min_part"],
+                    "max_partition_rows": pstats["max_part"],
                     "wall_sec": round(time.time() - t0, 3),
                 }
             )

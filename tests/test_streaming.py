@@ -68,6 +68,12 @@ def test_kill_resume_equivalence(spark, tmp_path):
         f"{straight}/out/sink_tool_call"
     ).count()
     assert total_routed == n_input
+    # per-partition lineage: partition sizes must account for the sink's
+    # rows and expose the skew envelope
+    for r in lineage:
+        assert r["min_partition_rows"] <= r["max_partition_rows"]
+        assert 0 <= r["n_partitions"]
+        assert r["max_partition_rows"] * max(r["n_partitions"], 1) >= r["n_rows"]
 
 
 def test_watermark_drops_late_events(spark, tmp_path):
