@@ -104,19 +104,33 @@ def cmd_diff(args) -> int:
     return 0
 
 
+def _rate_spec(spec: str) -> tuple[str, float]:
+    stratum, sep, r = spec.partition("=")
+    if not sep or not stratum:
+        raise argparse.ArgumentTypeError(
+            f"invalid rate {spec!r}: expected STRATUM=FRAC"
+        )
+    try:
+        frac = float(r)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"invalid rate {spec!r}: {r!r} is not a number"
+        ) from None
+    if not 0.0 <= frac <= 1.0:
+        raise argparse.ArgumentTypeError(
+            f"invalid rate {spec!r}: fraction must be in [0, 1]"
+        )
+    return stratum, frac
+
+
 def cmd_curate(args) -> int:
     """Training-data curation job: quality filter -> deterministic
     stratified sample -> write curated parquet; prints the funnel report
     and per-stratum sample audit as JSON."""
-    from pyspark.sql import functions as F
-
     from .operators.sampling import hash_sample, stratified_sample_stats
     from .operators.text_analysis import filter_funnel, passes_quality
 
-    rates = {}
-    for spec in args.rate or []:
-        stratum, _, r = spec.partition("=")
-        rates[stratum] = float(r)
+    rates = dict(args.rate or [])
     spark = _spark(args)
     docs = spark.read.parquet(args.docs or f"{args.sf_dir}/documents.parquet")
     funnel = [r.asDict() for r in filter_funnel(docs).collect()]
@@ -134,7 +148,9 @@ def cmd_curate(args) -> int:
         sampled.repartition(max(args.cores, 1)).write.mode(
             "overwrite"
         ).parquet(args.out)
-    n_out = sampled.agg(F.count(F.lit(1))).collect()[0][0]
+    # n_curated is exactly derivable from the audit (same keep expression
+    # over the same frame) — no extra Spark job for a redundant count
+    n_out = sum(r["n_sampled"] for r in audit)
     print(
         json.dumps(
             {"funnel": funnel, "sample_audit": audit, "n_curated": n_out},
@@ -192,6 +208,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--rate",
         action="append",
+        type=_rate_spec,
         metavar="STRATUM=FRAC",
         help="per-language sample rate, repeatable (e.g. --rate en=0.5)",
     )

@@ -98,23 +98,28 @@ def salted_top_k(
     k: int = 1,
     salt_col: str = "value",
     n_salt: int = 16,
+    keep_rank: bool = False,
 ) -> DataFrame:
     """Two-stage top-k per group with bounded reducers (the shared shape
-    behind watched_values, key_skew, and graph.survivor_by_score): rank
-    within (group, salt) first — any global top-k row is in its salt's
-    top-k — so the final window sorts at most n_salt * k rows per group
-    instead of the group's full partition. Helper columns are dropped;
-    ties must be fully broken by order_cols for determinism."""
+    behind watched_values, key_skew, graph.survivor_by_score, and
+    similarity.label_outliers): rank within (group, salt) first — any
+    global top-k row is in its salt's top-k — so the final window sorts at
+    most n_salt * k rows per group instead of the group's full partition.
+    Helper columns are dropped (``keep_rank=True`` keeps the final rank as
+    ``rank``); ties must be fully broken by order_cols for determinism."""
     w1 = Window.partitionBy(*partition_cols, "_salt").orderBy(*order_cols)
     w2 = Window.partitionBy(*partition_cols).orderBy(*order_cols)
-    return (
+    out = (
         df.withColumn("_salt", F.pmod(F.hash(salt_col), F.lit(n_salt)))
         .withColumn("_r", F.row_number().over(w1))
         .where(F.col("_r") <= k)
         .withColumn("_rank", F.row_number().over(w2))
         .where(F.col("_rank") <= k)
-        .drop("_salt", "_r", "_rank")
+        .drop("_salt", "_r")
     )
+    if keep_rank:
+        return out.withColumnRenamed("_rank", "rank")
+    return out.drop("_rank")
 
 
 def value_grain(

@@ -77,9 +77,17 @@ def sequence_funnel(
     timestamp per surviving user. len(steps) is small and fixed, so the
     whole funnel is a short chain of uniform joins at any event volume.
     """
-    reached = events.where(F.col(type_col) == steps[0]).groupBy(
-        user_col
-    ).agg(F.min(ts_col).alias("_t"))
+    # each stage frame is localCheckpoint'ed: it is referenced by its own
+    # count branch AND by every later stage's join chain, and ReuseExchange
+    # does not fire across union branches — without materialization the
+    # raw events table would be rescanned O(steps^2) times. The frames are
+    # user-level (one timestamp per surviving user), so this is cheap.
+    reached = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+        .localCheckpoint(eager=True)
+    )
     stage_frames = [reached]
     for step in steps[1:]:
         nxt = (
@@ -88,6 +96,7 @@ def sequence_funnel(
             .where(F.col(ts_col) > F.col("_t"))
             .groupBy(user_col)
             .agg(F.min(ts_col).alias("_t"))
+            .localCheckpoint(eager=True)
         )
         stage_frames.append(nxt)
         reached = nxt

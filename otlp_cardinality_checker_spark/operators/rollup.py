@@ -22,8 +22,12 @@ from pyspark.sql import functions as F
 
 
 def _bucket(ts_col: str, seconds: int):
+    # floor, not cast: cast truncates toward zero, which would double the
+    # width of the bucket straddling the 1970 epoch for pre-epoch data and
+    # diverge from the oracle's floor(epoch/N)
     return F.timestamp_seconds(
-        (F.unix_timestamp(F.col(ts_col)) / seconds).cast("long") * seconds
+        F.floor(F.unix_timestamp(F.col(ts_col)) / seconds).cast("long")
+        * seconds
     )
 
 

@@ -385,11 +385,5 @@ def label_outliers(emb: DataFrame, k: int = 3) -> DataFrame:
         (F.asc("cosine"), F.asc("vec_id")),
         k=k,
         salt_col="vec_id",
-    ).withColumn(
-        "rank",
-        F.row_number().over(
-            Window.partitionBy("label").orderBy(
-                F.asc("cosine"), F.asc("vec_id")
-            )
-        ),
+        keep_rank=True,
     )

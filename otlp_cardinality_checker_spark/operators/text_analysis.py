@@ -232,27 +232,34 @@ def unigram_cross_entropy(docs: DataFrame, min_len: int = 1) -> DataFrame:
     words scores LOW; rare-word salad and near-gibberish score HIGH — the
     ranking is what the filter thresholds on.
 
-    Scale shape: one explode, one term hash-agg (the LM — vocabulary-sized,
-    not corpus-sized), one (N, V) scalar broadcast, one equi-join of the
-    token stream against the LM on the term, one per-doc hash-agg. Nothing
-    here is driver-side; the LM itself stays distributed (it only joins,
-    never collects).
+    Scale shape: the corpus is tokenized and exploded ONCE into a
+    (doc, term, count) frame (materialized — the two consumers below are
+    separate plan branches and ReuseExchange does not bridge them); the LM
+    and its (N, V) scalars derive from that vocab-sized frame, never from
+    a second corpus pass, and the scoring join runs over distinct
+    doc-terms instead of raw tokens. Nothing is driver-side.
     """
     toks = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z]+"),
         lambda t: F.length(t) >= min_len,
     )
-    ex = docs.select("doc_id", "lang", F.explode(toks).alias("term"))
-    lm = ex.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    doc_terms = (
+        docs.select("doc_id", "lang", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    lm = doc_terms.groupBy("term").agg(F.sum("c").alias("tc"))
     scalars = lm.agg(
         F.sum("tc").alias("n_total"), F.count(F.lit(1)).alias("v")
     )
     scored = (
-        ex.join(lm, "term")
+        doc_terms.join(lm, "term")
         .crossJoin(F.broadcast(scalars))
         .select(
             "doc_id",
             "lang",
+            "c",
             (
                 -F.log(
                     (F.col("tc") + 1)
@@ -262,8 +269,10 @@ def unigram_cross_entropy(docs: DataFrame, min_len: int = 1) -> DataFrame:
         )
     )
     return scored.groupBy("doc_id", "lang").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.avg("nll"), 4).alias("cross_entropy"),
+        F.sum("c").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("c") * F.col("nll")) / F.sum("c"), 4
+        ).alias("cross_entropy"),
     )
 
 

@@ -55,27 +55,38 @@ def _process_batch(
     routed.persist()
     lineage_rows = []
     try:
+        n_write_parts = 4
         for sink in SINKS:
-            part = routed.where(F.col("sink") == sink).select(*SINK_COLUMNS[sink])
-            # per-PARTITION counts in one pass: total rows, partition count,
-            # and the min/max partition sizes (the skew signal an operator
-            # watches before a hot partition stalls the stage)
+            # persisted so the stats action and the write share ONE shuffle
+            part = (
+                routed.where(F.col("sink") == sink)
+                .select(*SINK_COLUMNS[sink])
+                .repartition(n_write_parts, "conv_id")
+                .persist()
+            )
+            # per-PARTITION counts measured on the SAME partitioning the
+            # write uses (the repartition above), in one pass: total rows,
+            # non-empty partition count, min/max partition sizes — the
+            # skew/starvation signal. groupBy(spark_partition_id) cannot
+            # see EMPTY partitions, so starvation is reported explicitly:
+            # the declared write fan-out is known (n_write_parts) and any
+            # shortfall means empty partitions -> min_partition_rows is 0.
             pstats = (
                 part.groupBy(F.spark_partition_id().alias("_pid"))
                 .agg(F.count(F.lit(1)).alias("_rows"))
                 .agg(
                     F.coalesce(F.sum("_rows"), F.lit(0)).alias("n"),
-                    F.count(F.lit(1)).alias("n_parts"),
+                    F.count(F.lit(1)).alias("n_nonempty"),
                     F.coalesce(F.min("_rows"), F.lit(0)).alias("min_part"),
                     F.coalesce(F.max("_rows"), F.lit(0)).alias("max_part"),
                 )
                 .collect()[0]
             )
             n = pstats["n"]
+            starved = pstats["n_nonempty"] < n_write_parts
             # idempotent: partitioned by batch_id, replay overwrites itself
             (
                 part.withColumn("_batch_id", F.lit(batch_id))
-                .repartition(4, "conv_id")
                 .write.mode("overwrite")
                 .partitionBy("_batch_id")
                 .option("partitionOverwriteMode", "dynamic")
@@ -86,12 +97,14 @@ def _process_batch(
                     "batch_id": batch_id,
                     "sink": sink,
                     "n_rows": n,
-                    "n_partitions": pstats["n_parts"],
-                    "min_partition_rows": pstats["min_part"],
+                    "n_partitions": n_write_parts,
+                    "n_nonempty_partitions": pstats["n_nonempty"],
+                    "min_partition_rows": 0 if starved else pstats["min_part"],
                     "max_partition_rows": pstats["max_part"],
                     "wall_sec": round(time.time() - t0, 3),
                 }
             )
+            part.unpersist()
         # mergeable aggregate state: one PARTIAL snapshot (counts + HLL
         # sketch binaries + sample arrays) per micro-batch, keyed by
         # batch_id so a checkpoint replay overwrites itself — the Spark

@@ -69,11 +69,16 @@ def test_kill_resume_equivalence(spark, tmp_path):
     ).count()
     assert total_routed == n_input
     # per-partition lineage: partition sizes must account for the sink's
-    # rows and expose the skew envelope
+    # rows and expose the skew/starvation envelope on the WRITE partitioning
     for r in lineage:
         assert r["min_partition_rows"] <= r["max_partition_rows"]
-        assert 0 <= r["n_partitions"]
-        assert r["max_partition_rows"] * max(r["n_partitions"], 1) >= r["n_rows"]
+        assert r["n_partitions"] >= 1
+        assert 1 <= r["n_nonempty_partitions"] <= r["n_partitions"]
+        assert r["max_partition_rows"] * r["n_partitions"] >= r["n_rows"]
+        if r["n_nonempty_partitions"] < r["n_partitions"]:
+            assert r["min_partition_rows"] == 0  # starvation is visible
+        else:
+            assert r["min_partition_rows"] >= 1
 
 
 def test_watermark_drops_late_events(spark, tmp_path):
