@@ -1076,6 +1076,19 @@ def q_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_outliers(emb, k=3)
 
 
+
+def q_routed_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sink multiset fingerprint of the routed rows — the north rule's
+    routed-row-equality acceptance check as one aggregate (order-,
+    partitioning-, and engine-independent)."""
+    from otlp_cardinality_checker_spark.operators.checksum import (
+        dataset_fingerprint,
+    )
+
+    routed = _routed(spark, sf_dir).select("sink", "conv_id", "turn_idx", "text")
+    return dataset_fingerprint(routed, group_cols=["sink"])
+
+
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.15}
 SAMPLE_DEFAULT_RATE = 0.1
 
@@ -1145,6 +1158,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "route_counts": q_route_counts,
+        "routed_fingerprint": q_routed_fingerprint,
         "sink_chat_turns": _sink_turns("chat"),
         "sink_error_turns": _sink_turns("error"),
         "sink_tool_call_turns": _sink_turns("tool_call"),
@@ -1466,6 +1480,23 @@ GROUP BY template ORDER BY count DESC, template ASC LIMIT 20
 SELECT sink, "key", count, rn FROM (
   SELECT *, row_number() OVER (ORDER BY sink ASC, "key" ASC) AS rn FROM ks
 ) WHERE rn > 5 AND rn <= 25
+""",
+        "routed_fingerprint": pre
+        + """
+, canon AS (
+  SELECT sink,
+    ('0x' || substr(md5(
+       coalesce(CAST(conv_id AS VARCHAR), chr(0) || '<NULL>')
+       || chr(31) ||
+       coalesce(CAST(text AS VARCHAR), chr(0) || '<NULL>')
+       || chr(31) ||
+       coalesce(CAST(turn_idx AS VARCHAR), chr(0) || '<NULL>')
+     ), 18, 15))::BIGINT AS v
+  FROM routed
+)
+SELECT sink, count(*) AS n_rows, bit_xor(v) AS xor_digest,
+       CAST(sum(CAST(v AS HUGEINT)) AS VARCHAR) AS sum_digest
+FROM canon GROUP BY sink
 """,
         "dedup_exact": """
 SELECT md5(text) AS text_hash, count(*) AS n_copies,

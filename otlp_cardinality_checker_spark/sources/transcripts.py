@@ -61,3 +61,28 @@ def truth_paths(sf_dir: str) -> dict[str, str]:
         "truth": str(data_dir / "truth.parquet"),
         "truth_attrs": str(data_dir / "truth_attrs.parquet"),
     }
+
+
+JSONL_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp, _corrupt_record string"
+)
+
+
+def load_transcripts_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Second ingest format: newline-delimited JSON transcripts.
+
+    Explicit schema (never inferSchema — a schema-inference pass is a full
+    extra read at 100 TB) with PERMISSIVE corrupt-record capture: malformed
+    lines land in `_corrupt_record` instead of failing the job, so a bad
+    producer degrades to a quantifiable drop rate, not an outage. Callers
+    split on `_corrupt_record IS NULL` and route the rejects to a
+    quarantine sink.
+    """
+    return (
+        spark.read.schema(JSONL_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .json(path)
+    )

@@ -165,3 +165,78 @@ def test_salted_hll_equals_unsalted(tiny_routed):
         for r in key_stats(tiny_routed, exact=False, n_salt=1).collect()
     }
     assert a == b
+
+
+
+def test_jsonl_source_parity_and_quarantine(spark, tmp_path):
+    """JSONL ingest: well-formed lines parse byte-identically to the
+    parquet source (fingerprint-verified), malformed lines are captured
+    in _corrupt_record instead of failing the read."""
+    import pyspark.sql.functions as F
+
+    from otlp_cardinality_checker_spark.operators.checksum import (
+        dataset_fingerprint,
+    )
+    from otlp_cardinality_checker_spark.sources.transcripts import (
+        load_transcripts,
+        load_transcripts_jsonl,
+    )
+
+    pq = load_transcripts(spark, "/root/testdata/sf0.001").limit(200)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    jdir = tmp_path / "jsonl"
+    (
+        pq.select(*cols)
+        .withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .coalesce(1)
+        .write.json(str(jdir))
+    )
+    # drop one malformed line in as its own file (appending to a part file
+    # would invalidate its Hadoop .crc sidecar and fail the read outright)
+    (jdir / "extra.json").write_text(
+        '{"conv_id": "broken", "turn_idx": NOT_JSON}\n'
+    )
+
+    # cache: Spark disallows queries referencing ONLY the internal corrupt
+    # record column of a raw JSON scan (SPARK-21610)
+    loaded = load_transcripts_jsonl(spark, str(jdir)).cache()
+    good = loaded.where(F.col("_corrupt_record").isNull()).select(*cols)
+    bad = loaded.where(F.col("_corrupt_record").isNotNull())
+    assert bad.count() == 1
+
+    # multiset equality via the portable fingerprint (ts second-truncated
+    # on both sides: the JSON roundtrip format carries second precision)
+    canon = lambda df: df.withColumn(  # noqa: E731
+        "ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    )
+    fp = lambda df: dataset_fingerprint(canon(df)).collect()[0]  # noqa: E731
+    a, b = fp(pq.select(*cols)), fp(good)
+    assert (a["n_rows"], a["xor_digest"], a["sum_digest"]) == (
+        b["n_rows"], b["xor_digest"], b["sum_digest"],
+    )
+
+
+def test_dataset_fingerprint_properties(spark):
+    """Order/partitioning invariance; duplicate-pair sensitivity (the case
+    xor alone cannot see); any value change flips the digest."""
+    from otlp_cardinality_checker_spark.operators.checksum import (
+        dataset_fingerprint,
+    )
+
+    rows = [(1, "a"), (2, "b"), (3, None)]
+    df1 = spark.createDataFrame(rows, "id long, v string")
+    df2 = spark.createDataFrame(list(reversed(rows)), "id long, v string").repartition(7)
+    f1 = dataset_fingerprint(df1).collect()[0]
+    f2 = dataset_fingerprint(df2).collect()[0]
+    assert tuple(f1) == tuple(f2)
+
+    dup = spark.createDataFrame(rows + rows, "id long, v string")
+    fd = dataset_fingerprint(dup).collect()[0]
+    assert fd["xor_digest"] == 0 or fd["xor_digest"] != f1["xor_digest"]
+    assert fd["sum_digest"] != f1["sum_digest"]  # sum catches xor-blind dups
+
+    changed = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "x")], "id long, v string"
+    )
+    fc = dataset_fingerprint(changed).collect()[0]
+    assert fc["xor_digest"] != f1["xor_digest"]
