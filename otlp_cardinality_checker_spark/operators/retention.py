@@ -113,5 +113,12 @@ def sequence_funnel(
         "step_idx",
         "step",
         "n_users",
-        F.round(F.col("n_users") / F.col("_n1"), 4).alias("conversion"),
+        F.round(
+            # empty funnel head => conversion 0.0, not a divide-by-zero
+            # (ANSI mode makes x/0 an error, not NULL)
+            F.when(
+                F.col("_n1") > 0, F.col("n_users") / F.col("_n1")
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("conversion"),
     )

@@ -598,3 +598,59 @@ def test_label_outliers_finds_planted_outlier(spark):
     assert top0["vec_id"] == 99
     assert top0["cosine"] < 0
     assert all(r["rank"] <= 2 for r in got)
+
+
+def test_new_ops_handle_empty_input(spark):
+    """Every round-2 operator must return an empty frame (not crash, not a
+    null-ridden row) on empty input."""
+    import pyspark.sql.functions as FF
+
+    from otlp_cardinality_checker_spark.operators.aggregate import key_skew
+    from otlp_cardinality_checker_spark.operators.checksum import (
+        dataset_fingerprint,
+    )
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        dup_ngram_rate,
+        exact_jaccard,
+        word_shingles,
+    )
+    from otlp_cardinality_checker_spark.operators.retention import (
+        cohort_retention,
+        sequence_funnel,
+    )
+    from otlp_cardinality_checker_spark.operators.sampling import (
+        stratified_sample_stats,
+    )
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        filter_funnel,
+        source_divergence,
+        tfidf_top_terms,
+        unigram_cross_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, lang string, source string, text string"
+    )
+    ev = spark.createDataFrame(
+        [], "event_id long, event_type string, user_id long, "
+            "value double, ts timestamp"
+    )
+    routed = spark.createDataFrame(
+        [], "sink string, conv_id string, turn_idx int, ts timestamp, "
+            "attrs map<string,string>"
+    )
+    assert filter_funnel(docs).count() == 0
+    assert stratified_sample_stats(docs, {"en": 0.5}).count() == 0
+    assert tfidf_top_terms(docs).count() == 0
+    assert unigram_cross_entropy(docs).count() == 0
+    assert source_divergence(docs).count() == 0
+    assert dup_ngram_rate(docs).count() == 0
+    assert exact_jaccard(word_shingles(docs), max_df=2).count() == 0
+    assert key_skew(routed).count() == 0
+    assert cohort_retention(ev).count() == 0
+    assert sequence_funnel(ev, ("signup", "view")).count() == 2  # 0-count rows
+    funnel_rows = sequence_funnel(ev, ("signup", "view")).collect()
+    assert all(r["n_users"] == 0 for r in funnel_rows)
+    # global (ungrouped) fingerprint of an empty frame: one row, n_rows=0
+    fp = dataset_fingerprint(docs).collect()
+    assert len(fp) == 1 and fp[0]["n_rows"] == 0
