@@ -1089,6 +1089,23 @@ def q_routed_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_fingerprint(routed, group_cols=["sink"])
 
 
+
+def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (rows-only: synthetic media, stub
+    decode; the row-multiplying mapInPandas contract is the tested part).
+    Aggregated per media so the output is compact and deterministic."""
+    from otlp_cardinality_checker_spark.operators.multimodal import (
+        sample_frames,
+        synthetic_media,
+    )
+
+    frames = sample_frames(synthetic_media(spark, 64), every_ms=500)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.length("frame_payload")).alias("total_frame_bytes"),
+    )
+
+
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.15}
 SAMPLE_DEFAULT_RATE = 0.1
 
@@ -1221,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_clusters": q_embedding_clusters,
         "key_stats_hll": q_key_stats_hll,
         "media_features": q_media_features,
+        "frame_samples": q_frame_samples,
         "pii_stats": q_pii_stats,
         "stratified_sample": q_stratified_sample,
         "tfidf_terms": q_tfidf_terms,

@@ -119,3 +119,89 @@ def modality_stats(features: DataFrame) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.round(F.avg(F.element_at("features", 1)), 6).alias("avg_f0"),
     )
+
+
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Resize plumbing for image rows: same MEDIA_SCHEMA out, metadata
+    updated to the target dimensions. The pixel kernel is stubbed (no
+    image libraries in this container): the stub deterministically
+    re-samples the payload bytes to the target byte budget, which
+    preserves exactly what the real PIL/opencv swap needs — per-row bytes
+    in, transformed bytes out, Arrow-batched, non-image rows passed
+    through untouched."""
+
+    budget = max(width * height // 64, 16)
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real image resizing requires PIL/opencv, not present "
+                    "in this container"
+                )
+
+            def _resize(row):
+                if row["modality"] != "image" or row["payload"] is None:
+                    return row["payload"]
+                p = row["payload"]
+                return bytes(p[(j * len(p)) // budget] for j in range(budget))
+
+            out = pdf.copy()
+            out["payload"] = pdf.apply(_resize, axis=1)
+            is_img = out["modality"] == "image"
+            out.loc[is_img, "width"] = width
+            out.loc[is_img, "height"] = height
+            yield pd.DataFrame(out, columns=[f.name for f in MEDIA_SCHEMA])
+
+    return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("ts_ms", IntegerType(), False),
+        StructField("frame_payload", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
+    """Frame-sampling plumbing for video rows: each video explodes into
+    one row per sampled timestamp (0, every_ms, 2*every_ms, ... <=
+    duration_ms). The frame decode is stubbed as a deterministic payload
+    slice; the row-multiplying mapInPandas shape (one input batch -> many
+    output rows) is exactly the real ffmpeg-swap contract. Non-video rows
+    produce no frames."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["modality"] != "video" or not r["duration_ms"]:
+                    continue
+                p = r["payload"] or b""
+                n = int(r["duration_ms"]) // every_ms + 1
+                for k in range(n):
+                    lo = (k * len(p)) // max(n, 1)
+                    hi = ((k + 1) * len(p)) // max(n, 1)
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_idx": k,
+                            "ts_ms": k * every_ms,
+                            "frame_payload": p[lo:hi],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA]
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
