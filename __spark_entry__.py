@@ -1106,6 +1106,32 @@ def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point estimates vs exact counts for every user_id
+    value — a fully hash-checkable SKETCH: the md5-based hash family is
+    bit-reproducible in DuckDB, so the oracle rebuilds the identical
+    counter table (est_count >= exact_count always; equality whenever the
+    value's d buckets are collision-free)."""
+    from otlp_cardinality_checker_spark.operators.aggregate import (
+        exploded_attrs,
+    )
+    from otlp_cardinality_checker_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+    )
+
+    vals = (
+        exploded_attrs(_routed(spark, sf_dir))
+        .where(F.col("key") == "user_id")
+        .select("value")
+    )
+    sketch = cms_build(vals, "value")
+    exact = vals.groupBy("value").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = cms_estimate(sketch, exact.select("value"))
+    return est.join(exact, "value").select("value", "est_count", "exact_count")
+
+
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.15}
 SAMPLE_DEFAULT_RATE = 0.1
 
@@ -1246,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "contamination": q_contamination,
         "key_skew": q_key_skew,
+        "cms_user_counts": q_cms_user_counts,
     }
 
 
@@ -1515,6 +1542,30 @@ SELECT sink, "key", count, rn FROM (
 SELECT sink, count(*) AS n_rows, bit_xor(v) AS xor_digest,
        CAST(sum(CAST(v AS HUGEINT)) AS VARCHAR) AS sum_digest
 FROM canon GROUP BY sink
+""",
+        "cms_user_counts": pre
+        + """
+, vals AS (SELECT "value" FROM rattrs WHERE "key" = 'user_id'),
+exact AS (SELECT "value", count(*) AS exact_count FROM vals GROUP BY 1),
+dd AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(d)),
+cells AS (
+  SELECT dd.d AS depth,
+         ('0x' || substr(md5("value" || '#' || dd.d), 1, 8))::BIGINT % 256
+           AS bucket,
+         count(*) AS cnt
+  FROM vals CROSS JOIN dd
+  GROUP BY 1, 2
+), est AS (
+  SELECT e."value", min(coalesce(c.cnt, 0)) AS est_count
+  FROM exact e CROSS JOIN dd
+  LEFT JOIN cells c
+    ON c.depth = dd.d
+   AND c.bucket =
+       ('0x' || substr(md5(e."value" || '#' || dd.d), 1, 8))::BIGINT % 256
+  GROUP BY 1
+)
+SELECT e."value", est_count, exact_count
+FROM est JOIN exact e USING ("value")
 """,
         "dedup_exact": """
 SELECT md5(text) AS text_hash, count(*) AS n_copies,

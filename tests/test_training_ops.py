@@ -686,3 +686,46 @@ def test_multimodal_resize_and_frame_sampling(spark):
         assert n == vids[mid]["duration_ms"] // 500 + 1
     # deterministic across runs
     assert sorted(map(tuple, got)) == sorted(map(tuple, frames.collect()))
+
+
+def test_cms_properties(spark):
+    """Count-min invariants: est >= exact for every value; merge of two
+    partial sketches equals the sketch of the union; small width forces
+    visible overestimates (collisions) without ever underestimating."""
+    import pyspark.sql.functions as FF
+
+    from otlp_cardinality_checker_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    rows = [(f"v{i % 37}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "value string")
+    half1 = spark.createDataFrame(rows[:500], "value string")
+    half2 = spark.createDataFrame(rows[500:], "value string")
+
+    exact = {
+        r["value"]: r["n"]
+        for r in df.groupBy("value").agg(FF.count(FF.lit(1)).alias("n")).collect()
+    }
+    probes = df.select("value").distinct()
+
+    for width in (8, 256):  # 8 forces collisions
+        sk = cms_build(df, "value", width=width)
+        est = {
+            r["value"]: r["est_count"]
+            for r in cms_estimate(sk, probes, width=width).collect()
+        }
+        assert set(est) == set(exact)
+        for v, e in est.items():
+            assert e >= exact[v]  # never underestimates
+        merged = cms_merge(
+            cms_build(half1, "value", width=width),
+            cms_build(half2, "value", width=width),
+        )
+        est_m = {
+            r["value"]: r["est_count"]
+            for r in cms_estimate(merged, probes, width=width).collect()
+        }
+        assert est_m == est  # partial+merge == build-over-union, exactly
