@@ -1121,10 +1121,16 @@ def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_estimate,
     )
 
+    from otlp_cardinality_checker_spark.operators.checksum import (
+        NULL_SENTINEL,
+    )
+
     vals = (
         exploded_attrs(_routed(spark, sf_dir))
         .where(F.col("key") == "user_id")
-        .select("value")
+        .select(
+            F.coalesce(F.col("value"), F.lit(NULL_SENTINEL)).alias("value")
+        )
     )
     sketch = cms_build(vals, "value")
     exact = vals.groupBy("value").agg(F.count(F.lit(1)).alias("exact_count"))
@@ -1531,11 +1537,17 @@ SELECT sink, "key", count, rn FROM (
 , canon AS (
   SELECT sink,
     ('0x' || substr(md5(
-       coalesce(CAST(conv_id AS VARCHAR), chr(0) || '<NULL>')
+       CASE WHEN conv_id IS NULL THEN 'N'
+            ELSE 'V' || length(CAST(conv_id AS VARCHAR)) || ':'
+                 || CAST(conv_id AS VARCHAR) END
        || chr(31) ||
-       coalesce(CAST(text AS VARCHAR), chr(0) || '<NULL>')
+       CASE WHEN text IS NULL THEN 'N'
+            ELSE 'V' || length(CAST(text AS VARCHAR)) || ':'
+                 || CAST(text AS VARCHAR) END
        || chr(31) ||
-       coalesce(CAST(turn_idx AS VARCHAR), chr(0) || '<NULL>')
+       CASE WHEN turn_idx IS NULL THEN 'N'
+            ELSE 'V' || length(CAST(turn_idx AS VARCHAR)) || ':'
+                 || CAST(turn_idx AS VARCHAR) END
      ), 18, 15))::BIGINT AS v
   FROM routed
 )
@@ -1545,7 +1557,10 @@ FROM canon GROUP BY sink
 """,
         "cms_user_counts": pre
         + """
-, vals AS (SELECT "value" FROM rattrs WHERE "key" = 'user_id'),
+, vals AS (
+  SELECT coalesce("value", chr(0) || '<NULL>') AS "value"
+  FROM rattrs WHERE "key" = 'user_id'
+),
 exact AS (SELECT "value", count(*) AS exact_count FROM vals GROUP BY 1),
 dd AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(d)),
 cells AS (

@@ -34,13 +34,18 @@ FIELD_SEP = "\x1f"
 
 
 def _row_digest(cols: list[str]) -> F.Column:
-    canon = F.concat_ws(
-        FIELD_SEP,
-        *[
-            F.coalesce(F.col(c).cast("string"), F.lit(NULL_SENTINEL))
-            for c in cols
-        ],
-    )
+    # each field is tagged ("N" for NULL, "V<len>:" for values) before
+    # joining: without the length prefix, ('a\x1fb', 'c') and
+    # ('a', 'b\x1fc') would canonicalize identically, and a literal value
+    # equal to the NULL sentinel would collide with an actual NULL —
+    # unacceptable ambiguity for an equality ACCEPTANCE check
+    def field(c: str) -> F.Column:
+        s = F.col(c).cast("string")
+        return F.when(s.isNull(), F.lit("N")).otherwise(
+            F.concat(F.lit("V"), F.length(s), F.lit(":"), s)
+        )
+
+    canon = F.concat_ws(FIELD_SEP, *[field(c) for c in cols])
     return F.conv(
         F.substring(F.md5(canon.cast("binary")), 18, 15), 16, 10
     ).cast("long")
@@ -62,7 +67,10 @@ def dataset_fingerprint(
     aggs = [
         F.count(F.lit(1)).alias("n_rows"),
         F.bit_xor(v).alias("xor_digest"),
-        F.sum(v.cast("decimal(20,0)")).cast("string").alias("sum_digest"),
+        # decimal(38,0): a decimal(20) accumulator (-> decimal(30) sum)
+        # would overflow around 10^12 rows of 60-bit digests under ANSI
+        # mode; 38 digits carries ~10^19 rows
+        F.sum(v.cast("decimal(38,0)")).cast("string").alias("sum_digest"),
     ]
     if groups:
         return df.groupBy(*groups).agg(*aggs)

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .checksum import NULL_SENTINEL  # shared canonical NULL marker
+
 CMS_DEPTH = 4
 CMS_WIDTH = 256
 
@@ -45,15 +47,11 @@ def _bucket(value: F.Column, depth: int, width: int) -> F.Column:
     return F.pmod(h, F.lit(width))
 
 
-def cms_build(
-    df: DataFrame,
-    value_col: str,
-    depth: int = CMS_DEPTH,
-    width: int = CMS_WIDTH,
-) -> DataFrame:
-    """(depth, bucket, count) counter table for the value column."""
-    v = F.coalesce(F.col(value_col).cast("string"), F.lit("\x00<NULL>"))
-    cells = F.array(
+def _cells(value_col: str, depth: int, width: int) -> F.Column:
+    """The d (depth, bucket) cells of a value — ONE definition shared by
+    build and estimate, so the two sides can never hash differently."""
+    v = F.coalesce(F.col(value_col).cast("string"), F.lit(NULL_SENTINEL))
+    return F.array(
         *[
             F.struct(
                 F.lit(d).alias("depth"), _bucket(v, d, width).alias("bucket")
@@ -61,8 +59,17 @@ def cms_build(
             for d in range(depth)
         ]
     )
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(depth, bucket, count) counter table for the value column."""
     return (
-        df.select(F.explode(cells).alias("c"))
+        df.select(F.explode(_cells(value_col, depth, width)).alias("c"))
         .groupBy(F.col("c.depth").alias("depth"), F.col("c.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("count"))
     )
@@ -90,20 +97,9 @@ def cms_estimate(
     The sketch is <= depth*width rows by construction, so it broadcasts;
     estimating N values costs one broadcast join + one hash-agg.
     """
-    v = F.coalesce(F.col(value_col).cast("string"), F.lit("\x00<NULL>"))
     probes = values.select(
         F.col(value_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("depth"),
-                        _bucket(v, d, width).alias("bucket"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("p"),
+        F.explode(_cells(value_col, depth, width)).alias("p"),
     ).select(value_col, F.col("p.depth").alias("depth"), F.col("p.bucket").alias("bucket"))
     return (
         probes.join(F.broadcast(sketch), ["depth", "bucket"], "left")

@@ -146,14 +146,21 @@ def resize_images(
                 )
 
             def _resize(row):
-                if row["modality"] != "image" or row["payload"] is None:
-                    return row["payload"]
                 p = row["payload"]
+                # `not p` also covers b'': indexing an empty payload would
+                # IndexError, and there is nothing to resample anyway
+                if row["modality"] != "image" or not p:
+                    return p
                 return bytes(p[(j * len(p)) // budget] for j in range(budget))
 
             out = pdf.copy()
             out["payload"] = pdf.apply(_resize, axis=1)
-            is_img = out["modality"] == "image"
+            # only rows whose bytes were actually produced get the new
+            # dimensions — metadata must never claim a resize that the
+            # payload pass-through skipped
+            is_img = (out["modality"] == "image") & out["payload"].map(
+                lambda p: bool(p)
+            )
             out.loc[is_img, "width"] = width
             out.loc[is_img, "height"] = height
             yield pd.DataFrame(out, columns=[f.name for f in MEDIA_SCHEMA])
@@ -185,7 +192,13 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
         for pdf in it:
             rows = []
             for _, r in pdf.iterrows():
-                if r["modality"] != "video" or not r["duration_ms"]:
+                # NULL duration arrives as NaN (truthy!) in a float64
+                # column — pd.isna first, or int(NaN) kills the task
+                if (
+                    r["modality"] != "video"
+                    or pd.isna(r["duration_ms"])
+                    or not r["duration_ms"]
+                ):
                     continue
                 p = r["payload"] or b""
                 n = int(r["duration_ms"]) // every_ms + 1

@@ -12,7 +12,8 @@ from __future__ import annotations
 
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F, SparkSession
 
 from ..datagen import ensure_dataset
 
@@ -77,7 +78,9 @@ def load_transcripts_jsonl(spark: SparkSession, path: str) -> DataFrame:
     lines land in `_corrupt_record` instead of failing the job, so a bad
     producer degrades to a quantifiable drop rate, not an outage. Callers
     split on `_corrupt_record IS NULL` and route the rejects to a
-    quarantine sink.
+    quarantine sink — via :func:`split_jsonl_quarantine`, because Spark
+    rejects queries referencing only the internal corrupt-record column of
+    a raw JSON scan (SPARK-21610) unless the frame is cached first.
     """
     return (
         spark.read.schema(JSONL_SCHEMA)
@@ -86,3 +89,21 @@ def load_transcripts_jsonl(spark: SparkSession, path: str) -> DataFrame:
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
         .json(path)
     )
+
+
+def split_jsonl_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantine) split of a :func:`load_transcripts_jsonl` frame.
+
+    Spark disallows queries that reference ONLY the internal corrupt
+    record column of a raw JSON scan (SPARK-21610) — e.g. counting the
+    rejects after column pruning — so this helper caches the parsed frame
+    once before splitting. Both halves share that one materialization;
+    callers that only need the good rows can keep using the loader
+    directly.
+    """
+    cached = df.cache()
+    good = cached.where(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    bad = cached.where(F.col("_corrupt_record").isNotNull())
+    return good, bad

@@ -182,7 +182,13 @@ def test_jsonl_source_parity_and_quarantine(spark, tmp_path):
         load_transcripts_jsonl,
     )
 
-    pq = load_transcripts(spark, "/root/testdata/sf0.001").limit(200)
+    # deterministic sample: an unordered limit() would re-select different
+    # rows on each of the two actions below (write, then fingerprint)
+    pq = (
+        load_transcripts(spark, "/root/testdata/sf0.001")
+        .orderBy("conv_id", "turn_idx")
+        .limit(200)
+    )
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     jdir = tmp_path / "jsonl"
     (
@@ -197,11 +203,14 @@ def test_jsonl_source_parity_and_quarantine(spark, tmp_path):
         '{"conv_id": "broken", "turn_idx": NOT_JSON}\n'
     )
 
-    # cache: Spark disallows queries referencing ONLY the internal corrupt
-    # record column of a raw JSON scan (SPARK-21610)
-    loaded = load_transcripts_jsonl(spark, str(jdir)).cache()
-    good = loaded.where(F.col("_corrupt_record").isNull()).select(*cols)
-    bad = loaded.where(F.col("_corrupt_record").isNotNull())
+    from otlp_cardinality_checker_spark.sources.transcripts import (
+        split_jsonl_quarantine,
+    )
+
+    good, bad = split_jsonl_quarantine(
+        load_transcripts_jsonl(spark, str(jdir))
+    )
+    good = good.select(*cols)
     assert bad.count() == 1
 
     # multiset equality via the portable fingerprint (ts second-truncated

@@ -664,14 +664,14 @@ def test_multimodal_resize_and_frame_sampling(spark):
     )
 
     media = synthetic_media(spark, 30)
+    by_id = {m["media_id"]: m for m in media.collect()}  # collect ONCE
     resized = resize_images(media, width=64, height=64).collect()
     for r in resized:
         if r["modality"] == "image":
             assert (r["width"], r["height"]) == (64, 64)
             assert len(r["payload"]) == 64 * 64 // 64
         else:  # non-image rows pass through untouched
-            orig = [m for m in media.collect() if m["media_id"] == r["media_id"]][0]
-            assert r["payload"] == orig["payload"]
+            assert r["payload"] == by_id[r["media_id"]]["payload"]
 
     frames = sample_frames(media, every_ms=500)
     got = frames.collect()
