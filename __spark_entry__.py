@@ -1138,6 +1138,32 @@ def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "value").select("value", "est_count", "exact_count")
 
 
+
+SEVERITIES = ["DEBUG", "ERROR", "INFO", "UNSET", "WARN"]
+
+
+def q_severity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-sink turn counts with one column per severity (fixed
+    pivot domain => stable schema, no pivot-value inference scan)."""
+    routed = _routed(spark, sf_dir)
+    out = routed.groupBy("sink").pivot("severity", SEVERITIES).count()
+    return out.select(
+        "sink",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s.lower()}") for s in SEVERITIES],
+    )
+
+
+def q_severity_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: (sink, severity) counts with all subtotal grains in one
+    aggregation pass (one Expand, one shuffle — not four separate jobs).
+    gid disambiguates subtotal NULLs from data NULLs."""
+    routed = _routed(spark, sf_dir)
+    return routed.cube("sink", "severity").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.grouping_id().alias("gid"),
+    )
+
+
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.15}
 SAMPLE_DEFAULT_RATE = 0.1
 
@@ -1212,6 +1238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_error_turns": _sink_turns("error"),
         "sink_tool_call_turns": _sink_turns("tool_call"),
         "severity_counts": q_severity_counts,
+        "severity_pivot": q_severity_pivot,
+        "severity_cube": q_severity_cube,
         "service_stats": q_service_stats,
         "key_stats_exact": q_key_stats_exact,
         "template_stats": q_template_stats,
@@ -1581,6 +1609,22 @@ cells AS (
 )
 SELECT e."value", est_count, exact_count
 FROM est JOIN exact e USING ("value")
+""",
+        "severity_pivot": pre
+        + """
+SELECT sink,
+  CAST(sum(CASE WHEN severity = 'DEBUG' THEN 1 ELSE 0 END) AS BIGINT) AS n_debug,
+  CAST(sum(CASE WHEN severity = 'ERROR' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+  CAST(sum(CASE WHEN severity = 'INFO' THEN 1 ELSE 0 END) AS BIGINT) AS n_info,
+  CAST(sum(CASE WHEN severity = 'UNSET' THEN 1 ELSE 0 END) AS BIGINT) AS n_unset,
+  CAST(sum(CASE WHEN severity = 'WARN' THEN 1 ELSE 0 END) AS BIGINT) AS n_warn
+FROM routed GROUP BY sink
+""",
+        "severity_cube": pre
+        + """
+SELECT sink, severity, count(*) AS n_turns,
+       GROUPING(sink, severity) AS gid
+FROM routed GROUP BY CUBE (sink, severity)
 """,
         "dedup_exact": """
 SELECT md5(text) AS text_hash, count(*) AS n_copies,
