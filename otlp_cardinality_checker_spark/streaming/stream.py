@@ -177,6 +177,32 @@ def run_stream(
             time.sleep(0.2)
         query.awaitTermination(300)
     finally:
+        # engine-reported per-micro-batch metrics (input rows, rows/sec,
+        # per-stage durations) persisted next to the lineage table — the
+        # observability feed an operator scrapes, complementing the
+        # per-partition counts _process_batch records
+        progress = [
+            {
+                "batch_id": p.get("batchId"),
+                "num_input_rows": p.get("numInputRows"),
+                "processed_rows_per_sec": p.get("processedRowsPerSecond"),
+                "duration_ms": p.get("durationMs"),
+            }
+            # StreamingQueryProgress is a dict subclass in PySpark
+            for p in (query.recentProgress or [])
+        ]
+        if progress:
+            pdir = Path(out_dir)
+            pdir.mkdir(parents=True, exist_ok=True)
+            existing = []
+            pfile = pdir / "stream_progress.json"
+            if pfile.exists():
+                existing = json.loads(pfile.read_text())
+            seen = {e["batch_id"] for e in existing}
+            existing.extend(
+                p for p in progress if p["batch_id"] not in seen
+            )
+            pfile.write_text(json.dumps(existing))
         if query.isActive:
             query.stop()
     return executed["n"]

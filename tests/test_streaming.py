@@ -295,3 +295,22 @@ def test_dedup_stream_incremental_resume(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/decisions").collect()
     }
     assert got == {1: 1, 2: 0, 3: 1, 4: 1, 5: 0, 6: 0, 7: 1}
+
+
+def test_stream_progress_metrics_persisted(spark, tmp_path):
+    """run_stream must persist the engine's per-micro-batch progress
+    (rows, rows/sec, stage durations) next to the lineage table."""
+    import json as _json
+
+    from otlp_cardinality_checker_spark.streaming.stream import run_stream
+
+    out = tmp_path / "out"
+    n = run_stream(spark, SF, str(out), str(tmp_path / "ckpt"))
+    pfile = out / "stream_progress.json"
+    assert pfile.exists()
+    prog = _json.loads(pfile.read_text())
+    data_batches = [p for p in prog if (p["num_input_rows"] or 0) > 0]
+    assert len(data_batches) >= 2  # multiple micro-batches carried rows
+    for p in data_batches:
+        assert p["batch_id"] is not None
+        assert p["duration_ms"]  # per-stage duration map present
