@@ -729,3 +729,44 @@ def test_cms_properties(spark):
             for r in cms_estimate(merged, probes, width=width).collect()
         }
         assert est_m == est  # partial+merge == build-over-union, exactly
+
+
+def test_fingerprint_field_boundary_and_null_sentinel(spark):
+    """Regression for the canonicalization fixes: separator-straddling
+    rows and literal-sentinel-vs-NULL rows must fingerprint differently."""
+    from otlp_cardinality_checker_spark.operators.checksum import (
+        NULL_SENTINEL,
+        dataset_fingerprint,
+    )
+
+    a = spark.createDataFrame([("a\x1fb", "c")], "x string, y string")
+    b = spark.createDataFrame([("a", "b\x1fc")], "x string, y string")
+    fa, fb = dataset_fingerprint(a).collect()[0], dataset_fingerprint(b).collect()[0]
+    assert fa["xor_digest"] != fb["xor_digest"]
+
+    lit = spark.createDataFrame([(NULL_SENTINEL,)], "x string")
+    nul = spark.createDataFrame([(None,)], "x string")
+    fl = dataset_fingerprint(lit).collect()[0]
+    fn = dataset_fingerprint(nul).collect()[0]
+    assert fl["xor_digest"] != fn["xor_digest"]
+
+
+def test_cms_null_values_consistent(spark):
+    """NULL values hash to the shared sentinel in BOTH build and estimate,
+    so a NULL's estimate covers its own occurrences (est >= exact)."""
+    from otlp_cardinality_checker_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), (None,), (None,), ("b",)], "value string"
+    )
+    sk = cms_build(df, "value")
+    est = {
+        r["value"]: r["est_count"]
+        for r in cms_estimate(
+            sk, df.select("value").distinct()
+        ).collect()
+    }
+    assert est[None] >= 2 and est["a"] >= 1 and est["b"] >= 1
