@@ -98,3 +98,34 @@ def write_sinks(
         for f in [pool.submit(_write, n) for n in sinks]:
             f.result()
     return paths
+
+
+def export_sorted(
+    df: DataFrame,
+    path: str,
+    range_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> str:
+    """Layout-aware export: range-partitioned + sorted parquet.
+
+    At 100 TB the difference between a prunable table and a full-scan
+    table is the physical layout: `repartitionByRange` gives each output
+    file a DISJOINT key range and `sortWithinPartitions` orders rows
+    inside it, so parquet writes tight per-file/per-row-group min-max
+    statistics and a downstream `WHERE conv_id = X` touches ONE file
+    instead of all of them (zone-map pruning). This is the "cluster by"
+    every warehouse offers, expressed with the public DataFrame API —
+    on Iceberg this is the sort-order table property.
+
+    Range partitioning samples the key distribution, so file sizes stay
+    balanced even when the key space is skewed.
+    """
+    cols = [F.col(c) for c in range_cols]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+    return path

@@ -249,3 +249,29 @@ def test_dataset_fingerprint_properties(spark):
     )
     fc = dataset_fingerprint(changed).collect()[0]
     assert fc["xor_digest"] != f1["xor_digest"]
+
+
+def test_export_sorted_ranges_are_disjoint(spark, tiny_routed, tmp_path):
+    """export_sorted must produce files with disjoint conv_id ranges and
+    sorted rows inside each file — the zone-map layout a 100 TB scan
+    prunes on."""
+    from pathlib import Path
+
+    from otlp_cardinality_checker_spark.operators.route import export_sorted
+
+    out = str(tmp_path / "sorted")
+    export_sorted(
+        tiny_routed.select("conv_id", "turn_idx", "text"), out, n_files=4
+    )
+    spans = []
+    for f in sorted(Path(out).glob("part-*.parquet")):
+        pdf = spark.read.parquet(str(f)).toPandas()
+        if pdf.empty:
+            continue
+        keys = list(zip(pdf["conv_id"], pdf["turn_idx"]))
+        assert keys == sorted(keys)  # sorted within the file
+        spans.append((min(keys), max(keys)))
+    assert len(spans) >= 2  # actually split into multiple ranges
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint (boundary keys may touch)
