@@ -71,7 +71,7 @@ WITH parsed AS (
          ELSE 'chat' END AS sink
   FROM enriched e
 ), rattrs AS (
-  SELECT r.sink, a.conv_id, a.turn_idx, r.ts, a."key", a."value"
+  SELECT r.sink, r.service, a.conv_id, a.turn_idx, r.ts, a."key", a."value"
   FROM read_parquet('{p["truth_attrs"]}') a
   JOIN routed r ON a.conv_id = r.conv_id AND a.turn_idx = r.turn_idx
 ), rtruth AS (
@@ -317,6 +317,66 @@ def q_pattern_services(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_service_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service overview rollup (`/services/{name}/overview`,
+    server.go:972-984 / store.go:588-618): per-sink turn volume + distinct
+    tool/template/key counts, one row per service."""
+    from otlp_cardinality_checker_spark.operators.overview import (
+        service_overview,
+    )
+
+    return service_overview(_routed(spark, sf_dir))
+
+
+def q_attribute_services(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """key -> services correlation (`/attributes/{key}/services`,
+    server.go:1250-1340) for a watched key set."""
+    from otlp_cardinality_checker_spark.operators.overview import (
+        attribute_services,
+    )
+
+    return attribute_services(
+        _routed(spark, sf_dir), keys=["user_id", "trace_id", "tool_name"]
+    )
+
+
+def q_pattern_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pattern drill-down (`/logs/patterns/{severity}/{template}`,
+    server.go:877-954): per (template, severity) count, the severity-wide
+    denominator, example body, and carrying services."""
+    from otlp_cardinality_checker_spark.operators.overview import (
+        pattern_detail,
+    )
+
+    return pattern_detail(_routed(spark, sf_dir))
+
+
+def q_metric_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 histogram half: per-metric union of OBSERVED bucket bounds and
+    exp-hist scales (extractUniqueBounds/extractUniqueScales,
+    metrics.go:327-376) over a deterministic nested-metric fixture derived
+    from events; includes the Prometheus multiplier that shape implies."""
+    from otlp_cardinality_checker_spark.operators.metric_shapes import (
+        observed_metric_shapes,
+        synthetic_metric_points,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return observed_metric_shapes(synthetic_metric_points(events))
+
+
+def q_series_estimate_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 fed from A10: Prometheus series estimate whose shape dimension
+    is the data-derived union, not a synthesized dim
+    (metric_types.go:140-190 over metrics.go:327-376 output)."""
+    from otlp_cardinality_checker_spark.operators.metric_shapes import (
+        series_estimate_observed,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return series_estimate_observed(events)
+
+
 def q_attribute_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: reverse lookup — which sinks carry attribute key K
     (getAttributeTelemetry server.go:1344-1456)."""
@@ -455,7 +515,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return exact_jaccard(word_shingles(docs), min_jaccard=0.2)
+    # max_df=None: explicit opt-in to the uncapped truly-exact form so the
+    # DuckDB oracle (which has no df cap) sees identical pair sets. The
+    # operator's DEFAULT is capped (dedup.DEFAULT_MAX_DF) for web scale.
+    return exact_jaccard(word_shingles(docs), min_jaccard=0.2, max_df=None)
 
 
 def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1257,6 +1320,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_topk": q_template_topk,
         "paginated_keys": q_paginated_keys,
         "pattern_services": q_pattern_services,
+        "service_overview": q_service_overview,
+        "attribute_services": q_attribute_services,
+        "pattern_detail": q_pattern_detail,
+        "metric_shapes": q_metric_shapes,
+        "series_estimate_observed": q_series_estimate_observed,
         "attribute_telemetry": q_attribute_telemetry,
         "attribute_filter": q_attribute_filter,
         "attribute_filter_sorted": q_attribute_filter_sorted,
@@ -1308,6 +1376,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": q_key_skew,
         "cms_user_counts": q_cms_user_counts,
     }
+
+
+def _metric_pts_sql() -> str:
+    """Shared CTEs rebuilding metric_shapes.synthetic_metric_points (same
+    deterministic length/modulo derivation — no engine-specific hash) and
+    the per-metric shape union, over the pre-registered events view."""
+    from otlp_cardinality_checker_spark.operators.metric_shapes import (
+        BOUNDS_V0,
+        BOUNDS_V1,
+    )
+
+    v0 = ",".join(str(b) for b in BOUNDS_V0)
+    v1 = ",".join(str(b) for b in BOUNDS_V1)
+    return f"""
+WITH pts AS (
+  SELECT event_type AS metric,
+    CASE length(event_type) % 3 WHEN 0 THEN 'gauge'
+         WHEN 1 THEN 'histogram' ELSE 'exp_histogram' END AS metric_type,
+    CASE WHEN length(event_type) % 3 = 1 THEN
+      CASE WHEN user_id % 2 = 0 THEN [{v0}] ELSE [{v1}] END
+    ELSE CAST([] AS DOUBLE[]) END AS explicit_bounds,
+    CASE WHEN length(event_type) % 3 = 2
+         THEN CAST(event_id % 6 - 2 AS INTEGER) END AS scale,
+    user_id
+  FROM events
+), agg AS (
+  SELECT metric, any_value(metric_type) AS metric_type,
+    count(*) AS n_points,
+    coalesce(list_sort(list_distinct(flatten(list(explicit_bounds)))),
+             CAST([] AS DOUBLE[])) AS bounds,
+    -- FILTER with zero qualifying rows yields NULL, not [] — coalesce so
+    -- gauge/histogram metrics render '' like Spark's collect_set does
+    coalesce(list_sort(list(DISTINCT scale) FILTER (WHERE scale IS NOT NULL)),
+             CAST([] AS INTEGER[])) AS scales
+  FROM pts GROUP BY metric
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1682,6 +1787,87 @@ FROM rtruth GROUP BY template
 SELECT "key", sink, count(*) AS count, count(DISTINCT "value") AS n_values
 FROM rattrs WHERE "key" IN ('user_id', 'trace_id')
 GROUP BY "key", sink
+""",
+        "service_overview": pre
+        + """
+, turn_side AS (
+  SELECT service, count(*) AS n_turns,
+    CAST(sum(CASE WHEN sink = 'tool_call' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_tool_call_turns,
+    CAST(sum(CASE WHEN sink = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_error_turns,
+    CAST(sum(CASE WHEN sink = 'chat' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_chat_turns,
+    count(DISTINCT tool) AS n_tools,
+    count(DISTINCT template) AS n_templates,
+    count(DISTINCT conv_id) AS n_conversations
+  FROM rtruth GROUP BY service
+), key_side AS (
+  SELECT service, count(DISTINCT "key") AS n_attr_keys
+  FROM rattrs GROUP BY service
+)
+SELECT t.*, coalesce(k.n_attr_keys, 0) AS n_attr_keys
+FROM turn_side t LEFT JOIN key_side k ON t.service = k.service
+""",
+        "attribute_services": pre
+        + """
+SELECT "key", service, sink, count(*) AS count,
+       count(DISTINCT "value") AS n_values
+FROM rattrs WHERE "key" IN ('user_id', 'trace_id', 'tool_name')
+GROUP BY "key", service, sink
+""",
+        "metric_shapes": _metric_pts_sql()
+        + """
+SELECT metric, metric_type, n_points,
+  len(bounds) AS n_bounds,
+  -- array_to_string([]) is NULL in DuckDB; Spark array_join([]) is ''
+  coalesce(array_to_string(bounds, ','), '') AS bounds_csv,
+  coalesce(array_to_string(scales, ','), '') AS scales_csv,
+  CAST(CASE WHEN metric_type = 'histogram' THEN len(bounds) + 3
+            WHEN metric_type = 'exp_histogram' THEN
+              (CASE WHEN len(scales) = 0 OR list_max(scales) <= 0 THEN 1
+                    ELSE least(CAST(pow(2, list_max(scales) + 1) AS BIGINT),
+                               160) END) + 2
+            ELSE 1 END AS BIGINT) AS prom_multiplier
+FROM agg
+""",
+        "series_estimate_observed": _metric_pts_sql()
+        + """
+, shapes AS (
+  SELECT metric, metric_type, len(bounds) AS n_bounds,
+    CAST(CASE WHEN metric_type = 'histogram' THEN len(bounds) + 3
+              WHEN metric_type = 'exp_histogram' THEN
+                (CASE WHEN len(scales) = 0 OR list_max(scales) <= 0 THEN 1
+                      ELSE least(CAST(pow(2, list_max(scales) + 1) AS BIGINT),
+                                 160) END) + 2
+              ELSE 1 END AS BIGINT) AS prom_multiplier
+  FROM agg
+), act AS (
+  SELECT metric, count(DISTINCT user_id) AS active_series,
+         count(*) AS sample_count
+  FROM pts GROUP BY metric
+)
+SELECT a.metric, s.metric_type, a.active_series, a.sample_count,
+  s.n_bounds, s.prom_multiplier,
+  CAST(a.active_series * s.prom_multiplier AS BIGINT) AS prometheus_series
+FROM act a JOIN shapes s USING (metric)
+""",
+        "pattern_detail": pre
+        + """
+, per AS (
+  SELECT template, severity, count(*) AS count,
+    arg_min(text, conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0'))
+      AS example,
+    array_to_string(list_sort(list(DISTINCT service)), '|') AS services,
+    count(DISTINCT service) AS n_services
+  FROM rtruth GROUP BY template, severity
+)
+SELECT template, severity, count,
+  CAST(sum(count) OVER (PARTITION BY severity) AS BIGINT) AS severity_total,
+  round(count * 100.0 / sum(count) OVER (PARTITION BY severity), 4)
+    AS pct_of_severity,
+  example, n_services, services
+FROM per
 """,
         "attribute_filter": pre
         + """

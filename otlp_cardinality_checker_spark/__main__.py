@@ -160,6 +160,45 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_sessions(args) -> int:
+    """Named session registry (reference `/api/v1/sessions` lifecycle,
+    `internal/api/sessions.go:132-210` + `store.go:22-30` caps): save the
+    current aggregate state under a name, list / delete / export / import.
+    """
+    from .operators.session_store import SessionStore, SessionStoreError
+
+    store = SessionStore(args.store)
+    try:
+        if args.action == "list":
+            for meta in store.list():
+                print(json.dumps(meta))
+        elif args.action == "save":
+            spark = _spark(args)
+            from .operators.sessions import snapshot_key_stats
+
+            meta = store.save(
+                snapshot_key_stats(_routed(spark, args)),
+                args.name,
+                description=args.description,
+                force=args.force,
+            )
+            print(json.dumps(meta))
+        elif args.action == "delete":
+            store.delete(args.name)
+            print(f"session deleted: {args.name}")
+        elif args.action == "export":
+            print(store.export_session(args.name, args.out))
+        elif args.action == "import":
+            meta = store.import_session(
+                args.bundle, name=args.name, force=args.force
+            )
+            print(json.dumps(meta))
+    except SessionStoreError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="otlp_cardinality_checker_spark")
     ap.add_argument(
@@ -216,6 +255,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--salt", default="")
     p.add_argument("--out", help="write the curated sample parquet here")
     p.set_defaults(fn=cmd_curate)
+
+    p = sub.add_parser("sessions")
+    p.add_argument(
+        "action", choices=("list", "save", "delete", "export", "import")
+    )
+    p.add_argument("--store", default="./data/sessions")
+    p.add_argument("--name", help="session name (save/delete/export/import)")
+    p.add_argument("--description", default="")
+    p.add_argument("--force", action="store_true")
+    p.add_argument("--out", help="export bundle destination (.tar.gz)")
+    p.add_argument("--bundle", help="bundle to import (.tar.gz)")
+    p.set_defaults(fn=cmd_sessions)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -148,18 +148,29 @@ def _capped_inverted_index(
     return inv, sizes
 
 
+# Default stop-gram document-frequency cap: bounds any single shingle's
+# candidate fan-out to DEFAULT_MAX_DF^2/2 pairs, keeping the inverted-index
+# join linear in corpus size. Far above any df seen at test scale, so small
+# corpora are unaffected; at web scale it is the safety rail.
+DEFAULT_MAX_DF = 10_000
+
+
 def exact_jaccard(
     shingled: DataFrame,
     min_jaccard: float = 0.0,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard via inverted-index join.
 
     Pairs are generated only for docs sharing >=1 shingle (explode + self
     equi-join on the shingle hash), then |intersection| is a group count and
-    |union| = |A| + |B| - |intersection|. With ``max_df`` set, stop-grams
-    are removed first (see _capped_inverted_index) and the Jaccard is over
-    the filtered sets.
+    |union| = |A| + |B| - |intersection|. With ``max_df`` set (the DEFAULT:
+    a stop-word shingle's posting list is the one O(corpus^2) blow-up in
+    this plan), stop-grams are removed first (see _capped_inverted_index)
+    and the Jaccard is over the filtered sets. Pass ``max_df=None``
+    EXPLICITLY to opt in to the uncapped truly-exact form — appropriate
+    only for bounded corpora (oracle parity runs, verification samples),
+    never as the web-scale default.
     """
     inv, sizes = _capped_inverted_index(shingled, max_df)
     pairs = (

@@ -175,6 +175,7 @@ def jaccard_clusters(
     min_jaccard: float = 0.2,
     n: int = 3,
     use_lsh: bool = False,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate clusters over the documents table: n-gram Jaccard
     pairs → connected components → per-doc cluster id, cluster size, and
@@ -187,9 +188,14 @@ def jaccard_clusters(
     """
     from .dedup import exact_jaccard, minhash_near_dups, word_shingles
 
+    # max_df defaults to None (uncapped) HERE because this is the
+    # oracle-checkable exact path; the scale configuration is use_lsh=True,
+    # which never builds the inverted index at all.
     pairs = (
         minhash_near_dups(docs, min_jaccard=min_jaccard, n=n)
         if use_lsh
-        else exact_jaccard(word_shingles(docs, n=n), min_jaccard=min_jaccard)
+        else exact_jaccard(
+            word_shingles(docs, n=n), min_jaccard=min_jaccard, max_df=max_df
+        )
     )
     return attach_clusters(docs, "doc_id", pairs, src="doc_a", dst="doc_b")

@@ -69,46 +69,72 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def _batch_buffer(payloads: list[bytes]):
+    """Concatenate a batch's payloads into ONE numpy byte buffer.
+
+    Returns (buf uint8[total], lens int64[rows], starts int64[rows]) — the
+    shape every vectorized kernel below works from: per-byte work happens
+    in numpy over the whole Arrow batch at once, and the only Python-level
+    loops left are O(rows), never O(bytes).
+    """
+    import numpy as np
+
+    lens = np.fromiter(
+        (len(p) for p in payloads), dtype=np.int64, count=len(payloads)
+    )
+    buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1])) if len(lens) else lens
+    return buf, lens, starts
+
+
 def extract_features(
     media: DataFrame, n_features: int = 8, decode_stub: bool = True
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    Real deployments replace `_fake_features` with an actual decoder
+    Real deployments replace the stub kernel with an actual decoder
     (PIL/librosa/ffmpeg); the UDF signature, batch shape, and output schema
-    are exactly what that swap needs.
+    are exactly what that swap needs. The stub is batch-vectorized
+    (np.bincount over the concatenated batch buffer) so the plumbing
+    benchmark reflects Arrow-batch reality, not per-row Python: feature
+    bucket c of row r = (sum of payload bytes at positions == c mod k)
+    & 0xFFFF, scaled to [0, 1].
     """
 
-    def _fake_features(payload: bytes, k: int) -> list[float]:
-        if payload is None:
-            return [0.0] * k
-        acc = [0] * k
-        for j, b in enumerate(payload):
-            acc[j % k] = (acc[j % k] + b) & 0xFFFF
-        return [a / 65535.0 for a in acc]
-
     def batches(it: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
+        k = n_features
         for pdf in it:
             if not decode_stub:
                 raise NotImplementedError(
                     "real media decoding requires image/audio libraries "
                     "not present in this container"
                 )
-            out = pd.DataFrame(
+            payloads = [p if p is not None else b"" for p in pdf["payload"]]
+            n_rows = len(payloads)
+            buf, lens, starts = _batch_buffer(payloads)
+            if buf.size:
+                row_id = np.repeat(np.arange(n_rows), lens)
+                pos = np.arange(buf.size) - np.repeat(starts, lens)
+                # one bincount for the whole batch: bucket = row*k + pos%k
+                sums = np.bincount(
+                    row_id * k + (pos % k),
+                    weights=buf,
+                    minlength=n_rows * k,
+                ).astype(np.int64)
+            else:
+                sums = np.zeros(n_rows * k, dtype=np.int64)
+            feats = ((sums & 0xFFFF) / 65535.0).reshape(n_rows, k)
+            yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
-                    "n_bytes": pdf["payload"].map(
-                        lambda p: len(p) if p is not None else 0
-                    ),
-                    "features": pdf["payload"].map(
-                        lambda p: _fake_features(p, n_features)
-                    ),
+                    "n_bytes": lens,
+                    "features": feats.tolist(),
                 }
             )
-            yield out
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
@@ -136,6 +162,7 @@ def resize_images(
     budget = max(width * height // 64, 16)
 
     def batches(it: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in it:
@@ -144,25 +171,30 @@ def resize_images(
                     "real image resizing requires PIL/opencv, not present "
                     "in this container"
                 )
-
-            def _resize(row):
-                p = row["payload"]
-                # `not p` also covers b'': indexing an empty payload would
-                # IndexError, and there is nothing to resample anyway
-                if row["modality"] != "image" or not p:
-                    return p
-                return bytes(p[(j * len(p)) // budget] for j in range(budget))
-
+            payloads = [p if p is not None else b"" for p in pdf["payload"]]
+            buf, lens, starts = _batch_buffer(payloads)
+            # empty payloads stay untouched (nothing to resample); the
+            # gather below indexes only rows with lens > 0
+            sel = np.flatnonzero((pdf["modality"] == "image") & (lens > 0))
+            if sel.size:
+                # one 2-D gather for every image in the batch: column j of
+                # row r samples byte (j * len_r) // budget of payload r
+                j = np.arange(budget, dtype=np.int64)
+                idx = (
+                    starts[sel][:, None]
+                    + (j[None, :] * lens[sel][:, None]) // budget
+                )
+                sampled = buf[idx]  # (n_images, budget) uint8
             out = pdf.copy()
-            out["payload"] = pdf.apply(_resize, axis=1)
+            new_payloads = list(pdf["payload"])
+            for row_pos, r in enumerate(sel):
+                new_payloads[r] = sampled[row_pos].tobytes()
+            out["payload"] = new_payloads
             # only rows whose bytes were actually produced get the new
             # dimensions — metadata must never claim a resize that the
             # payload pass-through skipped
-            is_img = (out["modality"] == "image") & out["payload"].map(
-                lambda p: bool(p)
-            )
-            out.loc[is_img, "width"] = width
-            out.loc[is_img, "height"] = height
+            out.loc[sel, "width"] = width
+            out.loc[sel, "height"] = height
             yield pd.DataFrame(out, columns=[f.name for f in MEDIA_SCHEMA])
 
     return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
@@ -187,34 +219,43 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
     produce no frames."""
 
     def batches(it: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
+        cols = [f.name for f in FRAME_SCHEMA]
         for pdf in it:
-            rows = []
-            for _, r in pdf.iterrows():
-                # NULL duration arrives as NaN (truthy!) in a float64
-                # column — pd.isna first, or int(NaN) kills the task
-                if (
-                    r["modality"] != "video"
-                    or pd.isna(r["duration_ms"])
-                    or not r["duration_ms"]
-                ):
-                    continue
-                p = r["payload"] or b""
-                n = int(r["duration_ms"]) // every_ms + 1
-                for k in range(n):
-                    lo = (k * len(p)) // max(n, 1)
-                    hi = ((k + 1) * len(p)) // max(n, 1)
-                    rows.append(
-                        {
-                            "media_id": r["media_id"],
-                            "frame_idx": k,
-                            "ts_ms": k * every_ms,
-                            "frame_payload": p[lo:hi],
-                        }
-                    )
+            # NULL duration arrives as NaN (truthy!) in a float64 column —
+            # fillna(0) first, or int(NaN) kills the task
+            dur = pdf["duration_ms"].fillna(0).to_numpy(dtype=np.int64)
+            sel = np.flatnonzero((pdf["modality"] == "video") & (dur > 0))
+            if not sel.size:
+                yield pd.DataFrame([], columns=cols)
+                continue
+            payloads = [
+                pdf["payload"].iloc[r] or b"" for r in sel
+            ]
+            buf, lens, starts = _batch_buffer(payloads)
+            n = dur[sel] // every_ms + 1  # frames per selected video
+            total = int(n.sum())
+            # vectorized explode: video v contributes frames 0..n[v]-1
+            vid = np.repeat(np.arange(sel.size), n)
+            frame_idx = np.arange(total) - np.repeat(
+                np.concatenate(([0], np.cumsum(n)[:-1])), n
+            )
+            lo = starts[vid] + (frame_idx * lens[vid]) // n[vid]
+            hi = starts[vid] + ((frame_idx + 1) * lens[vid]) // n[vid]
+            media_ids = pdf["media_id"].to_numpy()[sel][vid]
             yield pd.DataFrame(
-                rows, columns=[f.name for f in FRAME_SCHEMA]
+                {
+                    "media_id": media_ids,
+                    "frame_idx": frame_idx.astype(np.int32),
+                    "ts_ms": (frame_idx * every_ms).astype(np.int32),
+                    # O(frames) bytes-object creation — the arithmetic
+                    # above (offsets, explode) is all batch-vectorized
+                    "frame_payload": [
+                        buf[a:b].tobytes() for a, b in zip(lo, hi)
+                    ],
+                }
             )
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -25,8 +25,11 @@ from pyspark.sql import functions as F
 # (name, regex, placeholder) — ordered: redaction applies top to bottom.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     (
+        # case-insensitive hex classes: uppercase/mixed-case UUIDs must hit
+        # this rule (not escape to the digit-only longnum fallback), matching
+        # the masking-table UUID rule's [0-9a-fA-F] acceptance.
         "uuid",
-        "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}",
+        "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
         "<UUID>",
     ),
     (

@@ -57,6 +57,7 @@ def write_sinks(
     n_buckets: int | None = 32,
     mode: str = "overwrite",
     table_format: str = "auto",
+    iceberg_namespace: str = "sinks",
 ) -> dict[str, str]:
     """Fan out to per-sink tables, co-located by conv_id.
 
@@ -68,6 +69,11 @@ def write_sinks(
     is parquet + an explicit ``repartition(n, conv_id)``, which models the
     same co-location property. Pass ``n_buckets=None`` when the input is
     already conv_id-clustered.
+
+    Returns {sink_name: location}: parquet paths under ``out_dir`` in
+    parquet mode, catalog-qualified table identifiers
+    (``<namespace>.sink_<name>``) in Iceberg mode — callers must treat the
+    values as read targets, not assume filesystem paths.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -77,27 +83,38 @@ def write_sinks(
         table_format == "auto" and _iceberg_available(routed.sparkSession)
     )
     sinks = split_sinks(routed)
-    paths = {name: str(Path(out_dir) / f"sink_{name}") for name in sinks}
+    if use_iceberg:  # pragma: no cover - no Iceberg jar in container
+        locations = {
+            name: f"{iceberg_namespace}.sink_{name}" for name in sinks
+        }
+        routed.sparkSession.sql(
+            f"CREATE NAMESPACE IF NOT EXISTS {iceberg_namespace}"
+        )
+    else:
+        locations = {name: str(Path(out_dir) / f"sink_{name}") for name in sinks}
 
     def _write(name: str) -> None:
         df = sinks[name]
         if use_iceberg:  # pragma: no cover - no Iceberg jar in container
-            (
-                df.writeTo(f"sink_{name}")
-                .partitionedBy(F.bucket(n_buckets or 32, F.col("conv_id")))
-                .createOrReplace()
+            writer = df.writeTo(locations[name]).partitionedBy(
+                F.bucket(n_buckets or 32, F.col("conv_id"))
             )
+            exists = df.sparkSession.catalog.tableExists(locations[name])
+            if mode == "append" and exists:
+                writer.append()
+            else:
+                writer.createOrReplace()
             return
         if n_buckets is not None:
             df = df.repartition(n_buckets, "conv_id")
-        df.write.mode(mode).parquet(paths[name])
+        df.write.mode(mode).parquet(locations[name])
 
     # the three writes are independent jobs; submit concurrently so the
     # scheduler keeps all cores busy across them
     with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
         for f in [pool.submit(_write, n) for n in sinks]:
             f.result()
-    return paths
+    return locations
 
 
 def export_sorted(

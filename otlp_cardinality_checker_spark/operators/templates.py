@@ -106,45 +106,40 @@ def drain_infer(
     """Match turns against a TRAINED template model without mutating it.
 
     ``model`` is (role, severity, template, ...) — the output of
-    :func:`drain_templates`. It is collected driver-side (bounded by
-    max_clusters per group, i.e. small by construction — this is a model,
-    not data) and shipped in the UDF closure; each group preloads its
-    templates and does read-only matching.
+    :func:`drain_templates`. The model stays DISTRIBUTED: a cogroup on
+    (role, severity) delivers each group's template rows alongside its
+    data rows inside the grouped-map UDF, so the model is never collected
+    to the driver — at many groups × max_clusters templates the driver
+    holds nothing, and each task sees only its own group's slice.
     """
-    model_rows = model.select("role", "severity", "template").collect()
-    by_group: dict[tuple[str, str], list[str]] = {}
-    for r in model_rows:
-        by_group.setdefault((r["role"], r["severity"]), []).append(
-            r["template"]
-        )
+    cols = ["role", "severity", "conv_id", "turn_idx", "template", "matched"]
+    grouped = (
+        _masked_base(routed, n_shards=1)
+        .drop("_shard")
+        .groupBy("role", "severity")
+    )
+    model_grouped = model.select("role", "severity", "template").groupBy(
+        "role", "severity"
+    )
 
-    def match(pdf):
+    def match(key, data_pdf, model_pdf):
         import pandas as pd
 
         from ..functions.drain import DrainConfig, DrainMiner
 
-        role = pdf["role"].iloc[0]
-        severity = pdf["severity"].iloc[0]
+        if data_pdf.empty:  # model-only group: nothing to classify
+            return pd.DataFrame(columns=cols)
+        role, severity = key
         miner = DrainMiner(DrainConfig(sim_threshold=sim_threshold))
-        miner.preload(by_group.get((role, severity), []))
+        miner.preload(list(model_pdf["template"].astype(str)))
         out = [
             (role, severity, c, t, *miner.match(str(m)))
-            for c, t, m in zip(pdf["conv_id"], pdf["turn_idx"], pdf["masked"])
+            for c, t, m in zip(
+                data_pdf["conv_id"], data_pdf["turn_idx"], data_pdf["masked"]
+            )
         ]
-        return pd.DataFrame(
-            out,
-            columns=[
-                "role",
-                "severity",
-                "conv_id",
-                "turn_idx",
-                "template",
-                "matched",
-            ],
-        )
+        return pd.DataFrame(out, columns=cols)
 
-    return (
-        _masked_base(routed, n_shards=1)
-        .groupBy("role", "severity", "_shard")
-        .applyInPandas(match, schema=INFER_SCHEMA)
+    return grouped.cogroup(model_grouped).applyInPandas(
+        match, schema=INFER_SCHEMA
     )

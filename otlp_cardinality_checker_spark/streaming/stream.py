@@ -217,10 +217,21 @@ def _ensure_stream_source(spark: SparkSession, sf_dir: str, src_dir: str) -> Non
     df.repartition(4, "conv_id").write.mode("overwrite").parquet(src_dir)
 
 
+def _current_snapshot_dir(out_dir: str) -> Path | None:
+    """Resolve the CURRENT pointer to the live compacted-snapshot version
+    directory, or None when no compaction has completed yet."""
+    comp_dir = Path(out_dir) / "agg_state_compacted"
+    ptr = comp_dir / "CURRENT"
+    if not ptr.exists():
+        return None
+    vdir = comp_dir / ptr.read_text().strip()
+    return vdir if (vdir / "_manifest.json").exists() else None
+
+
 def _compaction_watermark(out_dir: str) -> int:
-    mf = Path(out_dir) / "agg_state_compacted" / "_manifest.json"
-    if mf.exists():
-        return int(json.loads(mf.read_text())["max_batch_id"])
+    vdir = _current_snapshot_dir(out_dir)
+    if vdir is not None:
+        return int(json.loads((vdir / "_manifest.json").read_text())["max_batch_id"])
     return -1
 
 
@@ -229,13 +240,24 @@ def compact_state(spark: SparkSession, out_dir: str) -> int:
 
     Without compaction the merge-on-read cost of :func:`current_key_stats`
     grows with the number of micro-batches ever run; compaction keeps it
-    O(compacted + new batches). Replay safety: the manifest records the
-    highest folded ``batch_id`` (the compaction watermark) and the read
-    path ignores batch partitions at or below it, so a checkpoint replay
-    that re-materializes an already-folded batch partition cannot
-    double-count. Returns the new watermark. On a real cluster this is a
-    MERGE INTO + snapshot-expire on the Iceberg state table.
+    O(compacted + new batches). Replay safety: the snapshot's manifest
+    records the highest folded ``batch_id`` (the compaction watermark) and
+    the read path ignores batch partitions at or below it, so a checkpoint
+    replay that re-materializes an already-folded batch partition cannot
+    double-count.
+
+    Crash safety: the merged data AND its watermark manifest are written
+    into a fresh versioned directory (``v<watermark>``), and only then does
+    a single atomic ``os.replace`` of the ``CURRENT`` pointer publish them
+    TOGETHER. A crash at any point leaves readers on the previous
+    consistent (data, watermark) pair — the new version directory is
+    simply garbage that the next successful compaction supersedes. This is
+    exactly the snapshot-pointer commit protocol of an Iceberg MERGE INTO
+    + snapshot-expire on the state table. Returns the live watermark.
     """
+    import os
+    import shutil
+
     from ..operators.sessions import merge_snapshots
 
     state_dir = Path(out_dir) / "agg_state"
@@ -252,21 +274,25 @@ def compact_state(spark: SparkSession, out_dir: str) -> int:
         F.col("_batch_id") > watermark
     ).drop("_batch_id")
     parts = [fresh]
-    if (comp_dir / "_manifest.json").exists():
-        parts.append(spark.read.parquet(str(comp_dir / "data")))
+    prev = _current_snapshot_dir(out_dir)
+    if prev is not None:
+        parts.append(spark.read.parquet(str(prev / "data")))
     merged = merge_snapshots(*parts)
-    tmp = comp_dir / "data_tmp"
-    merged.coalesce(1).write.mode("overwrite").parquet(str(tmp))
-    comp_dir.mkdir(parents=True, exist_ok=True)
-    import shutil
-
-    if (comp_dir / "data").exists():
-        shutil.rmtree(comp_dir / "data")
-    tmp.rename(comp_dir / "data")
     new_watermark = max(batch_ids)
-    (comp_dir / "_manifest.json").write_text(
+    vdir = comp_dir / f"v{new_watermark}"
+    if vdir.exists():  # leftover from a crashed attempt — never published
+        shutil.rmtree(vdir)
+    merged.coalesce(1).write.mode("overwrite").parquet(str(vdir / "data"))
+    (vdir / "_manifest.json").write_text(
         json.dumps({"max_batch_id": new_watermark})
     )
+    tmp_ptr = comp_dir / "CURRENT.tmp"
+    tmp_ptr.write_text(vdir.name)
+    os.replace(tmp_ptr, comp_dir / "CURRENT")  # the ONE atomic publish
+    # best-effort GC of superseded versions (safe: pointer already moved)
+    for old in comp_dir.glob("v*"):
+        if old != vdir:
+            shutil.rmtree(old, ignore_errors=True)
     return new_watermark
 
 
@@ -288,9 +314,9 @@ def current_key_stats(spark: SparkSession, out_dir: str) -> DataFrame:
         .drop("_batch_id")
     )
     parts = [partials]
-    comp_data = Path(out_dir) / "agg_state_compacted" / "data"
-    if comp_data.exists():
-        parts.append(spark.read.parquet(str(comp_data)))
+    vdir = _current_snapshot_dir(out_dir)
+    if vdir is not None:
+        parts.append(spark.read.parquet(str(vdir / "data")))
     return estimate(merge_snapshots(*parts))
 
 
@@ -531,11 +557,32 @@ def dedup_stream(
     return executed["n"]
 
 
+_DURATION_UNITS = {
+    # the unit vocabulary Spark's CalendarInterval parser accepts, plus the
+    # compact suffixes ("30s", "5m") it also allows in duration strings
+    "us": 1e-6, "microsecond": 1e-6, "microseconds": 1e-6,
+    "ms": 1e-3, "millisecond": 1e-3, "milliseconds": 1e-3,
+    "s": 1, "second": 1, "seconds": 1,
+    "m": 60, "min": 60, "minute": 60, "minutes": 60,
+    "h": 3600, "hour": 3600, "hours": 3600,
+    "d": 86400, "day": 86400, "days": 86400,
+    "w": 604800, "week": 604800, "weeks": 604800,
+}
+
+
 def _duration_to_seconds(s: str) -> float:
-    n, unit = s.split()
-    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
-            "hour": 3600, "hours": 3600}[unit]
-    return float(n) * mult
+    """Parse a Spark duration string ('30 minutes', '1 day', '90s', '1.5
+    hours') into seconds, raising a descriptive error on anything Spark's
+    own CalendarInterval parser would also reject."""
+    import re
+
+    m = re.fullmatch(r"\s*([0-9]+(?:\.[0-9]+)?)\s*([A-Za-z]+)\s*", s)
+    if not m or m.group(2).lower() not in _DURATION_UNITS:
+        raise ValueError(
+            f"unsupported duration string {s!r}: expected '<number> <unit>' "
+            f"with unit one of {sorted(set(_DURATION_UNITS))}"
+        )
+    return float(m.group(1)) * _DURATION_UNITS[m.group(2).lower()]
 
 
 EVENT_SCHEMA = "event_id long, event_type string, user_id long, value double, ts timestamp"

@@ -311,3 +311,48 @@ def test_salted_top_k_equals_global_window(spark):
             .collect()
         }
         assert fast == naive, k
+
+
+# ---------------------------------------------------------------------------
+# A10 histogram half: data-derived shape union (metrics.go:327-376)
+# ---------------------------------------------------------------------------
+
+
+def test_observed_shape_union_and_multiplier(spark):
+    """The bounds union across data points is strictly larger than any
+    single point's layout; scale rules follow metric_types.go:140-190:
+    no positive scale -> 1 bucket, else min(2^(max+1), 160)."""
+    from otlp_cardinality_checker_spark.operators.metric_shapes import (
+        observed_metric_shapes,
+    )
+
+    rows = [
+        # histogram with two different layouts across points
+        ("lat", "histogram", [1.0, 5.0], None),
+        ("lat", "histogram", [1.0, 10.0], None),
+        # exp-hist: max scale 3 -> 2^4 = 16 buckets + 2
+        ("exp", "exp_histogram", [], -1),
+        ("exp", "exp_histogram", [], 3),
+        # exp-hist with only non-positive scales -> 1 bucket + 2
+        ("expz", "exp_histogram", [], 0),
+        ("expz", "exp_histogram", [], -2),
+        # exp-hist hitting the 160 cap: scale 9 -> 2^10 = 1024 -> 160
+        ("expcap", "exp_histogram", [], 9),
+        ("g", "gauge", [], None),
+    ]
+    pts = spark.createDataFrame(
+        rows,
+        "metric string, metric_type string, "
+        "explicit_bounds array<double>, scale int",
+    )
+    got = {
+        r["metric"]: r for r in observed_metric_shapes(pts).collect()
+    }
+    assert got["lat"]["bounds_csv"] == "1.0,5.0,10.0"  # union, not either
+    assert got["lat"]["n_bounds"] == 3
+    assert got["lat"]["prom_multiplier"] == 3 + 1 + 2
+    assert got["exp"]["scales_csv"] == "-1,3"
+    assert got["exp"]["prom_multiplier"] == 16 + 2
+    assert got["expz"]["prom_multiplier"] == 1 + 2
+    assert got["expcap"]["prom_multiplier"] == 160 + 2
+    assert got["g"]["prom_multiplier"] == 1

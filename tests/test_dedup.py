@@ -219,3 +219,48 @@ def test_embedding_near_dups_exact_vs_bucketed(spark):
     planted = {(2 * i, 2 * i + 1) for i in range(30)}
     assert bucketed <= exact
     assert len(bucketed & planted) / len(planted) >= 0.9
+
+
+def test_capped_default_bounds_hot_shingle_fanout(spark):
+    """exact_jaccard's DEFAULT is now capped (DEFAULT_MAX_DF): with a cap
+    of d, a surviving shingle's document frequency is <= d, so any single
+    shingle generates at most d*(d-1)/2 pairs — and a hot shingle above
+    the cap generates NONE. A corpus where every doc shares one hot
+    shingle would be O(n^2) uncapped; capped, only the genuinely-similar
+    pairs remain."""
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        DEFAULT_MAX_DF,
+        exact_jaccard,
+        word_shingles,
+    )
+
+    # 20 docs all containing the hot trigram "the end of"; docs 0/1 also
+    # share a rare trigram pair-signal
+    rows = [(i, f"unique{i} token{i} the end of") for i in range(2, 20)]
+    rows += [
+        (0, "rare signal trigram the end of"),
+        (1, "rare signal trigram the end of"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = word_shingles(docs, n=3)
+
+    max_df = 5
+    pairs = exact_jaccard(sh, max_df=max_df).collect()
+    # hot shingle (df=20 > 5) dropped: the 18 unique-only docs pair with
+    # nobody; only the rare-trigram pair survives
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(0, 1)}
+    # volume bound: every surviving shingle has df <= max_df, so total
+    # pairs <= n_surviving_shingles * max_df^2 / 2 — and concretely here,
+    # far below the uncapped 20*19/2 = 190 pair blow-up
+    assert len(pairs) <= max_df * (max_df - 1) // 2
+
+    # the uncapped truly-exact form is an EXPLICIT opt-in
+    uncapped = exact_jaccard(sh, max_df=None).collect()
+    assert len(uncapped) == 20 * 19 // 2  # every pair shares the hot gram
+
+    # default cap is finite and far above tiny-corpus dfs: default == the
+    # uncapped result at this scale, but bounded by construction at web
+    # scale
+    assert DEFAULT_MAX_DF is not None
+    default_pairs = exact_jaccard(sh).collect()
+    assert len(default_pairs) == len(uncapped)

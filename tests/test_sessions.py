@@ -219,3 +219,97 @@ def test_cli_curate(tmp_path, spark):
     got = spark.read.parquet(str(out))
     assert got.count() == r1["n_curated"]
     assert run()["n_curated"] == r1["n_curated"]  # deterministic
+
+
+# ---------------------------------------------------------------------------
+# Named session registry (reference sessions.go:132-210, store.go:22-30)
+# ---------------------------------------------------------------------------
+
+
+def test_session_registry_lifecycle(spark, tiny_routed, tmp_path):
+    """save → list → load → export → import → delete, with the conflict,
+    cap, and name-validation rules of the reference store."""
+    import pytest
+
+    from otlp_cardinality_checker_spark.operators.session_store import (
+        InvalidSessionNameError,
+        SessionExistsError,
+        SessionNotFoundError,
+        SessionStore,
+        TooManySessionsError,
+    )
+    from otlp_cardinality_checker_spark.operators.sessions import (
+        estimate,
+        snapshot_key_stats,
+    )
+
+    store = SessionStore(str(tmp_path / "registry"), max_sessions=3)
+    snap = snapshot_key_stats(tiny_routed)
+
+    meta = store.save(snap, "baseline", description="first run")
+    assert meta["id"] == "baseline" and meta["n_keys"] > 0
+
+    # conflict unless forced
+    with pytest.raises(SessionExistsError):
+        store.save(snap, "baseline")
+    store.save(snap, "baseline", force=True)  # overwrite is fine
+
+    # loaded session estimates identically to the in-memory snapshot
+    want = sorted(
+        tuple(r) for r in estimate(snap).drop("hll", "samples").collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in estimate(store.load(spark, "baseline"))
+        .drop("hll", "samples")
+        .collect()
+    )
+    assert got == want
+
+    # name validation mirrors the reference regex
+    for bad in ("", "Has Spaces", "UPPER", "a" * 129, "dots.bad"):
+        with pytest.raises(InvalidSessionNameError):
+            store.save(snap, bad)
+
+    # cap binds for NEW names only (overwrites always allowed)
+    store.save(snap, "second")
+    store.save(snap, "third")
+    with pytest.raises(TooManySessionsError):
+        store.save(snap, "fourth")
+    store.save(snap, "third", force=True)
+
+    names = [m["id"] for m in store.list()]
+    assert sorted(names) == ["baseline", "second", "third"]
+
+    # export → delete → import roundtrip (optionally renamed)
+    bundle = store.export_session("baseline", str(tmp_path / "b.tar.gz"))
+    store.delete("baseline")
+    assert not store.exists("baseline")
+    with pytest.raises(SessionNotFoundError):
+        store.load(spark, "baseline")
+    meta2 = store.import_session(bundle, name="restored")
+    assert meta2["id"] == "restored"
+    got2 = sorted(
+        tuple(r)
+        for r in estimate(store.load(spark, "restored"))
+        .drop("hll", "samples")
+        .collect()
+    )
+    assert got2 == want
+
+
+def test_session_registry_size_cap(spark, tiny_routed, tmp_path):
+    import pytest
+
+    from otlp_cardinality_checker_spark.operators.session_store import (
+        SessionStore,
+        SessionTooLargeError,
+    )
+    from otlp_cardinality_checker_spark.operators.sessions import (
+        snapshot_key_stats,
+    )
+
+    store = SessionStore(str(tmp_path / "reg"), max_session_bytes=64)
+    with pytest.raises(SessionTooLargeError):
+        store.save(snapshot_key_stats(tiny_routed), "toobig")
+    assert store.list() == []  # staging cleaned, nothing published

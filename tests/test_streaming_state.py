@@ -118,3 +118,79 @@ def test_state_compaction_and_replay_safety(spark, tmp_path):
     shutil.rmtree(first_part, ignore_errors=True)
     shutil.copytree(backup, first_part)
     assert snap() == before  # watermark excludes it: no double count
+
+
+@pytest.mark.slow
+def test_state_compaction_crash_safety(spark, tmp_path):
+    """The compaction commit is a single atomic CURRENT-pointer swap: a
+    crash that leaves a fully-written but unpublished version directory
+    (data + manifest present, pointer not moved) is invisible to readers
+    — watermark and merged view are unchanged — and the next compaction
+    supersedes the garbage cleanly."""
+    from pathlib import Path
+
+    from otlp_cardinality_checker_spark.streaming.stream import (
+        _compaction_watermark,
+        compact_state,
+        current_key_stats,
+        run_stream,
+    )
+
+    out = tmp_path / "out"
+    run_stream(spark, SF, str(out), str(tmp_path / "ckpt"))
+
+    def snap():
+        return sorted(
+            tuple(r)
+            for r in current_key_stats(spark, str(out))
+            .select("sink", "key", "count", "value_samples")
+            .collect()
+        )
+
+    before = snap()
+    wm0 = compact_state(spark, str(out))
+    comp_dir = Path(out) / "agg_state_compacted"
+
+    # simulate the crashed half of a later compaction: a complete version
+    # directory exists with a HIGHER watermark, but CURRENT never moved
+    ghost = comp_dir / f"v{wm0 + 100}"
+    (ghost / "data").mkdir(parents=True)
+    import json as _json
+
+    (ghost / "_manifest.json").write_text(
+        _json.dumps({"max_batch_id": wm0 + 100})
+    )
+    assert _compaction_watermark(str(out)) == wm0  # pointer rules, not dirs
+    assert snap() == before
+
+    # a dangling pointer (names a version dir that was never completed)
+    # must read as "no snapshot", not crash or half-read
+    cur = (comp_dir / "CURRENT").read_text()
+    (comp_dir / "CURRENT").write_text("v999999")
+    assert _compaction_watermark(str(out)) == -1
+    (comp_dir / "CURRENT").write_text(cur)
+    assert _compaction_watermark(str(out)) == wm0
+
+    # recovery: the next compaction run is a no-op (nothing new) and the
+    # ghost dir from the crashed attempt does not corrupt it
+    assert compact_state(spark, str(out)) == wm0
+    assert snap() == before
+
+
+def test_duration_parser_accepts_spark_vocabulary():
+    from otlp_cardinality_checker_spark.streaming.stream import (
+        _duration_to_seconds,
+    )
+
+    assert _duration_to_seconds("90 seconds") == 90
+    assert _duration_to_seconds("1 day") == 86400
+    assert _duration_to_seconds("30s") == 30
+    assert _duration_to_seconds("1.5 hours") == 5400
+    assert _duration_to_seconds("  2  minutes ") == 120
+    assert _duration_to_seconds("250 ms") == 0.25
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fortnight"):
+        _duration_to_seconds("1 fortnight")
+    with _pytest.raises(ValueError, match="unsupported duration"):
+        _duration_to_seconds("ten minutes")

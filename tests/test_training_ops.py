@@ -87,6 +87,23 @@ def test_pii_scan_counts_and_redaction_order(spark):
     assert got[5]["redacted"] == ""  # NULL text -> empty, not NULL
 
 
+def test_pii_uuid_case_insensitive(spark):
+    """Uppercase/mixed-case UUIDs hit the uuid rule (consistent with the
+    masking-table's [0-9a-fA-F] acceptance) — they must not escape to the
+    digit-only longnum fallback or survive redaction."""
+    from otlp_cardinality_checker_spark.operators.pii import pii_scan
+
+    rows = [
+        (1, "req 9E3779B1-0003-4005-8007-000043F41C39 upper"),
+        (2, "req 9e3779B1-0003-4005-8007-000043f41C39 mixed"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id long, text string")
+    got = {r["conv_id"]: r for r in pii_scan(df).collect()}
+    for cid in (1, 2):
+        assert got[cid]["n_uuid"] == 1 and got[cid]["n_longnum"] == 0
+        assert "<UUID>" in got[cid]["redacted"]
+
+
 def test_pii_stats_reduces_cardinality(spark, tiny_routed):
     from otlp_cardinality_checker_spark.operators.pii import pii_stats
 
