@@ -280,6 +280,33 @@ def q_enriched_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tool_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-entity detail lookup (the reference's getMetric/getSpan
+    drill-downs, server.go:183-196): per tool — call volume, conversation
+    reach, carrying services, enrichment attributes, first/last seen. The
+    endpoint for one tool is a WHERE over this per-entity rollup."""
+    routed = _routed(spark, sf_dir)
+    return (
+        routed.where(F.col("tool").isNotNull())
+        .groupBy("tool")
+        .agg(
+            F.any_value("tool_family").alias("tool_family"),
+            F.max(F.col("is_privileged").cast("int")).alias("is_privileged"),
+            F.count(F.lit(1)).alias("n_calls"),
+            F.count_distinct("conv_id").alias("n_conversations"),
+            F.array_join(F.sort_array(F.collect_set("service")), "|").alias(
+                "services"
+            ),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "first_seen"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "last_seen"
+            ),
+        )
+    )
+
+
 def q_template_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otlp_cardinality_checker_spark.operators.aggregate import template_stats
 
@@ -1317,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_estimate": q_series_estimate,
         "session_merge": q_session_merge,
         "enriched_tool_stats": q_enriched_tool_stats,
+        "tool_detail": q_tool_detail,
         "template_topk": q_template_topk,
         "paginated_keys": q_paginated_keys,
         "pattern_services": q_pattern_services,
@@ -1650,6 +1678,21 @@ SELECT d.tool_family, count(*) AS n_rows,
        count(DISTINCT r.tool) AS n_tools
 FROM routed r JOIN read_parquet('{_tool_dim_path()}') d ON r.tool = d.tool
 GROUP BY d.tool_family
+""",
+        "tool_detail": _oracle_prefix()
+        + f"""
+SELECT r.tool,
+       any_value(d.tool_family) AS tool_family,
+       max(CASE WHEN d.is_privileged THEN 1
+                WHEN NOT d.is_privileged THEN 0 END) AS is_privileged,
+       count(*) AS n_calls,
+       count(DISTINCT r.conv_id) AS n_conversations,
+       array_to_string(list_sort(list(DISTINCT r.service)), '|') AS services,
+       strftime(min(r.ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+       strftime(max(r.ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+FROM routed r LEFT JOIN read_parquet('{_tool_dim_path()}') d ON r.tool = d.tool
+WHERE r.tool IS NOT NULL
+GROUP BY r.tool
 """,
         "template_topk": pre
         + """

@@ -199,6 +199,49 @@ def cmd_sessions(args) -> int:
     return 0
 
 
+_STATE_MARKERS = (
+    "agg_state",
+    "agg_state_compacted",
+    "lineage",
+    "sink_chat",
+    "sink_error",
+    "sink_tool_call",
+    "commits",  # streaming checkpoint
+    "offsets",  # streaming checkpoint
+    "meta.json",  # session registry entry
+)
+
+
+def cmd_clear(args) -> int:
+    """Drop derived state (reference `POST /api/v1/admin/clear`,
+    server.go:219 + store Clear): sinks, streaming aggregate state,
+    checkpoints, session registries. Refuses directories that do not look
+    like pipeline state so a typo cannot delete arbitrary data."""
+    import shutil
+    from pathlib import Path
+
+    rc = 0
+    for d in args.dirs:
+        p = Path(d)
+        if not p.exists():
+            print(f"skip (missing): {d}")
+            continue
+        looks_like_state = any(
+            (p / m).exists() or list(p.glob(f"*/{m}")) for m in _STATE_MARKERS
+        )
+        if not looks_like_state and not args.force:
+            print(
+                f"refusing to clear {d}: no pipeline-state markers found "
+                "(pass --force to override)",
+                file=sys.stderr,
+            )
+            rc = 1
+            continue
+        shutil.rmtree(p)
+        print(f"cleared: {d}")
+    return rc
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="otlp_cardinality_checker_spark")
     ap.add_argument(
@@ -267,6 +310,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", help="export bundle destination (.tar.gz)")
     p.add_argument("--bundle", help="bundle to import (.tar.gz)")
     p.set_defaults(fn=cmd_sessions)
+
+    p = sub.add_parser("clear")
+    p.add_argument("dirs", nargs="+", help="state directories to remove")
+    p.add_argument("--force", action="store_true")
+    p.set_defaults(fn=cmd_clear)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -37,3 +37,27 @@ def test_report_ordering_and_limit(spark):
     cards = [e["est_cardinality"] for e in rep.entries]
     assert cards == sorted(cards, reverse=True)
     assert len(rep.entries) == 5
+
+
+def test_cli_clear_refuses_non_state_dirs(tmp_path, capsys):
+    """`clear` is the admin/clear analogue (server.go:219): it must drop
+    real pipeline-state dirs and refuse anything else without --force."""
+    from otlp_cardinality_checker_spark.__main__ import main
+
+    state = tmp_path / "out"
+    (state / "agg_state").mkdir(parents=True)
+    (state / "lineage").mkdir()
+    precious = tmp_path / "homework"
+    (precious / "essay").mkdir(parents=True)
+
+    assert main(["clear", str(state)]) == 0
+    assert not state.exists()
+
+    assert main(["clear", str(precious)]) == 1
+    assert precious.exists()  # refused: no state markers
+
+    assert main(["clear", str(precious), "--force"]) == 0
+    assert not precious.exists()
+
+    # missing dirs are a no-op, not an error
+    assert main(["clear", str(tmp_path / "nope")]) == 0
