@@ -56,7 +56,18 @@ def pipeline_pass(spark, sf_dir: str, n_turns: int | None, out_dir: str,
     )
     t0 = time.time()
     routed_path = f"{out_dir}/run{run_id}/routed"
-    routed.write.mode("overwrite").partitionBy("sink").parquet(routed_path)
+    # snappy, not the session-default zstd: this materialization is a HOT
+    # intermediate — written once, read back immediately by the aggregate
+    # action, then superseded. zstd's ratio (113 vs 246 MB at 8M turns)
+    # only pays for long-lived storage; for write-then-scan-once it costs
+    # ~4.5 s/pass at 8M/32c (measured). Archival outputs (export_sorted,
+    # session snapshots) keep zstd.
+    (
+        routed.write.mode("overwrite")
+        .option("compression", "snappy")
+        .partitionBy("sink")
+        .parquet(routed_path)
+    )
     mat = spark.read.parquet(routed_path)
 
     def tagged(name: str, df):

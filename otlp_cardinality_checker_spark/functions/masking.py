@@ -357,27 +357,53 @@ def mask_expr(col: Column, patterns: tuple[MaskPattern, ...] | None = None) -> C
 
 
 def _variable_token_pred(t: Column) -> Column:
-    """Catalyst twin of :func:`is_variable_token` (same rule order)."""
+    """Catalyst twin of :func:`is_variable_token` (same decision table,
+    short-circuit-factored on digit presence).
+
+    Logically identical to the flat 6-rlike OR, but the COMMON token — a
+    short plain word — must escape with ZERO regex evaluations: every
+    numeric/unit/timestamp rule requires a digit, and the only digitless
+    variable shape is the all-hex-letters id, gated on length >= 8 before
+    its rlike runs. And/Or/when short-circuit in both codegen and the
+    interpreted HOF path, so rlikes behind a false gate never execute.
+    The digit count itself comes from translate() (non-regex char map) —
+    a regexp_replace here measured 3x slower for the whole template
+    projection at 500k rows.
+    """
     n = F.length(t)
-    # translate (non-regex char map) — a regexp_replace here measured 3x
-    # slower for the whole template projection at 500k rows
     digits = n - F.length(F.translate(t, "0123456789", ""))
-    return (
-        (n > LONG_TOKEN_THRESHOLD)
-        | t.rlike(r"^-?[0-9]+(\.[0-9]+)?$")
+    with_digit = (
+        t.rlike(r"^-?[0-9]+(\.[0-9]+)?$")
         | t.rlike(
             r"^[0-9]+(\.[0-9]+)?(ms|s|m|h|us|ns|B|KB|MB|GB|TB|b|kb|mb|gb|k|K|M|G)$"
         )
-        | (t.rlike(r"^[0-9a-fA-F-]{8,}$") & t.rlike(r"[0-9a-fA-F]"))
+        # hex-id: the original `& rlike([0-9a-fA-F])` presence check is
+        # implied here — this branch only runs when a digit is present
+        | t.rlike(r"^[0-9a-fA-F-]{8,}$")
         | (t.rlike(r"^[0-9][0-9:.TZ-]{3,}$") & t.rlike(r"[-:T]"))
         | ((n >= 4) & (digits * 100 >= 60 * n))
     )
+    # digitless tokens: the only variable shape left is an all-hex-letters
+    # id — length >= 8, chars in [a-fA-F-], at least one letter (the
+    # original hex-char presence check, digitless form)
+    without_digit = (n >= 8) & t.rlike(r"^[a-fA-F-]+$") & t.rlike(r"[a-fA-F]")
+    return (n > LONG_TOKEN_THRESHOLD) | F.when(
+        digits > 0, with_digit
+    ).otherwise(without_digit)
 
 
 def template_expr(
     col: Column, patterns: tuple[MaskPattern, ...] | None = None
 ) -> Column:
-    """Catalyst column: full template extraction (mask -> tokens -> <*>)."""
+    """Catalyst column: full template extraction (mask -> tokens -> <*>).
+
+    NOTE: no when()/conditional may reference `masked` (or anything
+    derived from it) more than once — the mask chain is 19 stacked
+    regexp_replaces and the interpreted HOF context has no common-
+    subexpression elimination, so a second reference re-runs the whole
+    chain (measured 1.7x on the template projection). The empty-token
+    filter() stays a per-token HOF for exactly this reason.
+    """
     masked = mask_expr(col, patterns)
     toks = F.split(F.trim(masked), _S + "+")
     toks = F.filter(toks, lambda t: t != F.lit(""))
