@@ -299,7 +299,7 @@ def cross_split_containment(
     test_pred,
     min_containment: float = 0.5,
     n: int = 3,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """Train/test contamination check: best n-gram containment of each
     *test* document inside any *train* document.

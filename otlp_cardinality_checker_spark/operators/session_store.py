@@ -170,6 +170,10 @@ class SessionStore:
         """All session metadata, newest first (`store.go:188-194`)."""
         metas = []
         for meta_file in self.root.glob("*/meta.json"):
+            # glob matches dot-dirs too: .staging-*/.old-* are unpublished
+            # transients from a crashed or in-flight save — never sessions
+            if meta_file.parent.name.startswith("."):
+                continue
             try:
                 metas.append(json.loads(meta_file.read_text()))
             except (OSError, json.JSONDecodeError):  # torn write: skip

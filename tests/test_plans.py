@@ -231,3 +231,49 @@ def test_rollup_hierarchy_scans_raw_once(spark):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     df = rollup_hierarchy(ev, ["event_type"], {"1h": 3600, "6h": 21600})
     assert "Scan parquet" not in plan_of(df)
+
+
+def test_round3_plan_shapes(spark, tiny_routed):
+    """Scale-shape pins for the round-3 additions:
+
+    * service_overview — two per-service aggregates joined, no cartesian,
+      no Python eval nodes
+    * pattern_detail — the window runs over AGGREGATED (template,
+      severity) rows, i.e. below it sits a hash-agg, and only one window
+    * metric_shapes — one hash-agg over the points projection, pure
+      Catalyst
+    * attribute_services — the key filter is applied BEFORE the explode
+      output reaches the aggregation (projection-level, not post-agg)
+    """
+    from otlp_cardinality_checker_spark.operators.metric_shapes import (
+        observed_metric_shapes,
+        synthetic_metric_points,
+    )
+    from otlp_cardinality_checker_spark.operators.overview import (
+        attribute_services,
+        pattern_detail,
+        service_overview,
+    )
+
+    so = plan_of(service_overview(tiny_routed))
+    assert "CartesianProduct" not in so
+    assert "BatchEvalPython" not in so and "ArrowEvalPython" not in so
+
+    pd_plan = plan_of(pattern_detail(tiny_routed), "simple")
+    assert pd_plan.count("Window") == 1
+    agg_pos = pd_plan.find("HashAggregate")
+    win_pos = pd_plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # simple-mode plans print top-down: the Window node appears ABOVE the
+    # aggregate that feeds it — raw rows never enter the window
+    assert win_pos < agg_pos
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ms = plan_of(observed_metric_shapes(synthetic_metric_points(events)))
+    assert "BatchEvalPython" not in ms and "ArrowEvalPython" not in ms
+
+    asv = plan_of(
+        attribute_services(tiny_routed, keys=["user_id"]), "simple"
+    )
+    assert "Generate" in asv  # the explode
+    assert "user_id" in asv  # the key filter is in the plan, not client-side

@@ -313,3 +313,25 @@ def test_session_registry_size_cap(spark, tiny_routed, tmp_path):
     with pytest.raises(SessionTooLargeError):
         store.save(snapshot_key_stats(tiny_routed), "toobig")
     assert store.list() == []  # staging cleaned, nothing published
+
+
+def test_session_registry_ignores_crashed_staging(spark, tiny_routed, tmp_path):
+    """A crashed save leaves a .staging-* dir containing meta.json; it must
+    not appear in list() or count toward the session cap."""
+    import json as _json
+
+    from otlp_cardinality_checker_spark.operators.session_store import (
+        SessionStore,
+    )
+    from otlp_cardinality_checker_spark.operators.sessions import (
+        snapshot_key_stats,
+    )
+
+    store = SessionStore(str(tmp_path / "reg"), max_sessions=2)
+    store.save(snapshot_key_stats(tiny_routed), "only")
+    ghost = tmp_path / "reg" / ".staging-ghost"
+    (ghost / "data").mkdir(parents=True)
+    (ghost / "meta.json").write_text(_json.dumps({"id": "ghost", "created": "z"}))
+    assert [m["id"] for m in store.list()] == ["only"]
+    # cap still has one free slot — the ghost must not consume it
+    store.save(snapshot_key_stats(tiny_routed), "second")
