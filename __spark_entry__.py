@@ -378,6 +378,48 @@ def q_pattern_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pattern_detail(_routed(spark, sf_dir))
 
 
+def q_logs_by_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service-based log navigation with pagination (`/logs/by-service`,
+    server.go:757-803): rows 2..9 of the service-asc/severity-asc list."""
+    from otlp_cardinality_checker_spark.operators.overview import (
+        logs_by_service,
+    )
+
+    return logs_by_service(_routed(spark, sf_dir), limit=8, offset=1)
+
+
+def q_service_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service attribute-key sets (`/services/{name}/attributes`,
+    server.go:987-1060)."""
+    from otlp_cardinality_checker_spark.operators.overview import (
+        service_attributes,
+    )
+
+    return service_attributes(_routed(spark, sf_dir))
+
+
+def q_log_patterns_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetLogPatterns' full list contract (`/logs/patterns`,
+    server.go:805-873 / store.go:486-572): severity-filtered pattern list,
+    count-desc order with deterministic tiebreak, offset/limit page."""
+    from pyspark.sql import Window
+
+    routed = _routed(spark, sf_dir)
+    agg = (
+        routed.where(F.col("severity").isin("ERROR", "WARN", "INFO"))
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.count_distinct("service").alias("n_services"),
+        )
+    )
+    w = Window.orderBy(F.desc("count"), F.asc("template"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") > 2) & (F.col("rn") <= 14))
+    )
+
+
 def q_metric_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 histogram half: per-metric union of OBSERVED bucket bounds and
     exp-hist scales (extractUniqueBounds/extractUniqueScales,
@@ -1353,6 +1395,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_detail": q_pattern_detail,
         "metric_shapes": q_metric_shapes,
         "series_estimate_observed": q_series_estimate_observed,
+        "logs_by_service": q_logs_by_service,
+        "service_attributes": q_service_attributes,
+        "log_patterns_filtered": q_log_patterns_filtered,
         "attribute_telemetry": q_attribute_telemetry,
         "attribute_filter": q_attribute_filter,
         "attribute_filter_sorted": q_attribute_filter_sorted,
@@ -1858,6 +1903,37 @@ SELECT "key", service, sink, count(*) AS count,
        count(DISTINCT "value") AS n_values
 FROM rattrs WHERE "key" IN ('user_id', 'trace_id', 'tool_name')
 GROUP BY "key", service, sink
+""",
+        "logs_by_service": pre
+        + """
+, agg AS (
+  SELECT service, severity, count(*) AS sample_count
+  FROM routed GROUP BY service, severity
+)
+SELECT service, severity, sample_count FROM (
+  SELECT *, row_number() OVER (ORDER BY service ASC, severity ASC) AS rn
+  FROM agg
+) WHERE rn > 1 AND rn <= 9
+""",
+        "service_attributes": pre
+        + """
+SELECT service, count(DISTINCT "key") AS n_keys,
+       array_to_string(list_sort(list(DISTINCT "key")), '|')
+         AS attribute_keys
+FROM rattrs GROUP BY service
+""",
+        "log_patterns_filtered": pre
+        + """
+, agg AS (
+  SELECT template, count(*) AS count,
+         count(DISTINCT service) AS n_services
+  FROM rtruth WHERE severity IN ('ERROR', 'WARN', 'INFO')
+  GROUP BY template
+)
+SELECT template, count, n_services, rn FROM (
+  SELECT *, row_number() OVER (ORDER BY count DESC, template ASC) AS rn
+  FROM agg
+) WHERE rn > 2 AND rn <= 14
 """,
         "metric_shapes": _metric_pts_sql()
         + """

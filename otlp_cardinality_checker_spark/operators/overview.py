@@ -83,6 +83,44 @@ def attribute_services(routed: DataFrame, keys: list[str] | None = None) -> Data
     )
 
 
+def logs_by_service(routed: DataFrame, limit: int | None = None, offset: int = 0) -> DataFrame:
+    """Service-based log navigation (`/logs/by-service`,
+    `server.go:757-803`): (service, severity, sample_count) ordered
+    service asc, severity asc, paginated — the endpoint's SQLite query
+    shape. The row_number pagination runs over aggregated (service,
+    severity) rows: #services x #severities, never raw turns."""
+    from pyspark.sql import Window
+
+    agg = routed.groupBy("service", "severity").agg(
+        F.count(F.lit(1)).alias("sample_count")
+    )
+    if limit is None:
+        return agg
+    w = Window.orderBy(F.asc("service"), F.asc("severity"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") > offset) & (F.col("rn") <= offset + limit))
+        .drop("rn")
+    )
+
+
+def service_attributes(routed: DataFrame) -> DataFrame:
+    """Per-service attribute-key set (`/services/{name}/attributes`,
+    `server.go:987-1060`): which keys appear on any of the service's
+    turns. Whole-table form — the endpoint for one service is a WHERE
+    over this; keys come back sorted, as the endpoint returns them."""
+    return (
+        attrs_with_service(routed)
+        .groupBy("service")
+        .agg(
+            F.count_distinct("key").alias("n_keys"),
+            F.array_join(F.sort_array(F.collect_set("key")), "|").alias(
+                "attribute_keys"
+            ),
+        )
+    )
+
+
 def pattern_detail(routed: DataFrame) -> DataFrame:
     """Per-(template, severity) drill-down (`server.go:877-954`).
 
