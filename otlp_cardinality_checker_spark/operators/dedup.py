@@ -52,14 +52,19 @@ def minhash_signatures(shingled: DataFrame, n_hashes: int = N_MINHASH) -> DataFr
     ~10x more expensive per shingle). One `transform` + `array_min` per
     hash function, all JVM-side.
     """
+    def _perm(i: int):
+        # MUST be an arity-1 closure: PySpark passes (element, index) to a
+        # two-parameter transform() lambda, and `lambda h, i=i:` counts as
+        # two parameters — the array POSITION would silently overwrite the
+        # captured hash-function index, collapsing all n signature
+        # positions into one position-dependent function (caught by the
+        # 500k-doc soak: every band identical, candidates tracked raw
+        # boilerplate overlap instead of Jaccard).
+        return lambda h: F.xxhash64(h, F.lit(i))
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(
-                    F.col("shingles"),
-                    lambda h, i=i: F.xxhash64(h, F.lit(i)),
-                )
-            )
+            F.array_min(F.transform(F.col("shingles"), _perm(i)))
             for i in range(n_hashes)
         ]
     )

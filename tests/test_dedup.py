@@ -264,3 +264,38 @@ def test_capped_default_bounds_hot_shingle_fanout(spark):
     assert DEFAULT_MAX_DF is not None
     default_pairs = exact_jaccard(sh).collect()
     assert len(default_pairs) == len(uncapped)
+
+
+def test_minhash_positions_are_independent_functions(spark):
+    """Regression: PySpark passes (element, index) to a two-parameter
+    transform() lambda, and a `lambda h, i=i:` closure counts as two
+    parameters — the array position silently overwrote the hash-function
+    index, making every signature position the SAME function (all bands
+    identical; LSH candidates tracked positional boilerplate overlap, not
+    Jaccard). Each doc's signature must use n_hashes independent
+    orderings, and two low-Jaccard docs sharing a common PREFIX (the
+    boilerplate-at-equal-positions adversary) must not collide on most
+    positions."""
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        minhash_signatures,
+        word_shingles,
+    )
+
+    prefix = "terms of service apply to all content"
+    rows = [
+        (1, prefix + " aardvark banana cherry dates elder fig grape"),
+        (2, prefix + " xylophone yurt zeppelin quartz violin umbrella oboe"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {
+        r["doc_id"]: r["signature"]
+        for r in minhash_signatures(word_shingles(docs, n=3)).collect()
+    }
+    # a signature built from independent hash functions has many distinct
+    # values; the buggy form had ONE value repeated n_hashes times
+    assert len(set(sigs[1])) > len(sigs[1]) // 2
+    assert len(set(sigs[2])) > len(sigs[2]) // 2
+    # true Jaccard here is ~0.25 (shared prefix only): most positions must
+    # disagree — the buggy form agreed on ALL of them
+    agree = sum(1 for a, b in zip(sigs[1], sigs[2]) if a == b)
+    assert agree < len(sigs[1]) // 2
