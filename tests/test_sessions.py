@@ -335,3 +335,38 @@ def test_session_registry_ignores_crashed_staging(spark, tiny_routed, tmp_path):
     assert [m["id"] for m in store.list()] == ["only"]
     # cap still has one free slot — the ghost must not consume it
     store.save(snapshot_key_stats(tiny_routed), "second")
+
+
+def test_cli_sessions_lifecycle(tmp_path, spark, capsys):
+    """End-to-end `sessions` subcommand: save a named session from the
+    pipeline, list it, export the bundle, delete, re-import, and verify
+    the conflict path returns a non-zero exit."""
+    import json as _json
+
+    from otlp_cardinality_checker_spark.__main__ import main
+
+    store = str(tmp_path / "reg")
+    base = ["--sf-dir", "/root/testdata/sf0.001", "--cores", "8"]
+
+    assert main(base + ["sessions", "save", "--name", "r3", "--store", store,
+                        "--description", "cli test"]) == 0
+    meta = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["id"] == "r3" and meta["n_keys"] > 0
+
+    # duplicate without --force: error path, exit 1
+    assert main(base + ["sessions", "save", "--name", "r3", "--store", store]) == 1
+    capsys.readouterr()
+
+    assert main(["sessions", "list", "--store", store]) == 0
+    listed = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [m["id"] for m in listed] == ["r3"]
+
+    bundle = str(tmp_path / "r3.tar.gz")
+    assert main(["sessions", "export", "--name", "r3", "--store", store,
+                 "--out", bundle]) == 0
+    capsys.readouterr()
+    assert main(["sessions", "delete", "--name", "r3", "--store", store]) == 0
+    capsys.readouterr()
+    assert main(["sessions", "import", "--bundle", bundle, "--store", store]) == 0
+    re_meta = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert re_meta["id"] == "r3" and re_meta["n_keys"] == meta["n_keys"]
