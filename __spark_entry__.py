@@ -521,6 +521,30 @@ def q_drain_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_templates(_routed(spark, sf_dir))
 
 
+def q_drain_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain INFERENCE mode (miner.go:125-134): train on the corpus, then
+    match the same corpus read-only against the distributed (cogrouped)
+    model — per (role, severity): turns, matched count, match rate.
+    Rows-only like drain_templates (the trained model is arrival-order-
+    dependent), but the aggregate match rate is deterministic given the
+    per-group sort."""
+    from otlp_cardinality_checker_spark.operators.templates import (
+        drain_infer,
+        drain_templates,
+    )
+
+    routed = _routed(spark, sf_dir)
+    model = drain_templates(routed)
+    inferred = drain_infer(routed, model)
+    return inferred.groupBy("role", "severity").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.col("matched").cast("long")).alias("n_matched"),
+        F.round(
+            F.sum(F.col("matched").cast("long")) / F.count(F.lit(1)), 4
+        ).alias("match_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data ops (documents / embeddings driver tables)
 # ---------------------------------------------------------------------------
@@ -1403,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribute_filter_sorted": q_attribute_filter_sorted,
         "watched_prefix": q_watched_prefix,
         "drain_templates": q_drain_templates,
+        "drain_infer": q_drain_infer,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,

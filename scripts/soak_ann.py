@@ -1,0 +1,120 @@
+"""ANN-family scale soak: recall + wall on a 200k-vector corpus.
+
+The LSH/IVF paths are recall-tested at 2k vectors (sf0.1); this is the
+scale evidence, built like scripts/soak_dedup.py (which caught a real LSH
+bug): a deterministic 200k x 32-dim corpus of 20k planted clusters of 10
+(cluster direction from hashed unit-ish noise, members = center + small
+jitter), generated IN SPARK. For a sample of query vectors it runs exact
+brute-force cosine top-k (the oracle) and hyperplane-LSH top-k, reporting
+recall@10 and wall times; IVF-Flat runs over the same corpus with KMeans.
+
+Prints one JSON line. Usage: python scripts/soak_ann.py [--n 200000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+DIM = 32
+
+
+def ensure_vectors(spark, n: int, path: str):
+    from pyspark.sql import functions as F
+
+    if (Path(path) / "_SUCCESS").exists():
+        return
+    base = spark.range(n).withColumnRenamed("id", "vec_id")
+    cluster = (F.col("vec_id") / 10).cast("long")
+
+    def _h(seed_col, d):
+        # deterministic float in [-1, 1) from (seed, dim)
+        return (
+            F.xxhash64(seed_col, F.lit(d)).cast("double")
+            / float(1 << 63)
+        )
+
+    emb = F.array(
+        *[
+            (_h(cluster, d) + 0.05 * _h(F.col("vec_id"), d + 1000)).cast(
+                "float"
+            )
+            for d in range(DIM)
+        ]
+    )
+    base.select(
+        "vec_id",
+        emb.alias("embedding"),
+        (cluster % 100).cast("int").alias("label"),
+    ).repartition(32).write.mode("overwrite").parquet(path)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=200_000)
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--n-queries", type=int, default=20)
+    ap.add_argument("--skip-ivf", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from otlp_cardinality_checker_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        ivf_fit,
+        ivf_topk,
+    )
+    from otlp_cardinality_checker_spark.session import get_spark
+
+    spark = get_spark(app_name="soak-ann", cores=args.cores)
+    path = str((Path(".data") / f"soak_vecs_n{args.n}").resolve())
+    ensure_vectors(spark, args.n, path)
+    corpus = spark.read.parquet(path)
+    queries = (
+        corpus.where(F.col("vec_id") % (args.n // args.n_queries) == 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .limit(args.n_queries)
+    ).cache()
+    queries.count()
+    out: dict = {"metric": "ann_soak", "n_vectors": args.n, "dim": DIM,
+                 "n_queries": args.n_queries, "cores": args.cores}
+
+    t0 = time.time()
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(corpus, queries, k=10).collect()
+    }
+    out["brute_force_sec"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    lsh = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_topk(corpus, queries, dim=DIM, k=10).collect()
+    }
+    out["lsh_sec"] = round(time.time() - t0, 1)
+    out["lsh_recall_at_10"] = round(len(lsh & exact) / len(exact), 4)
+
+    if not args.skip_ivf:
+        t0 = time.time()
+        assigned, centroids = ivf_fit(corpus, nlist=64)
+        ivf = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_topk(
+                assigned, centroids, queries, k=10, nprobe=8
+            ).collect()
+        }
+        out["ivf_sec"] = round(time.time() - t0, 1)
+        out["ivf_recall_at_10"] = round(len(ivf & exact) / len(exact), 4)
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
