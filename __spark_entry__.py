@@ -1364,8 +1364,12 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # max_df=None: explicit opt-in to the uncapped exact form so the
+    # (uncapped) DuckDB oracle sees identical pair sets at ANY scale —
+    # same contract as q_ngram_jaccard. The operator's default is capped.
     return cross_split_containment(
-        docs, F.length(F.col("source")) >= 5, min_containment=0.3
+        docs, F.length(F.col("source")) >= 5, min_containment=0.3,
+        max_df=None,
     )
 
 

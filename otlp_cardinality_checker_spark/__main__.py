@@ -167,6 +167,20 @@ def cmd_sessions(args) -> int:
     """
     from .operators.session_store import SessionStore, SessionStoreError
 
+    required = {
+        "save": ["name"], "delete": ["name"],
+        "export": ["name", "out"], "import": ["bundle"],
+    }
+    missing = [
+        f"--{a}" for a in required.get(args.action, ())
+        if getattr(args, a) is None
+    ]
+    if missing:
+        print(
+            f"error: sessions {args.action} requires {' '.join(missing)}",
+            file=sys.stderr,
+        )
+        return 2
     store = SessionStore(args.store)
     try:
         if args.action == "list":
@@ -208,8 +222,19 @@ _STATE_MARKERS = (
     "sink_tool_call",
     "commits",  # streaming checkpoint
     "offsets",  # streaming checkpoint
-    "meta.json",  # session registry entry
 )
+
+
+def _looks_like_state(p) -> bool:
+    """Only OUR dir shapes count: a named pipeline-state subdir at depth
+    <= 1, or a session-registry entry (a child with BOTH meta.json and
+    data/ — meta.json alone is far too common in the wild to act on)."""
+    if any((p / m).exists() or list(p.glob(f"*/{m}")) for m in _STATE_MARKERS):
+        return True
+    return any(
+        (child / "meta.json").exists() and (child / "data").exists()
+        for child in p.iterdir() if child.is_dir()
+    )
 
 
 def cmd_clear(args) -> int:
@@ -226,10 +251,11 @@ def cmd_clear(args) -> int:
         if not p.exists():
             print(f"skip (missing): {d}")
             continue
-        looks_like_state = any(
-            (p / m).exists() or list(p.glob(f"*/{m}")) for m in _STATE_MARKERS
-        )
-        if not looks_like_state and not args.force:
+        if not p.is_dir():
+            print(f"refusing to clear {d}: not a directory", file=sys.stderr)
+            rc = 1
+            continue
+        if not _looks_like_state(p) and not args.force:
             print(
                 f"refusing to clear {d}: no pipeline-state markers found "
                 "(pass --force to override)",

@@ -32,7 +32,7 @@ from .functions.masking import template_of
 from .functions.severity import severity_of
 
 SEED = 42
-GEN_VERSION = 6  # bump when generation rules change -> fixtures regenerate
+GEN_VERSION = 7  # bump when generation rules change -> fixtures regenerate (v7: fused timestamp mask pass changes overlap precedence)
 TURNS_PER_CONV = 25
 CARDINALITY_UID = 500  # uid modulus (mirrors scripts/test-hll-cardinality.sh)
 # The *observed* distinct user_id count: uid-bearing text families occupy

@@ -35,13 +35,19 @@ HIGH_CARDINALITY_DEFAULT_THRESHOLD = 100
 HLL_LG_K = 12  # ~1.6% rel. err (reference uses precision 10 ≈ same class)
 
 
-def exploded_attrs(routed: DataFrame) -> DataFrame:
-    """Long-form (sink, conv_id, turn_idx, ts, key, value) attribute rows."""
+def exploded_attrs(
+    routed: DataFrame,
+    cols: tuple[str, ...] = ("sink", "conv_id", "turn_idx", "ts"),
+) -> DataFrame:
+    """Long-form attribute rows: `cols` + (key, value) per map entry.
+
+    The single explode helper for every long-form consumer (aggregates,
+    catalog, overview queries) — carry different context columns via
+    ``cols`` rather than re-implementing the explode, so the attribute
+    long-form shape can only ever change in one place.
+    """
     return routed.select(
-        "sink",
-        "conv_id",
-        "turn_idx",
-        "ts",
+        *cols,
         F.explode("attrs").alias("key", "value"),
     )
 

@@ -32,12 +32,10 @@ from pyspark.sql import functions as F
 
 def attrs_with_service(routed: DataFrame) -> DataFrame:
     """Long-form attribute rows carrying the resolved service."""
-    return routed.select(
-        "sink",
-        "service",
-        "conv_id",
-        "turn_idx",
-        F.explode("attrs").alias("key", "value"),
+    from .aggregate import exploded_attrs
+
+    return exploded_attrs(
+        routed, cols=("sink", "service", "conv_id", "turn_idx")
     )
 
 

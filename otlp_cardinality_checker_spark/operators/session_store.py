@@ -228,8 +228,15 @@ class SessionStore:
             staging.mkdir(parents=True)
             tar.extractall(staging, filter="data")
         extracted = staging / orig
+        size = _dir_bytes(extracted)
+        if size > self.max_session_bytes:  # same cap as save (store.go:119)
+            shutil.rmtree(staging)
+            raise SessionTooLargeError(
+                f"session data too large: {size} > {self.max_session_bytes}"
+            )
         meta = json.loads((extracted / "meta.json").read_text())
         meta["id"] = target
+        meta["size_bytes"] = size
         (extracted / "meta.json").write_text(json.dumps(meta))
         sdir = self.root / target
         old = self.root / f".old-{target}"

@@ -61,3 +61,38 @@ def test_cli_clear_refuses_non_state_dirs(tmp_path, capsys):
 
     # missing dirs are a no-op, not an error
     assert main(["clear", str(tmp_path / "nope")]) == 0
+
+
+def test_cli_clear_requires_registry_shape_not_bare_meta_json(tmp_path):
+    """A child dir containing only meta.json (common in the wild: editor
+    extensions, dataset folders) must NOT count as pipeline state; the
+    session-registry marker requires meta.json AND data/ together. A plain
+    file target is refused cleanly, not crashed on."""
+    from otlp_cardinality_checker_spark.__main__ import main
+
+    look_alike = tmp_path / "extensions"
+    (look_alike / "some.ext").mkdir(parents=True)
+    (look_alike / "some.ext" / "meta.json").write_text("{}")
+    assert main(["clear", str(look_alike)]) == 1
+    assert look_alike.exists()
+
+    registry = tmp_path / "registry"
+    (registry / "sess1" / "data").mkdir(parents=True)
+    (registry / "sess1" / "meta.json").write_text("{}")
+    assert main(["clear", str(registry)]) == 0
+    assert not registry.exists()
+
+    f = tmp_path / "afile.txt"
+    f.write_text("hi")
+    assert main(["clear", str(f), "--force"]) == 1
+    assert f.exists()
+
+
+def test_cli_sessions_missing_args_clean_error(capsys):
+    from otlp_cardinality_checker_spark.__main__ import main
+
+    assert main(["sessions", "export", "--name", "x"]) == 2  # no --out
+    assert "requires --out" in capsys.readouterr().err
+    assert main(["sessions", "import"]) == 2  # no --bundle
+    assert "requires --bundle" in capsys.readouterr().err
+    assert main(["sessions", "save"]) == 2  # no --name

@@ -370,3 +370,27 @@ def test_cli_sessions_lifecycle(tmp_path, spark, capsys):
     assert main(["sessions", "import", "--bundle", bundle, "--store", store]) == 0
     re_meta = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert re_meta["id"] == "r3" and re_meta["n_keys"] == meta["n_keys"]
+
+
+def test_session_registry_import_enforces_size_cap(spark, tiny_routed, tmp_path):
+    """import_session must honor max_session_bytes exactly like save —
+    a bundle exported from a store with a larger cap cannot smuggle an
+    oversized session into a stricter store."""
+    import pytest
+
+    from otlp_cardinality_checker_spark.operators.session_store import (
+        SessionStore,
+        SessionTooLargeError,
+    )
+    from otlp_cardinality_checker_spark.operators.sessions import (
+        snapshot_key_stats,
+    )
+
+    big = SessionStore(str(tmp_path / "big"))
+    big.save(snapshot_key_stats(tiny_routed), "huge")
+    bundle = big.export_session("huge", str(tmp_path / "huge.tar.gz"))
+
+    strict = SessionStore(str(tmp_path / "strict"), max_session_bytes=64)
+    with pytest.raises(SessionTooLargeError):
+        strict.import_session(bundle)
+    assert strict.list() == []  # staging cleaned, nothing published
