@@ -53,10 +53,14 @@ def _process_batch(
         enrich_turns(parse_turns(batch_df, engine="sql"), role_dim, tool_dim)
     )
     routed.persist()
-    lineage_rows = []
+    # materialize the cache in ONE job before the concurrent fan-out:
+    # three threads racing the first action would each recompute the
+    # parse chain into the cache (measured slower than sequential)
+    routed.count()
     try:
         n_write_parts = 4
-        for sink in SINKS:
+
+        def _one_sink(sink: str) -> dict:
             # persisted so the stats action and the write share ONE shuffle
             part = (
                 routed.where(F.col("sink") == sink)
@@ -92,19 +96,27 @@ def _process_batch(
                 .option("partitionOverwriteMode", "dynamic")
                 .parquet(str(Path(out_dir) / f"sink_{sink}"))
             )
-            lineage_rows.append(
-                {
-                    "batch_id": batch_id,
-                    "sink": sink,
-                    "n_rows": n,
-                    "n_partitions": n_write_parts,
-                    "n_nonempty_partitions": pstats["n_nonempty"],
-                    "min_partition_rows": 0 if starved else pstats["min_part"],
-                    "max_partition_rows": pstats["max_part"],
-                    "wall_sec": round(time.time() - t0, 3),
-                }
-            )
             part.unpersist()
+            return {
+                "batch_id": batch_id,
+                "sink": sink,
+                "n_rows": n,
+                "n_partitions": n_write_parts,
+                "n_nonempty_partitions": pstats["n_nonempty"],
+                "min_partition_rows": 0 if starved else pstats["min_part"],
+                "max_partition_rows": pstats["max_part"],
+                "wall_sec": round(time.time() - t0, 3),
+            }
+
+        # the three per-sink (stats + write) jobs are independent; running
+        # them concurrently overlaps their scheduling + I/O latency — the
+        # dominant share of the per-micro-batch FIXED cost (measured
+        # 12.6 s/batch sequential at sf0.1). Same pattern as the batch
+        # fan-out (route.write_sinks). Lineage rows stay sink-ordered.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(SINKS)) as pool:
+            lineage_rows = list(pool.map(_one_sink, SINKS))
         # mergeable aggregate state: one PARTIAL snapshot (counts + HLL
         # sketch binaries + sample arrays) per micro-batch, keyed by
         # batch_id so a checkpoint replay overwrites itself — the Spark
