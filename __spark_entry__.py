@@ -1011,6 +1011,21 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modality_stats(extract_features(synthetic_media(spark, 64)))
 
 
+def q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode, oracle-checked: Spark decodes actual PNG bytes
+    (stdlib codec: zlib inflate + per-row unfilter) and aggregates exact
+    integer pixel stats; the DuckDB oracle recomputes every pixel from the
+    fixtures' closed-form gradient WITHOUT any decoder. Bit-exact match
+    proves the codec end-to-end. sf_dir unused (deterministic fixtures,
+    like media_features)."""
+    from otlp_cardinality_checker_spark.operators.multimodal import (
+        png_pixel_stats,
+        synthetic_png_media,
+    )
+
+    return png_pixel_stats(synthetic_png_media(spark, 48))
+
+
 
 def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter funnel: first-failing-stage drop accounting."""
@@ -1391,57 +1406,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering note: the driver's correctness gate records the FIRST 50
+    # entries only.  Rounds 1-3 recorded the pipeline/session/endpoint
+    # family (two+ rounds of green driver history for each); round 4
+    # rotates the dedup/ANN/text/PII/streaming-query families into the
+    # window, keeping 15 pipeline sentinels alongside them.  Entries past
+    # position 50 remain runnable via scripts/check_oracle.py.
     return {
-        "route_counts": q_route_counts,
-        "routed_fingerprint": q_routed_fingerprint,
-        "sink_chat_turns": _sink_turns("chat"),
-        "sink_error_turns": _sink_turns("error"),
-        "sink_tool_call_turns": _sink_turns("tool_call"),
-        "severity_counts": q_severity_counts,
-        "severity_pivot": q_severity_pivot,
-        "severity_cube": q_severity_cube,
-        "service_stats": q_service_stats,
-        "key_stats_exact": q_key_stats_exact,
-        "template_stats": q_template_stats,
-        "attribute_catalog": q_attribute_catalog,
-        "watched_values": q_watched_values,
-        "active_series_exact": q_active_series_exact,
-        "high_cardinality": q_high_cardinality,
-        "complexity": q_complexity,
-        "session_diff": q_session_diff,
-        "session_diff_filtered": q_session_diff_filtered,
-        "service_diff": q_service_diff,
-        "series_estimate": q_series_estimate,
-        "session_merge": q_session_merge,
-        "enriched_tool_stats": q_enriched_tool_stats,
-        "tool_detail": q_tool_detail,
-        "template_topk": q_template_topk,
-        "paginated_keys": q_paginated_keys,
-        "pattern_services": q_pattern_services,
-        "service_overview": q_service_overview,
-        "attribute_services": q_attribute_services,
-        "pattern_detail": q_pattern_detail,
-        "metric_shapes": q_metric_shapes,
-        "series_estimate_observed": q_series_estimate_observed,
-        "logs_by_service": q_logs_by_service,
-        "service_attributes": q_service_attributes,
-        "log_patterns_filtered": q_log_patterns_filtered,
-        "attribute_telemetry": q_attribute_telemetry,
-        "attribute_filter": q_attribute_filter,
-        "attribute_filter_sorted": q_attribute_filter_sorted,
-        "watched_prefix": q_watched_prefix,
-        "drain_templates": q_drain_templates,
-        "drain_infer": q_drain_infer,
-        "dedup_exact": q_dedup_exact,
-        "text_quality": q_text_quality,
-        "token_counts": q_token_counts,
-        "doc_fingerprints": q_doc_fingerprints,
-        "doc_length_stats": q_doc_length_stats,
-        "events_windowed": q_events_windowed,
-        "asof_enrich": q_asof_enrich,
-        "interval_join": q_interval_join,
-        "rollup_hierarchy": q_rollup_hierarchy,
-        "cohort_retention": q_cohort_retention,
+        # --- 35 queries rotated into the driver window (round 4) -------
         "event_funnel": q_event_funnel,
         "events_windowed_stream": q_events_windowed_stream,
         "dedup_stream": q_dedup_stream,
@@ -1469,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_stats_hll": q_key_stats_hll,
         "media_features": q_media_features,
         "frame_samples": q_frame_samples,
+        "png_pixel_stats": q_png_pixel_stats,
         "pii_stats": q_pii_stats,
         "stratified_sample": q_stratified_sample,
         "tfidf_terms": q_tfidf_terms,
@@ -1477,6 +1450,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "key_skew": q_key_skew,
         "cms_user_counts": q_cms_user_counts,
+        # --- 15 pipeline sentinels (driver-green in r1-r3) -------------
+        "route_counts": q_route_counts,
+        "routed_fingerprint": q_routed_fingerprint,
+        "key_stats_exact": q_key_stats_exact,
+        "session_merge": q_session_merge,
+        "template_stats": q_template_stats,
+        "attribute_catalog": q_attribute_catalog,
+        "watched_values": q_watched_values,
+        "active_series_exact": q_active_series_exact,
+        "session_diff": q_session_diff,
+        "severity_counts": q_severity_counts,
+        "service_stats": q_service_stats,
+        "metric_shapes": q_metric_shapes,
+        "drain_templates": q_drain_templates,
+        "drain_infer": q_drain_infer,
+        # --- beyond the 50-entry driver window (driver-green in r2-r3;
+        # --- re-verifiable any time via scripts/check_oracle.py) -------
+        "events_windowed": q_events_windowed,
+        "sink_chat_turns": _sink_turns("chat"),
+        "sink_error_turns": _sink_turns("error"),
+        "sink_tool_call_turns": _sink_turns("tool_call"),
+        "severity_pivot": q_severity_pivot,
+        "severity_cube": q_severity_cube,
+        "high_cardinality": q_high_cardinality,
+        "complexity": q_complexity,
+        "session_diff_filtered": q_session_diff_filtered,
+        "service_diff": q_service_diff,
+        "series_estimate": q_series_estimate,
+        "enriched_tool_stats": q_enriched_tool_stats,
+        "tool_detail": q_tool_detail,
+        "template_topk": q_template_topk,
+        "paginated_keys": q_paginated_keys,
+        "pattern_services": q_pattern_services,
+        "service_overview": q_service_overview,
+        "attribute_services": q_attribute_services,
+        "pattern_detail": q_pattern_detail,
+        "series_estimate_observed": q_series_estimate_observed,
+        "logs_by_service": q_logs_by_service,
+        "service_attributes": q_service_attributes,
+        "log_patterns_filtered": q_log_patterns_filtered,
+        "attribute_telemetry": q_attribute_telemetry,
+        "attribute_filter": q_attribute_filter,
+        "attribute_filter_sorted": q_attribute_filter_sorted,
+        "watched_prefix": q_watched_prefix,
+        "dedup_exact": q_dedup_exact,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "doc_fingerprints": q_doc_fingerprints,
+        "doc_length_stats": q_doc_length_stats,
+        "asof_enrich": q_asof_enrich,
+        "interval_join": q_interval_join,
+        "rollup_hierarchy": q_rollup_hierarchy,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -1804,6 +1830,34 @@ SELECT sink, "key", count, rn FROM (
 SELECT sink, count(*) AS n_rows, bit_xor(v) AS xor_digest,
        CAST(sum(CAST(v AS HUGEINT)) AS VARCHAR) AS sum_digest
 FROM canon GROUP BY sink
+""",
+        # real-PNG-decode parity: Spark decodes the bytes, the oracle
+        # recomputes every pixel from the fixtures' closed-form gradient
+        # (synthetic_png_media: lum(y,x) = (a*x + b*y + c) % 256) with no
+        # decoder — exact-integer agreement proves the codec
+        "png_pixel_stats": """
+WITH imgs AS (
+  SELECT i,
+         printf('png_%05d', i) AS media_id,
+         8 + (i*3)%17 AS width,
+         6 + (i*5)%13 AS height,
+         1 + i%7 AS a,
+         2 + i%5 AS b,
+         (i*11)%256 AS c
+  FROM range(48) t(i)
+), px AS (
+  SELECT media_id, width, height,
+         CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+         (a*x + b*y + c) % 256 AS lum
+  FROM imgs, unnest(range(height)) AS ty(y), unnest(range(width)) AS tx(x)
+)
+SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(lum) AS BIGINT) AS sum_lum,
+       CAST(min(lum) AS INT) AS min_lum,
+       CAST(max(lum) AS INT) AS max_lum,
+       CAST(sum(lum * (y*width + x)) % 1000000007 AS BIGINT) AS pos_checksum
+FROM px GROUP BY media_id, width, height
 """,
         "cms_user_counts": pre
         + """

@@ -2,11 +2,17 @@
 
 A 100 TB training pipeline carries image/audio/video as `binary` columns
 with typed metadata; decode/feature-extraction runs as Arrow-batched pandas
-UDFs over `mapInPandas`. The decode kernels themselves are STUBBED here
-(the container has no image/audio libraries): `decode_stub=True` produces a
-deterministic fake feature vector from the bytes, and `decode_stub=False`
-raises NotImplementedError at evaluation time — the Spark-side plumbing
-(schema, batch iteration, partition sizing) is real and tested either way.
+UDFs over `mapInPandas`.
+
+Decode status by modality: **image/png decodes FOR REAL** via the
+pure-stdlib codec in ``functions/png.py`` (zlib + struct + numpy unfilter)
+— pass ``decode_stub=False`` and PNG payloads yield actual pixels (real
+luminance features, real nearest-neighbor resize + re-encode).  Audio and
+video kernels remain stubbed (no codec libraries in this container):
+``decode_stub=True`` produces a deterministic fake from the bytes, and
+``decode_stub=False`` on a non-PNG payload raises NotImplementedError at
+evaluation time.  The Spark-side plumbing (schema, batch iteration,
+partition sizing) is identical either way.
 """
 
 from __future__ import annotations
@@ -20,6 +26,7 @@ from pyspark.sql.types import (
     BinaryType,
     FloatType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -69,6 +76,89 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synthetic_png_media(spark, n: int = 48) -> DataFrame:
+    """REAL PNG media table with closed-form pixels.
+
+    Image i is an (h, w) grayscale gradient with
+    ``lum(y, x) = (a*x + b*y + c) % 256`` where a, b, c, w, h derive
+    deterministically from i — so an engine WITHOUT a PNG decoder (the
+    DuckDB oracle) can recompute every pixel from the formula while Spark
+    recovers them by actually decoding the bytes.  Exact-integer agreement
+    between the two is end-to-end proof the codec is correct.
+    """
+    from ..functions.png import encode_png
+
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w = 8 + (i * 3) % 17
+        h = 6 + (i * 5) % 13
+        a = 1 + i % 7
+        b = 2 + i % 5
+        c = (i * 11) % 256
+        xs = np.arange(w, dtype=np.int64)[None, :]
+        ys = np.arange(h, dtype=np.int64)[:, None]
+        lum = ((a * xs + b * ys + c) % 256).astype(np.uint8)
+        rows.append(
+            (f"png_{i:05d}", "image", "image/png", w, h, None,
+             encode_png(lum))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+PNG_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("n_px", LongType(), False),
+        StructField("sum_lum", LongType(), False),
+        StructField("min_lum", IntegerType(), False),
+        StructField("max_lum", IntegerType(), False),
+        StructField("pos_checksum", LongType(), False),
+    ]
+)
+
+
+def png_pixel_stats(media: DataFrame) -> DataFrame:
+    """Exact per-image pixel statistics from a REAL PNG decode.
+
+    All-integer outputs (sums, extrema, and a position-weighted checksum
+    ``sum(lum * (y*width + x)) % 1_000_000_007`` that catches transposed /
+    shifted pixels) so a decoder-less oracle can verify them bit-exactly
+    from the closed-form pixel definition.  Arrow-batched mapInPandas; the
+    per-image decode is numpy-vectorized, the Python loop is O(rows).
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.png import decode_png
+
+        cols = [f.name for f in PNG_STATS_SCHEMA]
+        for pdf in it:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_png(payload)
+                h, w = px.shape[:2]
+                lum = px.reshape(h, w, -1).mean(axis=2).astype(np.int64)
+                pos = np.arange(h * w, dtype=np.int64).reshape(h, w)
+                out.append(
+                    (
+                        media_id, w, h, h * w, int(lum.sum()),
+                        int(lum.min()), int(lum.max()),
+                        int((lum * pos).sum() % 1_000_000_007),
+                    )
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.where(F.col("mime_type") == "image/png").mapInPandas(
+        batches, schema=PNG_STATS_SCHEMA
+    )
+
+
 def _batch_buffer(payloads: list[bytes]):
     """Concatenate a batch's payloads into ONE numpy byte buffer.
 
@@ -92,13 +182,15 @@ def extract_features(
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    Real deployments replace the stub kernel with an actual decoder
-    (PIL/librosa/ffmpeg); the UDF signature, batch shape, and output schema
-    are exactly what that swap needs. The stub is batch-vectorized
-    (np.bincount over the concatenated batch buffer) so the plumbing
-    benchmark reflects Arrow-batch reality, not per-row Python: feature
-    bucket c of row r = (sum of payload bytes at positions == c mod k)
-    & 0xFFFF, scaled to [0, 1].
+    With ``decode_stub=False``, **PNG payloads decode for real** (stdlib
+    codec, `functions/png.py`): features = the n_features-bucket normalized
+    luminance histogram of the actual pixels.  Non-PNG payloads still raise
+    NotImplementedError (no audio/video codecs in this container) — filter
+    to `mime_type = 'image/png'` first.  With ``decode_stub=True`` the
+    deterministic fake kernel runs instead, batch-vectorized (np.bincount
+    over the concatenated batch buffer) so the plumbing benchmark reflects
+    Arrow-batch reality, not per-row Python: feature bucket c of row r =
+    (sum of payload bytes at positions == c mod k) & 0xFFFF, scaled [0,1].
     """
 
     def batches(it: Iterator) -> Iterator:
@@ -108,10 +200,32 @@ def extract_features(
         k = n_features
         for pdf in it:
             if not decode_stub:
-                raise NotImplementedError(
-                    "real media decoding requires image/audio libraries "
-                    "not present in this container"
+                from ..functions.png import decode_png, is_png
+
+                rows = []
+                for media_id, modality, payload in zip(
+                    pdf["media_id"], pdf["modality"], pdf["payload"]
+                ):
+                    payload = payload if payload is not None else b""
+                    if not is_png(payload):
+                        raise NotImplementedError(
+                            "real decode is implemented for PNG only; "
+                            f"got a non-PNG {modality} payload"
+                        )
+                    px = decode_png(payload)
+                    lum = px.reshape(px.shape[0], px.shape[1], -1).mean(axis=2)
+                    hist = np.histogram(
+                        lum, bins=k, range=(0.0, 256.0)
+                    )[0] / max(lum.size, 1)
+                    rows.append(
+                        (media_id, modality, len(payload),
+                         hist.astype(np.float64).tolist())
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=["media_id", "modality", "n_bytes", "features"],
                 )
+                continue
             payloads = [p if p is not None else b"" for p in pdf["payload"]]
             n_rows = len(payloads)
             buf, lens, starts = _batch_buffer(payloads)
@@ -152,12 +266,15 @@ def resize_images(
     decode_stub: bool = True,
 ) -> DataFrame:
     """Resize plumbing for image rows: same MEDIA_SCHEMA out, metadata
-    updated to the target dimensions. The pixel kernel is stubbed (no
-    image libraries in this container): the stub deterministically
-    re-samples the payload bytes to the target byte budget, which
-    preserves exactly what the real PIL/opencv swap needs — per-row bytes
-    in, transformed bytes out, Arrow-batched, non-image rows passed
-    through untouched."""
+    updated to the target dimensions.
+
+    ``decode_stub=False``: PNG rows get a REAL resize — stdlib decode,
+    nearest-neighbor resample, PNG re-encode (`functions/png.py`); image
+    rows that are not PNG raise NotImplementedError, non-image rows pass
+    through untouched.  ``decode_stub=True``: the deterministic stub
+    re-samples the payload bytes to the target byte budget, preserving
+    exactly what a PIL/opencv swap needs — per-row bytes in, transformed
+    bytes out, Arrow-batched."""
 
     budget = max(width * height // 64, 16)
 
@@ -167,10 +284,37 @@ def resize_images(
 
         for pdf in it:
             if not decode_stub:
-                raise NotImplementedError(
-                    "real image resizing requires PIL/opencv, not present "
-                    "in this container"
+                from ..functions.png import (
+                    decode_png,
+                    encode_png,
+                    is_png,
+                    resize_nearest,
                 )
+
+                out = pdf.copy()
+                new_payloads = list(pdf["payload"])
+                resized = []
+                for r, (modality, payload) in enumerate(
+                    zip(pdf["modality"], pdf["payload"])
+                ):
+                    if modality != "image" or not payload:
+                        continue
+                    if not is_png(payload):
+                        raise NotImplementedError(
+                            "real resize is implemented for PNG only"
+                        )
+                    px = decode_png(payload)
+                    new_payloads[r] = encode_png(
+                        resize_nearest(px, width, height)
+                    )
+                    resized.append(r)
+                out["payload"] = new_payloads
+                out.loc[resized, "width"] = width
+                out.loc[resized, "height"] = height
+                yield pd.DataFrame(
+                    out, columns=[f.name for f in MEDIA_SCHEMA]
+                )
+                continue
             payloads = [p if p is not None else b"" for p in pdf["payload"]]
             buf, lens, starts = _batch_buffer(payloads)
             # empty payloads stay untouched (nothing to resample); the

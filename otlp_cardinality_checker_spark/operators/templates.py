@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 from ..functions.masking import _S, mask_expr
 
 DRAIN_SCHEMA = (
-    "role string, severity string, template string, count long, example string"
+    "role string, severity string, template string, count long, "
+    "example string, group_turns long"
 )
 
 INFER_SCHEMA = (
@@ -67,6 +68,13 @@ def drain_templates(
     With ``n_shards > 1`` each (role, severity) group is mined by
     independent shards (union of their clusters), trading some merge
     opportunities for parallelism — the reference's ShardedMiner contract.
+
+    Every row carries ``group_turns`` — the number of non-blank masked
+    turns fed to that (role, severity, shard) miner.  Invariant (driver-
+    checkable without a cross-engine oracle): when no LRU eviction occurs,
+    ``sum(count) over the group's rows == group_turns``; under eviction
+    ``sum(count) <= group_turns`` (evicted clusters take their counts with
+    them, reference `miner.go:137-255`).
     """
 
     def mine(pdf):
@@ -80,15 +88,21 @@ def drain_templates(
         miner = DrainMiner(
             DrainConfig(sim_threshold=sim_threshold, max_clusters=max_clusters)
         )
+        fed = 0
         for masked in pdf["masked"].astype(str):
             if masked.strip():
                 miner.add(masked)
+                fed += 1
         rows = [
-            (role, severity, template, count, example)
+            (role, severity, template, count, example, fed)
             for template, count, example in miner.clusters()
         ]
         return pd.DataFrame(
-            rows, columns=["role", "severity", "template", "count", "example"]
+            rows,
+            columns=[
+                "role", "severity", "template", "count", "example",
+                "group_turns",
+            ],
         )
 
     return (
