@@ -682,6 +682,40 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MICROBATCH_ROW_CAP = 1_000_000
+
+
+def _write_microbatch_sources(src, frames, ts_cols=("ts",)) -> None:
+    """HARNESS ONLY — bounded driver-side micro-batch source writer.
+
+    The three streaming-query wrappers below need deterministic file
+    splits to hand Structured Streaming a fixed micro-batch order at gate
+    scale (sf0.01).  The ``toPandas()`` materialization here is NOT an
+    operator pattern — it is confined to this helper, guarded by a hard
+    row cap so nobody can silently scale it up, and exists only to write
+    tiny source fixtures.  Production streams read from real sources
+    (file trees, Iceberg); no operator module collects data to the driver.
+    """
+    import time as _time
+
+    src.mkdir(parents=True, exist_ok=True)
+    for i, frame in enumerate(frames):
+        pdf = frame.toPandas() if hasattr(frame, "toPandas") else frame
+        if len(pdf) > _MICROBATCH_ROW_CAP:
+            raise ValueError(
+                f"micro-batch source of {len(pdf)} rows exceeds the "
+                f"harness cap ({_MICROBATCH_ROW_CAP}); this helper is for "
+                "gate-scale fixtures only — use a distributed write"
+            )
+        for c in ts_cols:
+            if c in pdf.columns:
+                # Spark cannot read parquet TIMESTAMP(NANOS); pin to micros
+                pdf[c] = pdf[c].astype("datetime64[us]")
+        if i:
+            _time.sleep(1.2)  # mtime order == micro-batch order
+        pdf.to_parquet(src / f"part{i}.parquet", index=False)
+
+
 def q_events_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 driver-verified STREAMING query: the watermarked event-time
     window run as a real Structured Streaming job (two file micro-batches,
@@ -696,7 +730,6 @@ def q_events_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     has ts >= max(ts)-2h, above the batch-B watermark max(ts in A)-30min,
     and its window is still open at that point since max(A) < cutoff)."""
     import tempfile
-    import time as _time
     from pathlib import Path
 
     from otlp_cardinality_checker_spark.streaming.stream import (
@@ -713,15 +746,13 @@ def q_events_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = tmax - _dt.timedelta(hours=2)
     tmp = Path(tempfile.mkdtemp(prefix="evstream_"))
     src = tmp / "src"
-    src.mkdir()
-    a = ev.where(F.col("ts") < F.lit(cutoff)).toPandas()
-    b = ev.where(F.col("ts") >= F.lit(cutoff)).toPandas()
-    # Spark cannot read parquet TIMESTAMP(NANOS); pin to microseconds
-    a["ts"] = a["ts"].astype("datetime64[us]")
-    b["ts"] = b["ts"].astype("datetime64[us]")
-    a.to_parquet(src / "a.parquet", index=False)
-    _time.sleep(1.2)  # mtime order == micro-batch order
-    b.to_parquet(src / "b.parquet", index=False)
+    _write_microbatch_sources(
+        src,
+        [
+            ev.where(F.col("ts") < F.lit(cutoff)),
+            ev.where(F.col("ts") >= F.lit(cutoff)),
+        ],
+    )
     run_windowed_stream(
         spark,
         str(src),
@@ -755,7 +786,6 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     LAST batch), exercising the cross-batch duplicate path non-trivially;
     the oracle applies the same UNION ALL."""
     import tempfile
-    import time as _time
     from pathlib import Path
 
     import pandas as pd
@@ -773,13 +803,15 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = Path(tempfile.mkdtemp(prefix="dedupstream_"))
     src = tmp / "src"
-    src.mkdir()
     n = len(pdf)
-    cuts = (pdf.iloc[: n // 3], pdf.iloc[n // 3 : 2 * n // 3], pdf.iloc[2 * n // 3 :])
-    for i, chunk in enumerate(cuts):
-        if i:
-            _time.sleep(1.2)  # mtime order == micro-batch order
-        chunk.to_parquet(src / f"part{i}.parquet", index=False)
+    _write_microbatch_sources(
+        src,
+        [
+            pdf.iloc[: n // 3],
+            pdf.iloc[n // 3 : 2 * n // 3],
+            pdf.iloc[2 * n // 3 :],
+        ],
+    )
     dedup_stream(spark, str(src), str(tmp / "out"), str(tmp / "ckpt"))
     return spark.read.parquet(str(tmp / "out" / "decisions")).select(
         "doc_id", "text_hash", "is_first"
@@ -803,7 +835,6 @@ def q_conv_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     by event-time timeout in the availableNow no-data batch)."""
     import datetime as _dt
     import tempfile
-    import time as _time
     from pathlib import Path
 
     from otlp_cardinality_checker_spark.datagen import ensure_dataset
@@ -829,15 +860,13 @@ def q_conv_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = tmax - _dt.timedelta(hours=2)
     tmp = Path(tempfile.mkdtemp(prefix="convsess_"))
     src = tmp / "src"
-    src.mkdir()
-    a = turns.where(F.col("ts") < F.lit(cutoff)).toPandas()
-    b = turns.where(F.col("ts") >= F.lit(cutoff)).toPandas()
-    # Spark cannot read parquet TIMESTAMP(NANOS); pin to microseconds
-    a["ts"] = a["ts"].astype("datetime64[us]")
-    b["ts"] = b["ts"].astype("datetime64[us]")
-    a.to_parquet(src / "a.parquet", index=False)
-    _time.sleep(1.2)  # mtime order == micro-batch order
-    b.to_parquet(src / "b.parquet", index=False)
+    _write_microbatch_sources(
+        src,
+        [
+            turns.where(F.col("ts") < F.lit(cutoff)),
+            turns.where(F.col("ts") >= F.lit(cutoff)),
+        ],
+    )
     sessionize_stream(
         spark,
         str(src),
@@ -1544,7 +1573,13 @@ WITH pts AS (
 
 
 def oracle_sql() -> dict[str, str]:
-    pre = _oracle_prefix()
+    # The driver's gate runs at sf0.01, so the pipeline-prefix CTEs default
+    # to that scale's truth paths.  SPARK_GRAFT_ORACLE_SF lets the local
+    # gate replica (scripts/check_oracle.py) re-point the prefix when
+    # verifying at another scale (e.g. the sf0.1 scale-divergence pass).
+    import os
+
+    pre = _oracle_prefix(os.environ.get("SPARK_GRAFT_ORACLE_SF", SF01))
 
     def sink_turns_sql(sink: str) -> str:
         return (

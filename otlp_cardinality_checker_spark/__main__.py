@@ -251,8 +251,15 @@ def cmd_clear(args) -> int:
         if not p.exists():
             print(f"skip (missing): {d}")
             continue
-        if not p.is_dir():
-            print(f"refusing to clear {d}: not a directory", file=sys.stderr)
+        if p.is_symlink() or not p.is_dir():
+            # a symlink-to-directory passes is_dir() but rmtree refuses it
+            # with a raw OSError; refuse it up front in the command's own
+            # error format instead (clearing through a link could also
+            # delete state the link's owner still references)
+            print(
+                f"refusing to clear {d}: not a real directory",
+                file=sys.stderr,
+            )
             rc = 1
             continue
         if not _looks_like_state(p) and not args.force:

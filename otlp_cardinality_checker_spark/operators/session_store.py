@@ -227,24 +227,28 @@ class SessionStore:
                 shutil.rmtree(staging)
             staging.mkdir(parents=True)
             tar.extractall(staging, filter="data")
-        extracted = staging / orig
-        size = _dir_bytes(extracted)
-        if size > self.max_session_bytes:  # same cap as save (store.go:119)
-            shutil.rmtree(staging)
-            raise SessionTooLargeError(
-                f"session data too large: {size} > {self.max_session_bytes}"
-            )
-        meta = json.loads((extracted / "meta.json").read_text())
-        meta["id"] = target
-        meta["size_bytes"] = size
-        (extracted / "meta.json").write_text(json.dumps(meta))
-        sdir = self.root / target
-        old = self.root / f".old-{target}"
-        if old.exists():
-            shutil.rmtree(old)
-        if sdir.exists():
-            sdir.rename(old)
-        extracted.rename(sdir)
-        shutil.rmtree(staging, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
-        return meta
+        try:
+            extracted = staging / orig
+            size = _dir_bytes(extracted)
+            if size > self.max_session_bytes:  # same cap as save (store.go:119)
+                raise SessionTooLargeError(
+                    f"session data too large: {size} > {self.max_session_bytes}"
+                )
+            meta = json.loads((extracted / "meta.json").read_text())
+            meta["id"] = target
+            meta["size_bytes"] = size
+            (extracted / "meta.json").write_text(json.dumps(meta))
+            sdir = self.root / target
+            old = self.root / f".old-{target}"
+            if old.exists():
+                shutil.rmtree(old)
+            if sdir.exists():
+                sdir.rename(old)
+            extracted.rename(sdir)
+            shutil.rmtree(old, ignore_errors=True)
+            return meta
+        finally:
+            # a malformed bundle (missing/corrupt meta.json, size-cap hit)
+            # must not leave the staging dir behind; on success only the
+            # empty staging shell remains after the rename
+            shutil.rmtree(staging, ignore_errors=True)

@@ -184,21 +184,29 @@ def filter_funnel(
     )
 
 
-def char_entropy(docs: DataFrame) -> DataFrame:
+def char_entropy(docs: DataFrame, engine: str = "sql") -> DataFrame:
     """Per-document Shannon entropy over the letter distribution (a-z) —
     the gibberish/repetition detector: natural prose sits near the
     language's letter-entropy (~2.9 nats for English); keyboard mashing,
     repeated padding, and base64 blobs land far from it.
 
-    Entirely scalar Catalyst expressions: 26 `replace`-based letter counts
-    per row, then the entropy sum with a zero-count guard — no explode, no
-    shuffle, no Python. The ~100-subexpression tree exceeds the 64KB
-    whole-stage-codegen method limit, so Spark logs one compile error and
-    falls back to interpreted expression eval (documented Spark behavior;
-    still JVM-side and linear in text bytes). The DuckDB oracle evaluates
-    the identical arithmetic in the identical term order, so IEEE parity
-    is exact after round(…, 4).
+    Dual-engine (the parse stage's pattern): ``engine="sql"`` is entirely
+    scalar Catalyst expressions — 26 `replace`-based letter counts per row,
+    then the entropy sum with a zero-count guard; no explode, no shuffle,
+    no Python. The ~100-subexpression tree exceeds the 64KB whole-stage-
+    codegen method limit, so Spark logs one compile error and falls back to
+    interpreted expression eval (documented Spark behavior; still JVM-side
+    and linear in text bytes). The DuckDB oracle evaluates the identical
+    arithmetic in the identical term order, so IEEE parity is exact after
+    round(…, 4).  ``engine="pandas"`` is the vectorized Arrow twin for when
+    entropy lands on a hot path: one np.bincount over the batch's
+    concatenated lowercased bytes, fully codegen-independent; the two
+    engines are property-tested equal (test_text_analysis).
     """
+    if engine == "pandas":
+        return _char_entropy_pandas(docs)
+    if engine != "sql":
+        raise ValueError(f"unknown char_entropy engine: {engine!r}")
     lower = F.lower(F.col("text"))
     counts = {
         c: F.length(lower) - F.length(F.replace(lower, F.lit(c), F.lit("")))
@@ -221,6 +229,58 @@ def char_entropy(docs: DataFrame) -> DataFrame:
         "lang",
         total.cast("long").alias("n_letters"),
         F.round(ent, 4).alias("entropy"),
+    )
+
+
+def _char_entropy_pandas(docs: DataFrame) -> DataFrame:
+    """Arrow-batched twin of :func:`char_entropy`: ONE np.bincount over the
+    batch's concatenated lowercased UTF-8 bytes (a-z never collides with
+    UTF-8 continuation/lead bytes, so byte counting == ASCII letter
+    counting), then vectorized -p·ln(p).  No per-row Python."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            encoded = [
+                t.lower().encode("utf-8")
+                for t in pdf["text"].fillna("").astype(str)
+            ]
+            n = len(encoded)
+            lens = np.fromiter(
+                (len(e) for e in encoded), dtype=np.int64, count=n
+            )
+            buf = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+            if buf.size:
+                row_id = np.repeat(np.arange(n), lens)
+                letter = (buf >= 97) & (buf <= 122)
+                counts = np.bincount(
+                    row_id[letter] * 26 + (buf[letter] - 97),
+                    minlength=n * 26,
+                ).reshape(n, 26)
+            else:
+                counts = np.zeros((n, 26), dtype=np.int64)
+            total = counts.sum(axis=1)
+            safe = np.maximum(total, 1).astype(np.float64)
+            p = counts / safe[:, None]
+            terms = np.where(counts > 0, -p * np.log(np.where(p > 0, p, 1.0)), 0.0)
+            # SQL-engine parity: length(NULL) propagates, so NULL text
+            # yields n_letters = NULL (entropy still 0.0 via the when())
+            n_letters = pd.array(total, dtype="Int64")
+            n_letters[pdf["text"].isna().to_numpy()] = pd.NA
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang": pdf["lang"],
+                    "n_letters": n_letters,
+                    "entropy": np.round(terms.sum(axis=1), 4),
+                }
+            )
+
+    return docs.select("doc_id", "lang", "text").mapInPandas(
+        batches,
+        schema="doc_id long, lang string, n_letters long, entropy double",
     )
 
 

@@ -54,40 +54,27 @@ def _process_batch(
     )
     routed.persist()
     # materialize the cache in ONE job before the concurrent fan-out:
-    # three threads racing the first action would each recompute the
+    # four threads racing the first action would each recompute the
     # parse chain into the cache (measured slower than sequential)
     routed.count()
     try:
         n_write_parts = 4
 
         def _one_sink(sink: str) -> dict:
-            # persisted so the stats action and the write share ONE shuffle
+            # ONE Spark job per sink: just the write. Per-partition lineage
+            # stats come from the parquet footers of the files that write
+            # just produced (driver-side metadata reads, microseconds per
+            # file) — they describe the ACTUAL write layout rather than a
+            # second shuffle's recomputation of it, and they replace the
+            # separate stats job + per-sink persist the 12.6 s/batch fixed
+            # cost was measured with. Spark writes no file for an empty
+            # partition, so starvation is visible as missing files:
+            # fewer footers than n_write_parts -> min_partition_rows = 0.
             part = (
                 routed.where(F.col("sink") == sink)
                 .select(*SINK_COLUMNS[sink])
                 .repartition(n_write_parts, "conv_id")
-                .persist()
             )
-            # per-PARTITION counts measured on the SAME partitioning the
-            # write uses (the repartition above), in one pass: total rows,
-            # non-empty partition count, min/max partition sizes — the
-            # skew/starvation signal. groupBy(spark_partition_id) cannot
-            # see EMPTY partitions, so starvation is reported explicitly:
-            # the declared write fan-out is known (n_write_parts) and any
-            # shortfall means empty partitions -> min_partition_rows is 0.
-            pstats = (
-                part.groupBy(F.spark_partition_id().alias("_pid"))
-                .agg(F.count(F.lit(1)).alias("_rows"))
-                .agg(
-                    F.coalesce(F.sum("_rows"), F.lit(0)).alias("n"),
-                    F.count(F.lit(1)).alias("n_nonempty"),
-                    F.coalesce(F.min("_rows"), F.lit(0)).alias("min_part"),
-                    F.coalesce(F.max("_rows"), F.lit(0)).alias("max_part"),
-                )
-                .collect()[0]
-            )
-            n = pstats["n"]
-            starved = pstats["n_nonempty"] < n_write_parts
             # idempotent: partitioned by batch_id, replay overwrites itself
             (
                 part.withColumn("_batch_id", F.lit(batch_id))
@@ -96,45 +83,61 @@ def _process_batch(
                 .option("partitionOverwriteMode", "dynamic")
                 .parquet(str(Path(out_dir) / f"sink_{sink}"))
             )
-            part.unpersist()
+            import pyarrow.parquet as pq
+
+            part_dir = (
+                Path(out_dir) / f"sink_{sink}" / f"_batch_id={batch_id}"
+            )
+            sizes = [
+                pq.ParquetFile(str(f)).metadata.num_rows
+                for f in sorted(part_dir.glob("*.parquet"))
+            ]
+            sizes = [s for s in sizes if s > 0]
+            starved = len(sizes) < n_write_parts
             return {
                 "batch_id": batch_id,
                 "sink": sink,
-                "n_rows": n,
+                "n_rows": sum(sizes),
                 "n_partitions": n_write_parts,
-                "n_nonempty_partitions": pstats["n_nonempty"],
-                "min_partition_rows": 0 if starved else pstats["min_part"],
-                "max_partition_rows": pstats["max_part"],
+                "n_nonempty_partitions": len(sizes),
+                "min_partition_rows": 0 if starved else min(sizes),
+                "max_partition_rows": max(sizes) if sizes else 0,
                 "wall_sec": round(time.time() - t0, 3),
             }
 
-        # the three per-sink (stats + write) jobs are independent; running
-        # them concurrently overlaps their scheduling + I/O latency — the
-        # dominant share of the per-micro-batch FIXED cost (measured
-        # 12.6 s/batch sequential at sf0.1). Same pattern as the batch
-        # fan-out (route.write_sinks). Lineage rows stay sink-ordered.
+        def _state_snapshot() -> None:
+            # mergeable aggregate state: one PARTIAL snapshot (counts + HLL
+            # sketch binaries + sample arrays) per micro-batch, keyed by
+            # batch_id so a checkpoint replay overwrites itself — the Spark
+            # analogue of the reference's store merge-on-insert
+            # (internal/storage/memory/store.go:252-317). On a real cluster
+            # this is a MERGE INTO an Iceberg state table.
+            (
+                snapshot_key_stats(routed)
+                .withColumn("_batch_id", F.lit(batch_id))
+                # deliberate single-file state write: the snapshot is
+                # O(#keys) rows (tiny), and one file per batch keeps the
+                # resume path's latest-batch read trivial; NOT a
+                # data-volume path
+                .coalesce(1)
+                .write.mode("overwrite")
+                .partitionBy("_batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(str(Path(out_dir) / "agg_state"))
+            )
+
+        # the three per-sink writes AND the state snapshot all depend only
+        # on the cached `routed` — they are independent jobs, so they run
+        # concurrently to overlap scheduling + I/O latency, the dominant
+        # share of the per-micro-batch FIXED cost. Same pattern as the
+        # batch fan-out (route.write_sinks). Lineage rows stay sink-ordered
+        # (pool.map preserves order; the state future is separate).
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=len(SINKS)) as pool:
+        with ThreadPoolExecutor(max_workers=len(SINKS) + 1) as pool:
+            state_future = pool.submit(_state_snapshot)
             lineage_rows = list(pool.map(_one_sink, SINKS))
-        # mergeable aggregate state: one PARTIAL snapshot (counts + HLL
-        # sketch binaries + sample arrays) per micro-batch, keyed by
-        # batch_id so a checkpoint replay overwrites itself — the Spark
-        # analogue of the reference's store merge-on-insert
-        # (internal/storage/memory/store.go:252-317). On a real cluster
-        # this is a MERGE INTO an Iceberg state table.
-        (
-            snapshot_key_stats(routed)
-            .withColumn("_batch_id", F.lit(batch_id))
-            # deliberate single-file state write: the snapshot is O(#keys)
-            # rows (tiny), and one file per batch keeps the resume path's
-            # latest-batch read trivial; NOT a data-volume path
-            .coalesce(1)
-            .write.mode("overwrite")
-            .partitionBy("_batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(str(Path(out_dir) / "agg_state"))
-        )
+            state_future.result()
     finally:
         routed.unpersist()
     lineage_dir = Path(out_dir) / "lineage"
@@ -301,9 +304,14 @@ def compact_state(spark: SparkSession, out_dir: str) -> int:
     tmp_ptr = comp_dir / "CURRENT.tmp"
     tmp_ptr.write_text(vdir.name)
     os.replace(tmp_ptr, comp_dir / "CURRENT")  # the ONE atomic publish
-    # best-effort GC of superseded versions (safe: pointer already moved)
+    # deferred GC: keep the immediately-superseded version one extra
+    # compaction cycle — a concurrent reader that resolved the CURRENT
+    # pointer just before the swap may still be reading it; versions two
+    # generations back can have no such reader (their grace period was the
+    # whole previous compaction interval)
+    keep = {vdir.name} | ({prev.name} if prev is not None else set())
     for old in comp_dir.glob("v*"):
-        if old != vdir:
+        if old.name not in keep:
             shutil.rmtree(old, ignore_errors=True)
     return new_watermark
 

@@ -53,6 +53,13 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # pipeline-prefix oracles embed absolute transcript truth paths; keep
+    # them at the SAME scale as the Spark side of this run (the driver's
+    # own gate always runs at sf0.01, its default)
+    import os
+
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF", sf_dir)
+
     import __spark_entry__ as entry_mod
     from otlp_cardinality_checker_spark.session import get_spark
 

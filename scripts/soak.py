@@ -18,14 +18,14 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import subprocess
 import sys
-import threading
 import time
-import urllib.request
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from soak_common import RssSampler, stage_metrics  # noqa: E402
 
 CHUNK_PARTS = 64  # part files; each generated independently (bounded RAM)
 
@@ -96,66 +96,6 @@ def ensure_big_dataset(n: int) -> Path:
     dg.write_metric_dim(out / "metric_dim.parquet")
     (out / "_SUCCESS").touch()
     return out
-
-
-class RssSampler(threading.Thread):
-    """Peak RSS of the driver JVM (local mode: driver == executors)."""
-
-    def __init__(self):
-        super().__init__(daemon=True)
-        self.peak_kb = 0
-        self._stop = threading.Event()
-
-    def _java_pids(self):
-        out = subprocess.run(
-            ["pgrep", "-f", "java.*pyspark"], capture_output=True, text=True
-        )
-        pids = out.stdout.split()
-        if not pids:
-            out = subprocess.run(
-                ["pgrep", "java"], capture_output=True, text=True
-            )
-            pids = out.stdout.split()
-        return pids
-
-    def run(self):
-        while not self._stop.is_set():
-            for pid in self._java_pids():
-                try:
-                    rss = int(
-                        Path(f"/proc/{pid}/status")
-                        .read_text()
-                        .split("VmRSS:")[1]
-                        .split()[0]
-                    )
-                    self.peak_kb = max(self.peak_kb, rss)
-                except (OSError, IndexError, ValueError):
-                    continue
-            self._stop.wait(2.0)
-
-    def stop(self):
-        self._stop.set()
-
-
-def stage_metrics(ui_port: int = 4040) -> dict:
-    """Spill + peak execution memory from the status REST API."""
-    base = f"http://localhost:{ui_port}/api/v1/applications"
-    apps = json.load(urllib.request.urlopen(base, timeout=10))
-    app_id = apps[0]["id"]
-    stages = json.load(
-        urllib.request.urlopen(f"{base}/{app_id}/stages?status=complete", timeout=30)
-    )
-    return {
-        "n_stages": len(stages),
-        "memory_spill_bytes": sum(s.get("memoryBytesSpilled", 0) for s in stages),
-        "disk_spill_bytes": sum(s.get("diskBytesSpilled", 0) for s in stages),
-        "peak_execution_memory_bytes": max(
-            (s.get("peakExecutionMemory", 0) for s in stages), default=0
-        ),
-        "shuffle_write_bytes": sum(
-            s.get("shuffleWriteBytes", 0) for s in stages
-        ),
-    }
 
 
 def main() -> None:

@@ -81,7 +81,10 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=32)
     args = ap.parse_args()
 
+    import os
+
     from pyspark.sql import functions as F
+    from soak_common import RssSampler, stage_metrics
 
     from otlp_cardinality_checker_spark.operators.dedup import (
         exact_dedup_stats,
@@ -92,11 +95,24 @@ def main() -> None:
     )
     from otlp_cardinality_checker_spark.session import get_spark
 
-    spark = get_spark(app_name="soak-dedup", cores=args.cores)
+    # memory-envelope leg: pinned driver heap + status REST for spill
+    heap = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    spark = get_spark(
+        app_name="soak-dedup",
+        cores=args.cores,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
     path = str((Path(".data") / f"soak_docs_v2_n{args.n}").resolve())
     ensure_docs(spark, args.n, path)
     docs = spark.read.parquet(path)
-    out: dict = {"metric": "dedup_soak", "n_docs": args.n, "cores": args.cores}
+    sampler = RssSampler()
+    sampler.start()
+    out: dict = {
+        "metric": "dedup_soak",
+        "n_docs": args.n,
+        "cores": args.cores,
+        "driver_heap": heap,
+    }
 
     t0 = time.time()
     n_exact_groups = (
@@ -117,6 +133,13 @@ def main() -> None:
     n_capped = exact_jaccard(sh, min_jaccard=0.5, max_df=1000).count()
     out["capped_jaccard_sec"] = round(time.time() - t0, 1)
     out["capped_jaccard_pairs"] = n_capped
+
+    sampler.stop()
+    out["jvm_peak_rss_gb"] = round(sampler.peak_kb / 1024 / 1024, 2)
+    try:
+        out.update(stage_metrics())
+    except Exception as e:  # noqa: BLE001 — UI scrape is best-effort
+        out["stage_metrics_error"] = str(e)
 
     print(json.dumps(out))
     spark.stop()

@@ -88,6 +88,22 @@ def test_cli_clear_requires_registry_shape_not_bare_meta_json(tmp_path):
     assert f.exists()
 
 
+def test_cli_clear_refuses_symlinked_state_dir(tmp_path):
+    """A symlink to a real state dir passes is_dir(); clearing through it
+    must be a clean refusal (rc=1), never an rmtree OSError traceback, and
+    the link target must survive."""
+    from otlp_cardinality_checker_spark.__main__ import main
+
+    state = tmp_path / "out"
+    (state / "agg_state").mkdir(parents=True)
+    link = tmp_path / "link_to_out"
+    link.symlink_to(state)
+
+    assert main(["clear", str(link), "--force"]) == 1
+    assert state.exists() and (state / "agg_state").exists()
+    assert link.is_symlink()
+
+
 def test_cli_sessions_missing_args_clean_error(capsys):
     from otlp_cardinality_checker_spark.__main__ import main
 

@@ -394,3 +394,30 @@ def test_session_registry_import_enforces_size_cap(spark, tiny_routed, tmp_path)
     with pytest.raises(SessionTooLargeError):
         strict.import_session(bundle)
     assert strict.list() == []  # staging cleaned, nothing published
+    assert not list((tmp_path / "strict").glob(".staging-*"))
+
+
+def test_session_import_cleans_staging_on_malformed_bundle(tmp_path):
+    """A bundle whose session dir lacks meta.json must fail the import AND
+    leave no .staging-* residue behind (the cleanup must run on the error
+    path, not only on success/size-cap)."""
+    import tarfile
+
+    import pytest
+
+    from otlp_cardinality_checker_spark.operators.session_store import (
+        SessionStore,
+    )
+
+    src = tmp_path / "payload" / "broken"
+    (src / "data").mkdir(parents=True)
+    (src / "data" / "junk.txt").write_text("no meta.json here")
+    bundle = tmp_path / "broken.tar.gz"
+    with tarfile.open(bundle, "w:gz") as tar:
+        tar.add(src, arcname="broken")
+
+    store = SessionStore(str(tmp_path / "reg"))
+    with pytest.raises(FileNotFoundError):
+        store.import_session(str(bundle))
+    assert store.list() == []
+    assert not list((tmp_path / "reg").glob(".staging-*"))

@@ -120,6 +120,45 @@ def test_state_compaction_and_replay_safety(spark, tmp_path):
     assert snap() == before  # watermark excludes it: no double count
 
 
+def test_compaction_gc_keeps_previous_version_one_cycle(spark, tmp_path):
+    """Superseded snapshot versions are GC'd one compaction LATE: a reader
+    that resolved CURRENT just before the pointer swap can still finish
+    reading the previous version; only versions two generations back are
+    deleted."""
+    import shutil
+    from pathlib import Path
+
+    from otlp_cardinality_checker_spark.streaming.stream import (
+        compact_state,
+        run_stream,
+    )
+
+    out = tmp_path / "out"
+    run_stream(spark, SF, str(out), str(tmp_path / "ckpt"))
+    state_dir = Path(out) / "agg_state"
+    comp_dir = Path(out) / "agg_state_compacted"
+    a_part = sorted(state_dir.glob("_batch_id=*"))[0]
+
+    wm1 = compact_state(spark, str(out))
+    v1 = comp_dir / f"v{wm1}"
+    assert v1.exists()
+
+    # new batch arrives -> second compaction supersedes v1 but KEEPS it
+    shutil.copytree(a_part, state_dir / "_batch_id=99")
+    wm2 = compact_state(spark, str(out))
+    v2 = comp_dir / f"v{wm2}"
+    assert wm2 == 99 and v2.exists()
+    assert v1.exists()  # deferred GC: one extra cycle of grace
+    assert (comp_dir / "CURRENT").read_text().strip() == v2.name
+
+    # third compaction: v1 is now two generations back -> collected
+    shutil.copytree(a_part, state_dir / "_batch_id=100")
+    wm3 = compact_state(spark, str(out))
+    assert wm3 == 100
+    assert not v1.exists()
+    assert v2.exists() and (comp_dir / f"v{wm3}").exists()
+
+
 @pytest.mark.slow
 def test_state_compaction_crash_safety(spark, tmp_path):
     """The compaction commit is a single atomic CURRENT-pointer swap: a

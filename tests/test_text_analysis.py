@@ -43,3 +43,48 @@ def test_fingerprint_whitespace_canonicalization(spark):
     got = {r["doc_id"]: r["fingerprint"] for r in fingerprints(docs).collect()}
     assert got[1] == got[2]
     assert got[1] != got[3]
+
+
+def test_char_entropy_engines_agree_on_corpus(spark):
+    """Dual-engine property (the parse-stage pattern applied to entropy):
+    the Catalyst expression tree and the Arrow/numpy twin must agree on
+    every document of the sf0.01 corpus after round(…, 4)."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        char_entropy,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    sql_rows = {
+        r.doc_id: (r.lang, r.n_letters, r.entropy)
+        for r in char_entropy(docs, engine="sql").collect()
+    }
+    pd_rows = {
+        r.doc_id: (r.lang, r.n_letters, r.entropy)
+        for r in char_entropy(docs, engine="pandas").collect()
+    }
+    assert sql_rows == pd_rows and len(sql_rows) > 0
+
+
+def test_char_entropy_engines_agree_on_adversarial_inputs(spark):
+    """NULL text, empty text, non-ASCII, uppercase, and single-letter spam
+    must produce identical rows from both engines."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        char_entropy,
+    )
+
+    rows = [
+        (1, None, "en"),
+        (2, "", "en"),
+        (3, "aaaaAAAA", "en"),
+        (4, "Ünïcödé piñata — ça va? 数字123", "fr"),
+        (5, "The quick brown fox jumps over the lazy dog", "en"),
+        (6, "zzzzzzzzzzzzzzzzzzzzzz", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    a = sorted(map(tuple, char_entropy(docs, engine="sql").collect()))
+    b = sorted(map(tuple, char_entropy(docs, engine="pandas").collect()))
+    assert a == b
+    by_id = {t[0]: t for t in a}
+    assert by_id[3][3] == 0.0  # lower() folds 4x'a'+4x'A' to one symbol
+    assert by_id[6][3] == 0.0  # single-letter spam: zero entropy
+    assert by_id[5][3] > 2.0  # pangram: near the latin letter ceiling
