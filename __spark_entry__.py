@@ -1055,6 +1055,27 @@ def q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_pixel_stats(synthetic_png_media(spark, 48))
 
 
+def q_png_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full codec ROUNDTRIP, oracle-checked: decode real PNG bytes →
+    nearest-neighbor resize to 16x12 → re-encode PNG → decode again →
+    exact integer pixel stats. The DuckDB oracle recomputes the resized
+    pixels from the closed-form gradient + the nearest-neighbor index map
+    (src_y = (Y*h)//12, src_x = (X*w)//16) with no codec at all — a
+    bit-exact match proves decode, resample, AND re-encode together."""
+    from otlp_cardinality_checker_spark.operators.multimodal import (
+        png_pixel_stats,
+        resize_images,
+        synthetic_png_media,
+    )
+
+    return png_pixel_stats(
+        resize_images(
+            synthetic_png_media(spark, 48), width=16, height=12,
+            decode_stub=False,
+        )
+    )
+
+
 
 def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter funnel: first-failing-stage drop accounting."""
@@ -1471,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "frame_samples": q_frame_samples,
         "png_pixel_stats": q_png_pixel_stats,
+        "png_resize_stats": q_png_resize_stats,
         "pii_stats": q_pii_stats,
         "stratified_sample": q_stratified_sample,
         "tfidf_terms": q_tfidf_terms,
@@ -1490,12 +1512,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_series_exact": q_active_series_exact,
         "session_diff": q_session_diff,
         "severity_counts": q_severity_counts,
-        "service_stats": q_service_stats,
         "metric_shapes": q_metric_shapes,
         "drain_templates": q_drain_templates,
         "drain_infer": q_drain_infer,
         # --- beyond the 50-entry driver window (driver-green in r2-r3;
         # --- re-verifiable any time via scripts/check_oracle.py) -------
+        "service_stats": q_service_stats,
         "events_windowed": q_events_windowed,
         "sink_chat_turns": _sink_turns("chat"),
         "sink_error_turns": _sink_turns("error"),
@@ -1893,6 +1915,33 @@ SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
        CAST(max(lum) AS INT) AS max_lum,
        CAST(sum(lum * (y*width + x)) % 1000000007 AS BIGINT) AS pos_checksum
 FROM px GROUP BY media_id, width, height
+""",
+        # codec ROUNDTRIP parity (decode -> nearest-neighbor resize ->
+        # re-encode -> decode): the oracle composes the closed-form
+        # gradient with the nearest-neighbor index map, no codec involved
+        "png_resize_stats": """
+WITH imgs AS (
+  SELECT i,
+         printf('png_%05d', i) AS media_id,
+         8 + (i*3)%17 AS w,
+         6 + (i*5)%13 AS h,
+         1 + i%7 AS a,
+         2 + i%5 AS b,
+         (i*11)%256 AS c
+  FROM range(48) t(i)
+), px AS (
+  SELECT media_id,
+         CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+         (a*((x*w)//16) + b*((y*h)//12) + c) % 256 AS lum
+  FROM imgs, unnest(range(12)) AS ty(y), unnest(range(16)) AS tx(x)
+)
+SELECT media_id, CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(lum) AS BIGINT) AS sum_lum,
+       CAST(min(lum) AS INT) AS min_lum,
+       CAST(max(lum) AS INT) AS max_lum,
+       CAST(sum(lum * (y*16 + x)) % 1000000007 AS BIGINT) AS pos_checksum
+FROM px GROUP BY media_id
 """,
         "cms_user_counts": pre
         + """
