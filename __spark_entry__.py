@@ -1077,6 +1077,20 @@ def q_png_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode, oracle-checked (the PNG pattern, second modality):
+    Spark parses actual RIFF/PCM bytes (stdlib struct codec) and
+    aggregates exact integer sample stats; the DuckDB oracle recomputes
+    every sample from the fixtures' closed-form waveform with no decoder.
+    sf_dir unused (deterministic fixtures)."""
+    from otlp_cardinality_checker_spark.operators.multimodal import (
+        synthetic_wav_media,
+        wav_sample_stats,
+    )
+
+    return wav_sample_stats(synthetic_wav_media(spark, 40))
+
+
 def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter funnel: first-failing-stage drop accounting."""
     from otlp_cardinality_checker_spark.operators.text_analysis import (
@@ -1493,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_samples": q_frame_samples,
         "png_pixel_stats": q_png_pixel_stats,
         "png_resize_stats": q_png_resize_stats,
+        "wav_sample_stats": q_wav_sample_stats,
         "pii_stats": q_pii_stats,
         "stratified_sample": q_stratified_sample,
         "tfidf_terms": q_tfidf_terms,
@@ -1511,12 +1526,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watched_values": q_watched_values,
         "active_series_exact": q_active_series_exact,
         "session_diff": q_session_diff,
-        "severity_counts": q_severity_counts,
         "metric_shapes": q_metric_shapes,
         "drain_templates": q_drain_templates,
         "drain_infer": q_drain_infer,
         # --- beyond the 50-entry driver window (driver-green in r2-r3;
         # --- re-verifiable any time via scripts/check_oracle.py) -------
+        "severity_counts": q_severity_counts,
         "service_stats": q_service_stats,
         "events_windowed": q_events_windowed,
         "sink_chat_turns": _sink_turns("chat"),
@@ -1942,6 +1957,33 @@ SELECT media_id, CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
        CAST(max(lum) AS INT) AS max_lum,
        CAST(sum(lum * (y*16 + x)) % 1000000007 AS BIGINT) AS pos_checksum
 FROM px GROUP BY media_id
+""",
+        # real-WAV-decode parity: Spark parses the RIFF/PCM bytes, the
+        # oracle recomputes every sample from the closed-form waveform
+        # (synthetic_wav_media: s(t) = (a*t + b) % 65536 - 32768)
+        "wav_sample_stats": """
+WITH clips AS (
+  SELECT i, printf('wav_%05d', i) AS media_id,
+         256 + (i*37)%512 AS n_samples,
+         3 + i%11 AS a,
+         (i*97)%65536 AS b,
+         8000 + 1000*(i%5) AS rate
+  FROM range(40) t(i)
+), smp AS (
+  SELECT media_id, rate, CAST(t AS BIGINT) AS t,
+         (a*t + b) % 65536 - 32768 AS s,
+         CASE WHEN t >= 1 THEN (a*(t-1) + b) % 65536 - 32768 END AS s_prev
+  FROM clips, unnest(range(n_samples)) AS tt(t)
+)
+SELECT media_id, CAST(rate AS INT) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(s) AS BIGINT) AS sum_s,
+       CAST(min(s) AS INT) AS min_s,
+       CAST(max(s) AS INT) AS max_s,
+       CAST(coalesce(sum(CASE WHEN s_prev*s < 0 THEN 1 END), 0) AS BIGINT)
+         AS zero_crossings,
+       CAST(sum((s + 32768)*(t + 1)) AS BIGINT) AS pos_checksum
+FROM smp GROUP BY media_id, rate
 """,
         "cms_user_counts": pre
         + """

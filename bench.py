@@ -33,6 +33,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def spin_calibration_sec(n: int = 20_000_000) -> float:
+    """Fixed-work pure-Python spin — a host-speed probe.  The same loop in
+    a quiet window takes ~1.0-1.2 s on this box; inflated readings flag a
+    noisy-neighbor window so the artifact's absolute figures can be
+    discounted accordingly (see BENCH.md's variance protocol)."""
+    t0 = time.time()
+    x = 0
+    for i in range(n):
+        x += i * i
+    return round(time.time() - t0, 2)
+
+
 def pipeline_pass(spark, sf_dir: str, n_turns: int | None, out_dir: str,
                   run_id: int) -> float:
     """One end-to-end pass, production shape, exactly TWO actions:
@@ -297,6 +309,7 @@ def main() -> None:
     except ValueError:
         sf = 0.1
 
+    spin_before = spin_calibration_sec()
     pipeline = run_pipeline_once(args.sf_dir, args.cores)
     queries = run_query_timings(args.sf_dir, args.cores)
     engines = compare_parse_engines(args.sf_dir, args.cores)
@@ -310,6 +323,16 @@ def main() -> None:
         "n_turns": pipeline["n_turns"],
         "pipeline_sec": round(pipeline["elapsed"], 2),
         "parse_engines": engines,
+        # host-noise self-calibration: a fixed 20M-iteration pure-Python
+        # spin, timed before and after the measured work. Quiet-window
+        # reference on this box is ~1.0-1.2 s; readings much above that
+        # mean the WHOLE artifact was taken in a noisy-neighbor window and
+        # under-reports the engine (documented up to ~2.8x variance) —
+        # compare figures against BENCH.md's min-of-3 protocol numbers.
+        "spin_calibration_sec": {
+            "before": spin_before,
+            "after": spin_calibration_sec(),
+        },
     }
 
     if not args.skip_scaling:

@@ -159,6 +159,88 @@ def png_pixel_stats(media: DataFrame) -> DataFrame:
     )
 
 
+def synthetic_wav_media(spark, n: int = 40) -> DataFrame:
+    """REAL WAV media table with closed-form PCM samples.
+
+    Clip i has ``n_samples = 256 + (i*37) % 512`` mono 16-bit samples with
+    ``s(t) = ((a*t + b) % 65536) - 32768`` where a, b derive from i — so a
+    decoder-less oracle (DuckDB) recomputes every sample from the formula
+    while Spark recovers them by parsing the RIFF bytes.  Sample rate
+    8000 + 1000*(i % 5); duration_ms follows from n_samples and rate.
+    """
+    from ..functions.wav import encode_wav
+
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        n_samples = 256 + (i * 37) % 512
+        a = 3 + i % 11
+        b = (i * 97) % 65536
+        rate = 8000 + 1000 * (i % 5)
+        t = np.arange(n_samples, dtype=np.int64)
+        s = ((a * t + b) % 65536 - 32768).astype(np.int16)
+        rows.append(
+            (
+                f"wav_{i:05d}", "audio", "audio/wav", None, None,
+                int(n_samples * 1000 // rate), encode_wav(s, rate),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("sum_s", LongType(), False),
+        StructField("min_s", IntegerType(), False),
+        StructField("max_s", IntegerType(), False),
+        StructField("zero_crossings", LongType(), False),
+        StructField("pos_checksum", LongType(), False),
+    ]
+)
+
+
+def wav_sample_stats(media: DataFrame) -> DataFrame:
+    """Exact per-clip PCM statistics from a REAL WAV decode.
+
+    All-integer outputs so a decoder-less oracle verifies them bit-exactly
+    from the closed-form sample definition: sum/min/max of samples, sign
+    zero-crossing count (s[t-1]*s[t] < 0), and the positional checksum
+    ``sum((s + 32768) * (t + 1))`` (non-negative, exact in BIGINT — no
+    modulo, so no cross-engine sign-of-% pitfalls).
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.wav import decode_wav
+
+        cols = [f.name for f in WAV_STATS_SCHEMA]
+        for pdf in it:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate = decode_wav(payload)
+                s = samples[:, 0].astype(np.int64)  # mono fixtures
+                t = np.arange(s.size, dtype=np.int64)
+                zc = int(((s[:-1] * s[1:]) < 0).sum()) if s.size > 1 else 0
+                out.append(
+                    (
+                        media_id, rate, s.size, int(s.sum()),
+                        int(s.min()), int(s.max()), zc,
+                        int(((s + 32768) * (t + 1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.where(F.col("mime_type") == "audio/wav").mapInPandas(
+        batches, schema=WAV_STATS_SCHEMA
+    )
+
+
 def _batch_buffer(payloads: list[bytes]):
     """Concatenate a batch's payloads into ONE numpy byte buffer.
 
@@ -201,22 +283,32 @@ def extract_features(
         for pdf in it:
             if not decode_stub:
                 from ..functions.png import decode_png, is_png
+                from ..functions.wav import decode_wav, is_wav
 
                 rows = []
                 for media_id, modality, payload in zip(
                     pdf["media_id"], pdf["modality"], pdf["payload"]
                 ):
                     payload = payload if payload is not None else b""
-                    if not is_png(payload):
+                    if is_png(payload):
+                        px = decode_png(payload)
+                        lum = px.reshape(
+                            px.shape[0], px.shape[1], -1
+                        ).mean(axis=2)
+                        hist = np.histogram(
+                            lum, bins=k, range=(0.0, 256.0)
+                        )[0] / max(lum.size, 1)
+                    elif is_wav(payload):
+                        samples, _rate = decode_wav(payload)
+                        amp = samples.astype(np.float64).ravel()
+                        hist = np.histogram(
+                            amp, bins=k, range=(-32768.0, 32768.0)
+                        )[0] / max(amp.size, 1)
+                    else:
                         raise NotImplementedError(
-                            "real decode is implemented for PNG only; "
-                            f"got a non-PNG {modality} payload"
+                            "real decode is implemented for PNG and WAV; "
+                            f"got an undecodable {modality} payload"
                         )
-                    px = decode_png(payload)
-                    lum = px.reshape(px.shape[0], px.shape[1], -1).mean(axis=2)
-                    hist = np.histogram(
-                        lum, bins=k, range=(0.0, 256.0)
-                    )[0] / max(lum.size, 1)
                     rows.append(
                         (media_id, modality, len(payload),
                          hist.astype(np.float64).tolist())
