@@ -1091,6 +1091,34 @@ def q_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_sample_stats(synthetic_wav_media(spark, 40))
 
 
+def q_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, oracle-checked (third modality): Spark walks an
+    actual RIFF/AVI container (stdlib struct codec, bottom-up BGR24 DIB
+    frames with stride padding) and aggregates exact integer pixel stats;
+    the DuckDB oracle recomputes every byte from the fixtures' closed-form
+    gradient with no parser.  sf_dir unused (deterministic fixtures)."""
+    from otlp_cardinality_checker_spark.operators.multimodal import (
+        avi_frame_stats,
+        synthetic_avi_media,
+    )
+
+    return avi_frame_stats(synthetic_avi_media(spark, 24))
+
+
+def q_avi_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling, oracle-checked: Spark decodes the AVI
+    container and keeps every 2nd frame (row-multiplying mapInPandas, the
+    `sample_frames` contract over actually-decoded video); the DuckDB
+    oracle recomputes each sampled frame's exact pixel stats from the
+    closed-form gradient.  sf_dir unused (deterministic fixtures)."""
+    from otlp_cardinality_checker_spark.operators.multimodal import (
+        avi_sampled_frame_stats,
+        synthetic_avi_media,
+    )
+
+    return avi_sampled_frame_stats(synthetic_avi_media(spark, 24), every_n=2)
+
+
 def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter funnel: first-failing-stage drop accounting."""
     from otlp_cardinality_checker_spark.operators.text_analysis import (
@@ -1508,6 +1536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_pixel_stats": q_png_pixel_stats,
         "png_resize_stats": q_png_resize_stats,
         "wav_sample_stats": q_wav_sample_stats,
+        "avi_frame_stats": q_avi_frame_stats,
+        "avi_frame_samples": q_avi_frame_samples,
         "pii_stats": q_pii_stats,
         "stratified_sample": q_stratified_sample,
         "tfidf_terms": q_tfidf_terms,
@@ -1527,10 +1557,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_series_exact": q_active_series_exact,
         "session_diff": q_session_diff,
         "metric_shapes": q_metric_shapes,
-        "drain_templates": q_drain_templates,
-        "drain_infer": q_drain_infer,
         # --- beyond the 50-entry driver window (driver-green in r2-r3;
         # --- re-verifiable any time via scripts/check_oracle.py) -------
+        "drain_templates": q_drain_templates,
+        "drain_infer": q_drain_infer,
         "severity_counts": q_severity_counts,
         "service_stats": q_service_stats,
         "events_windowed": q_events_windowed,
@@ -1984,6 +2014,61 @@ SELECT media_id, CAST(rate AS INT) AS sample_rate,
          AS zero_crossings,
        CAST(sum((s + 32768)*(t + 1)) AS BIGINT) AS pos_checksum
 FROM smp GROUP BY media_id, rate
+""",
+        # real-AVI-decode parity: Spark walks the RIFF container and
+        # reassembles bottom-up stride-padded DIB frames; the oracle
+        # recomputes every channel byte from the closed-form gradient
+        # (synthetic_avi_media: v = (a*x + b*y + 7*f + 11*c + d) % 256)
+        "avi_frame_stats": """
+WITH vids AS (
+  SELECT i, printf('avi_%05d', i) AS media_id,
+         8 + (i%3)*3 AS w, 6 + (i%4)*2 AS h, 3 + i%4 AS nf,
+         1 + i%5 AS a, 2 + i%3 AS b, (i*13)%256 AS d,
+         33333 + i*100 AS us
+  FROM range(24) t(i)
+), px AS (
+  SELECT media_id, nf, w, h, us,
+         (a*x + b*y + 7*f + 11*c + d) % 256 AS v,
+         ((CAST(f AS BIGINT)*h + y)*w + x)*3 + c AS pos
+  FROM vids,
+       unnest(range(nf)) tf(f),
+       unnest(range(h)) ty(y),
+       unnest(range(w)) tx(x),
+       unnest(range(3)) tc(c)
+)
+SELECT media_id, CAST(nf AS INT) AS n_frames, CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height, CAST(us AS INT) AS us_per_frame,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(min(v) AS INT) AS min_v, CAST(max(v) AS INT) AS max_v,
+       CAST(sum(v * (pos + 1)) AS BIGINT) AS pos_checksum
+FROM px GROUP BY media_id, nf, w, h, us
+""",
+        # real frame-sampling parity: every 2nd decoded frame's exact
+        # stats; within-frame pos = (y*w + x)*3 + c
+        "avi_frame_samples": """
+WITH vids AS (
+  SELECT i, printf('avi_%05d', i) AS media_id,
+         8 + (i%3)*3 AS w, 6 + (i%4)*2 AS h, 3 + i%4 AS nf,
+         1 + i%5 AS a, 2 + i%3 AS b, (i*13)%256 AS d,
+         33333 + i*100 AS us
+  FROM range(24) t(i)
+), px AS (
+  SELECT media_id, CAST(f AS INT) AS frame_idx,
+         CAST(f * us // 1000 AS INT) AS ts_ms,
+         (a*x + b*y + 7*f + 11*c + d) % 256 AS v,
+         (CAST(y AS BIGINT)*w + x)*3 + c AS pos
+  FROM vids,
+       unnest(range(nf)) tf(f),
+       unnest(range(h)) ty(y),
+       unnest(range(w)) tx(x),
+       unnest(range(3)) tc(c)
+  WHERE f % 2 = 0
+)
+SELECT media_id, frame_idx, ts_ms,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(min(v) AS INT) AS min_v, CAST(max(v) AS INT) AS max_v,
+       CAST(sum(v * (pos + 1)) AS BIGINT) AS pos_checksum
+FROM px GROUP BY media_id, frame_idx, ts_ms
 """,
         "cms_user_counts": pre
         + """

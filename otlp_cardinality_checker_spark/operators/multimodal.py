@@ -4,15 +4,18 @@ A 100 TB training pipeline carries image/audio/video as `binary` columns
 with typed metadata; decode/feature-extraction runs as Arrow-batched pandas
 UDFs over `mapInPandas`.
 
-Decode status by modality: **image/png decodes FOR REAL** via the
-pure-stdlib codec in ``functions/png.py`` (zlib + struct + numpy unfilter)
-— pass ``decode_stub=False`` and PNG payloads yield actual pixels (real
-luminance features, real nearest-neighbor resize + re-encode).  Audio and
-video kernels remain stubbed (no codec libraries in this container):
-``decode_stub=True`` produces a deterministic fake from the bytes, and
-``decode_stub=False`` on a non-PNG payload raises NotImplementedError at
-evaluation time.  The Spark-side plumbing (schema, batch iteration,
-partition sizing) is identical either way.
+Decode status by modality: **image/png, audio/wav, and video rawvideo-AVI
+all decode FOR REAL** via the pure-stdlib codecs in ``functions/png.py``
+(zlib + struct + numpy unfilter), ``functions/wav.py`` (RIFF/PCM), and
+``functions/avi.py`` (RIFF/AVI with bottom-up BGR24 DIB frames) — pass
+``decode_stub=False`` and those payloads yield actual pixels/samples (real
+luminance/amplitude features, real nearest-neighbor resize + re-encode).
+Compressed codecs (JPEG, MP3, H.264 …) remain stubbed — they need
+libraries this container lacks: ``decode_stub=True`` produces a
+deterministic fake from the bytes, and ``decode_stub=False`` on an
+undecodable payload raises NotImplementedError at evaluation time.  The
+Spark-side plumbing (schema, batch iteration, partition sizing) is
+identical either way.
 """
 
 from __future__ import annotations
@@ -241,6 +244,96 @@ def wav_sample_stats(media: DataFrame) -> DataFrame:
     )
 
 
+def synthetic_avi_media(spark, n: int = 24) -> DataFrame:
+    """REAL rawvideo-AVI media table with closed-form pixels.
+
+    Video i has ``n_frames = 3 + i%4`` BGR frames of ``w = 8 + (i%3)*3``
+    (deliberately including widths whose 3-byte rows need DIB stride
+    padding) by ``h = 6 + (i%4)*2`` with channel value
+    ``v(f, y, x, c) = (a*x + b*y + 7*f + 11*c + d) % 256`` — so a
+    parser-less oracle recomputes every byte from the formula while Spark
+    recovers them by actually walking the RIFF container.
+    """
+    from ..functions.avi import encode_avi
+
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w = 8 + (i % 3) * 3
+        h = 6 + (i % 4) * 2
+        nf = 3 + i % 4
+        a, b, d = 1 + i % 5, 2 + i % 3, (i * 13) % 256
+        f = np.arange(nf, dtype=np.int64)[:, None, None, None]
+        y = np.arange(h, dtype=np.int64)[None, :, None, None]
+        x = np.arange(w, dtype=np.int64)[None, None, :, None]
+        c = np.arange(3, dtype=np.int64)[None, None, None, :]
+        frames = ((a * x + b * y + 7 * f + 11 * c + d) % 256).astype(
+            np.uint8
+        )
+        us = 33333 + i * 100
+        rows.append(
+            (
+                f"avi_{i:05d}", "video", "video/x-msvideo", w, h,
+                int(nf * us // 1000), encode_avi(frames, us),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+AVI_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("us_per_frame", IntegerType(), False),
+        StructField("sum_v", LongType(), False),
+        StructField("min_v", IntegerType(), False),
+        StructField("max_v", IntegerType(), False),
+        StructField("pos_checksum", LongType(), False),
+    ]
+)
+
+
+def avi_frame_stats(media: DataFrame) -> DataFrame:
+    """Exact per-video pixel statistics from a REAL AVI container parse.
+
+    All-integer outputs over every (frame, y, x, channel) byte — sum,
+    extrema, and the positional checksum
+    ``sum(v * (((f*h + y)*w + x)*3 + c + 1))`` that catches frame-order,
+    row-order (bottom-up DIB!), and stride-padding mistakes bit-exactly
+    against the closed-form oracle.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.avi import decode_avi
+
+        cols = [f.name for f in AVI_STATS_SCHEMA]
+        for pdf in it:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames, us = decode_avi(payload)
+                nf, h, w, _ = frames.shape
+                v = frames.astype(np.int64)
+                pos = np.arange(v.size, dtype=np.int64).reshape(v.shape)
+                out.append(
+                    (
+                        media_id, nf, w, h, int(us), int(v.sum()),
+                        int(v.min()), int(v.max()),
+                        int((v * (pos + 1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.where(
+        F.col("mime_type") == "video/x-msvideo"
+    ).mapInPandas(batches, schema=AVI_STATS_SCHEMA)
+
+
 def _batch_buffer(payloads: list[bytes]):
     """Concatenate a batch's payloads into ONE numpy byte buffer.
 
@@ -264,11 +357,12 @@ def extract_features(
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    With ``decode_stub=False``, **PNG payloads decode for real** (stdlib
-    codec, `functions/png.py`): features = the n_features-bucket normalized
-    luminance histogram of the actual pixels.  Non-PNG payloads still raise
-    NotImplementedError (no audio/video codecs in this container) — filter
-    to `mime_type = 'image/png'` first.  With ``decode_stub=True`` the
+    With ``decode_stub=False``, **PNG, WAV, and rawvideo-AVI payloads
+    decode for real** (stdlib codecs under `functions/`): features = the
+    n_features-bucket normalized luminance (or amplitude) histogram of the
+    actual pixels/samples.  Other formats raise NotImplementedError
+    (compressed codecs need libraries this container lacks) — filter on
+    mime_type first.  With ``decode_stub=True`` the
     deterministic fake kernel runs instead, batch-vectorized (np.bincount
     over the concatenated batch buffer) so the plumbing benchmark reflects
     Arrow-batch reality, not per-row Python: feature bucket c of row r =
@@ -282,6 +376,7 @@ def extract_features(
         k = n_features
         for pdf in it:
             if not decode_stub:
+                from ..functions.avi import decode_avi, is_avi
                 from ..functions.png import decode_png, is_png
                 from ..functions.wav import decode_wav, is_wav
 
@@ -304,10 +399,17 @@ def extract_features(
                         hist = np.histogram(
                             amp, bins=k, range=(-32768.0, 32768.0)
                         )[0] / max(amp.size, 1)
+                    elif is_avi(payload):
+                        frames, _us = decode_avi(payload)
+                        lum = frames.astype(np.float64).mean(axis=3)
+                        hist = np.histogram(
+                            lum, bins=k, range=(0.0, 256.0)
+                        )[0] / max(lum.size, 1)
                     else:
                         raise NotImplementedError(
-                            "real decode is implemented for PNG and WAV; "
-                            f"got an undecodable {modality} payload"
+                            "real decode is implemented for PNG, WAV, and "
+                            "rawvideo AVI; got an undecodable "
+                            f"{modality} payload"
                         )
                     rows.append(
                         (media_id, modality, len(payload),
@@ -434,6 +536,62 @@ def resize_images(
             yield pd.DataFrame(out, columns=[f.name for f in MEDIA_SCHEMA])
 
     return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+SAMPLED_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("ts_ms", IntegerType(), False),
+        StructField("sum_v", LongType(), False),
+        StructField("min_v", IntegerType(), False),
+        StructField("max_v", IntegerType(), False),
+        StructField("pos_checksum", LongType(), False),
+    ]
+)
+
+
+def avi_sampled_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling: decode the AVI container and keep every
+    ``every_n``-th frame (0, every_n, 2*every_n, ...), emitting exact
+    integer pixel stats per sampled frame — the row-multiplying
+    mapInPandas shape of :func:`sample_frames`, but over actually-decoded
+    video.  ``ts_ms`` is the frame's presentation time
+    ``frame_idx * us_per_frame // 1000``; ``pos_checksum`` is the
+    within-frame positional checksum ``sum(v * (((y*w + x)*3 + c) + 1))``
+    that pins row order, stride handling, and channel order bit-exactly.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.avi import decode_avi
+
+        cols = [f.name for f in SAMPLED_FRAME_SCHEMA]
+        for pdf in it:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames, us = decode_avi(payload)
+                nf, h, w, _ = frames.shape
+                idx = np.arange(0, nf, every_n, dtype=np.int64)
+                v = frames[idx].astype(np.int64)
+                flat = v.reshape(idx.size, -1)
+                pos = np.arange(flat.shape[1], dtype=np.int64)[None, :]
+                for k, fi in enumerate(idx):
+                    out.append(
+                        (
+                            media_id, int(fi), int(fi * us // 1000),
+                            int(flat[k].sum()), int(flat[k].min()),
+                            int(flat[k].max()),
+                            int((flat[k] * (pos[0] + 1)).sum()),
+                        )
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.where(
+        F.col("mime_type") == "video/x-msvideo"
+    ).mapInPandas(batches, schema=SAMPLED_FRAME_SCHEMA)
 
 
 FRAME_SCHEMA = StructType(
