@@ -1119,6 +1119,22 @@ def q_avi_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return avi_sampled_frame_stats(synthetic_avi_media(spark, 24), every_n=2)
 
 
+def q_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed decode, oracle-checked: Spark inflates actual GIF
+    LZW bitstreams (variable-width codes, dictionary resets — stdlib
+    codec, functions/gif.py) and maps frames through the palette; the
+    DuckDB oracle recomputes every RGB byte from the fixtures'
+    closed-form composition of index and palette formulas with no
+    decoder.  First genuinely *compressed* format decoded for real.
+    sf_dir unused (deterministic fixtures)."""
+    from otlp_cardinality_checker_spark.operators.multimodal import (
+        gif_frame_stats,
+        synthetic_gif_media,
+    )
+
+    return gif_frame_stats(synthetic_gif_media(spark, 24))
+
+
 def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter funnel: first-failing-stage drop accounting."""
     from otlp_cardinality_checker_spark.operators.text_analysis import (
@@ -1538,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_sample_stats": q_wav_sample_stats,
         "avi_frame_stats": q_avi_frame_stats,
         "avi_frame_samples": q_avi_frame_samples,
+        "gif_frame_stats": q_gif_frame_stats,
         "pii_stats": q_pii_stats,
         "stratified_sample": q_stratified_sample,
         "tfidf_terms": q_tfidf_terms,
@@ -1556,9 +1573,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watched_values": q_watched_values,
         "active_series_exact": q_active_series_exact,
         "session_diff": q_session_diff,
-        "metric_shapes": q_metric_shapes,
         # --- beyond the 50-entry driver window (driver-green in r2-r3;
         # --- re-verifiable any time via scripts/check_oracle.py) -------
+        "metric_shapes": q_metric_shapes,
         "drain_templates": q_drain_templates,
         "drain_infer": q_drain_infer,
         "severity_counts": q_severity_counts,
@@ -2069,6 +2086,35 @@ SELECT media_id, frame_idx, ts_ms,
        CAST(min(v) AS INT) AS min_v, CAST(max(v) AS INT) AS max_v,
        CAST(sum(v * (pos + 1)) AS BIGINT) AS pos_checksum
 FROM px GROUP BY media_id, frame_idx, ts_ms
+""",
+        # real-GIF-decode parity: Spark inflates the LZW bitstream and
+        # maps indices through the palette; the oracle composes the two
+        # closed forms (synthetic_gif_media: index = (a*x+b*y+5*f+d)%256,
+        # palette[j][c] = (p*j+11*c+r)%256, so v = (p*(a*x+b*y+5*f+d)
+        # + 11*c + r) % 256)
+        "gif_frame_stats": """
+WITH gifs AS (
+  SELECT i, printf('gif_%05d', i) AS media_id,
+         10 + (i%3)*5 AS w, 8 + (i%4)*3 AS h, 2 + i%3 AS nf,
+         1 + i%5 AS a, 2 + i%3 AS b, (i*19)%256 AS d,
+         3 + i%4 AS p, (i*17)%256 AS r, 4 + i%6 AS delay_cs
+  FROM range(24) t(i)
+), px AS (
+  SELECT media_id, nf, w, h, delay_cs,
+         (p*(a*x + b*y + 5*f + d) + 11*c + r) % 256 AS v,
+         ((CAST(f AS BIGINT)*h + y)*w + x)*3 + c AS pos
+  FROM gifs,
+       unnest(range(nf)) tf(f),
+       unnest(range(h)) ty(y),
+       unnest(range(w)) tx(x),
+       unnest(range(3)) tc(c)
+)
+SELECT media_id, CAST(nf AS INT) AS n_frames, CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height, CAST(delay_cs AS INT) AS delay_cs,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(min(v) AS INT) AS min_v, CAST(max(v) AS INT) AS max_v,
+       CAST(sum(v * (pos + 1)) AS BIGINT) AS pos_checksum
+FROM px GROUP BY media_id, nf, w, h, delay_cs
 """,
         "cms_user_counts": pre
         + """

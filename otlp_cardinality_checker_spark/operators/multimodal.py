@@ -4,14 +4,15 @@ A 100 TB training pipeline carries image/audio/video as `binary` columns
 with typed metadata; decode/feature-extraction runs as Arrow-batched pandas
 UDFs over `mapInPandas`.
 
-Decode status by modality: **image/png, audio/wav, and video rawvideo-AVI
-all decode FOR REAL** via the pure-stdlib codecs in ``functions/png.py``
-(zlib + struct + numpy unfilter), ``functions/wav.py`` (RIFF/PCM), and
-``functions/avi.py`` (RIFF/AVI with bottom-up BGR24 DIB frames) — pass
-``decode_stub=False`` and those payloads yield actual pixels/samples (real
-luminance/amplitude features, real nearest-neighbor resize + re-encode).
-Compressed codecs (JPEG, MP3, H.264 …) remain stubbed — they need
-libraries this container lacks: ``decode_stub=True`` produces a
+Decode status by modality: **image/png, image/gif (animated), audio/wav,
+and video rawvideo-AVI all decode FOR REAL** via the pure-stdlib codecs in
+``functions/png.py`` (zlib + struct + numpy unfilter), ``functions/gif.py``
+(real variable-width LZW inflate + palette mapping), ``functions/wav.py``
+(RIFF/PCM), and ``functions/avi.py`` (RIFF/AVI with bottom-up BGR24 DIB
+frames) — pass ``decode_stub=False`` and those payloads yield actual
+pixels/samples (real luminance/amplitude features, real nearest-neighbor
+resize + re-encode).  Lossy codecs (JPEG, MP3, H.264 …) remain stubbed —
+they need libraries this container lacks: ``decode_stub=True`` produces a
 deterministic fake from the bytes, and ``decode_stub=False`` on an
 undecodable payload raises NotImplementedError at evaluation time.  The
 Spark-side plumbing (schema, batch iteration, partition sizing) is
@@ -334,6 +335,99 @@ def avi_frame_stats(media: DataFrame) -> DataFrame:
     ).mapInPandas(batches, schema=AVI_STATS_SCHEMA)
 
 
+def synthetic_gif_media(spark, n: int = 24) -> DataFrame:
+    """REAL animated-GIF media table with closed-form pixels.
+
+    GIF i has ``nf = 2 + i%3`` frames of ``w = 10 + (i%3)*5`` by
+    ``h = 8 + (i%4)*3`` whose palette *index* at (f, y, x) is
+    ``(a*x + b*y + 5*f + d) % 256`` and whose 256-entry palette maps
+    index j, channel c to ``(p*j + 11*c + r) % 256`` — so the decoded
+    RGB value collapses to the single closed form
+    ``v = (p*(a*x + b*y + 5*f + d) + 11*c + r) % 256`` that a
+    decoder-less oracle recomputes while Spark actually inflates the LZW
+    bitstream.  Unlike AVI/WAV/PNG-stored rows, these payloads are
+    genuinely *compressed* (variable-width LZW), so bit-exact agreement
+    additionally proves a real decompressor.
+    """
+    from ..functions.gif import encode_gif
+
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w = 10 + (i % 3) * 5
+        h = 8 + (i % 4) * 3
+        nf = 2 + i % 3
+        a, b, d = 1 + i % 5, 2 + i % 3, (i * 19) % 256
+        p, r = 3 + i % 4, (i * 17) % 256
+        f = np.arange(nf, dtype=np.int64)[:, None, None]
+        y = np.arange(h, dtype=np.int64)[None, :, None]
+        x = np.arange(w, dtype=np.int64)[None, None, :]
+        idx = ((a * x + b * y + 5 * f + d) % 256).astype(np.uint8)
+        j = np.arange(256, dtype=np.int64)[:, None]
+        c = np.arange(3, dtype=np.int64)[None, :]
+        pal = ((p * j + 11 * c + r) % 256).astype(np.uint8)
+        delay_cs = 4 + i % 6
+        rows.append(
+            (
+                f"gif_{i:05d}", "image", "image/gif", w, h,
+                int(nf * delay_cs * 10), encode_gif(idx, pal, delay_cs),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+GIF_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("delay_cs", IntegerType(), False),
+        StructField("sum_v", LongType(), False),
+        StructField("min_v", IntegerType(), False),
+        StructField("max_v", IntegerType(), False),
+        StructField("pos_checksum", LongType(), False),
+    ]
+)
+
+
+def gif_frame_stats(media: DataFrame) -> DataFrame:
+    """Exact RGB pixel statistics from a REAL GIF decode (LZW inflate +
+    palette mapping).  Same all-integer stat shape as
+    :func:`avi_frame_stats`; ``pos_checksum`` runs over the decoded RGB
+    tensor ``(frame, y, x, channel)`` so palette mapping, frame order,
+    and the LZW bitstream itself are all pinned bit-exactly.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.gif import decode_gif
+
+        cols = [f.name for f in GIF_STATS_SCHEMA]
+        for pdf in it:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames, palette, delay_cs = decode_gif(payload)
+                nf, h, w = frames.shape
+                v = palette[frames].astype(np.int64)  # (nf, h, w, 3) RGB
+                pos = np.arange(v.size, dtype=np.int64).reshape(v.shape)
+                out.append(
+                    (
+                        media_id, nf, w, h, int(delay_cs), int(v.sum()),
+                        int(v.min()), int(v.max()),
+                        int((v * (pos + 1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.where(
+        F.col("mime_type") == "image/gif"
+    ).mapInPandas(batches, schema=GIF_STATS_SCHEMA)
+
+
 def _batch_buffer(payloads: list[bytes]):
     """Concatenate a batch's payloads into ONE numpy byte buffer.
 
@@ -377,6 +471,7 @@ def extract_features(
         for pdf in it:
             if not decode_stub:
                 from ..functions.avi import decode_avi, is_avi
+                from ..functions.gif import decode_gif, is_gif
                 from ..functions.png import decode_png, is_png
                 from ..functions.wav import decode_wav, is_wav
 
@@ -405,10 +500,16 @@ def extract_features(
                         hist = np.histogram(
                             lum, bins=k, range=(0.0, 256.0)
                         )[0] / max(lum.size, 1)
+                    elif is_gif(payload):
+                        frames, palette, _delay = decode_gif(payload)
+                        lum = palette[frames].astype(np.float64).mean(axis=3)
+                        hist = np.histogram(
+                            lum, bins=k, range=(0.0, 256.0)
+                        )[0] / max(lum.size, 1)
                     else:
                         raise NotImplementedError(
-                            "real decode is implemented for PNG, WAV, and "
-                            "rawvideo AVI; got an undecodable "
+                            "real decode is implemented for PNG, GIF, WAV, "
+                            "and rawvideo AVI; got an undecodable "
                             f"{modality} payload"
                         )
                     rows.append(
