@@ -45,6 +45,42 @@ def spin_calibration_sec(n: int = 20_000_000) -> float:
     return round(time.time() - t0, 2)
 
 
+def bandwidth_probe_gbps(n_procs: int = 16, trials: int = 3) -> list[float]:
+    """Aggregate memory-copy bandwidth across n_procs processes — the
+    probe the single-thread spin cannot be: a neighbor saturating the
+    socket's memory bandwidth slows 32-core Spark while leaving a
+    1-thread spin loop untouched (measured 2026-08-17: spin 0.85 s
+    [quiet] yet 8M/32c at 208k vs the 278k record, with an A/B against
+    the round-3 snapshot showing code parity — see BENCH.md).  Single
+    readings swing wildly (12.4 then 130.5 GB/s back-to-back, measured),
+    so this returns ``trials`` consecutive readings: a HIGH max shows the
+    machine's capacity is reachable, uniformly low trials flag sustained
+    bandwidth contention."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def worker(q):
+        a = np.ones(50_000_000, dtype=np.uint8)
+        b = np.empty_like(a)
+        t0 = time.time()
+        for _ in range(20):
+            np.copyto(b, a)
+        q.put(50_000_000 * 20 * 2 / (time.time() - t0) / 1e9)
+
+    readings = []
+    for _ in range(trials):
+        q = mp.Queue()
+        procs = [mp.Process(target=worker, args=(q,)) for _ in range(n_procs)]
+        for p in procs:
+            p.start()
+        rate = sum(q.get() for _ in procs)
+        for p in procs:
+            p.join()
+        readings.append(round(rate, 1))
+    return readings
+
+
 def pipeline_pass(spark, sf_dir: str, n_turns: int | None, out_dir: str,
                   run_id: int) -> float:
     """One end-to-end pass, production shape, exactly TWO actions:
@@ -310,6 +346,9 @@ def main() -> None:
         sf = 0.1
 
     spin_before = spin_calibration_sec()
+    # bandwidth probe runs BEFORE any Spark JVM exists — running it after
+    # measured 4.3 GB/s vs 22 GB/s standalone (JVM teardown pollution)
+    bw_before = bandwidth_probe_gbps()
     pipeline = run_pipeline_once(args.sf_dir, args.cores)
     queries = run_query_timings(args.sf_dir, args.cores)
     engines = compare_parse_engines(args.sf_dir, args.cores)
@@ -333,6 +372,12 @@ def main() -> None:
             "before": spin_before,
             "after": spin_calibration_sec(),
         },
+        # second calibration axis: aggregate memory bandwidth, 3 trials
+        # (single readings swing 12-130 GB/s on this host) — catches
+        # bandwidth-noisy windows the CPU spin misses (32-core Spark is
+        # bandwidth-bound here); uniformly low trials accompanied the
+        # window where 8M/32c ran at 208k vs the 278k record
+        "bandwidth_probe_gbps": bw_before,
     }
 
     if not args.skip_scaling:
