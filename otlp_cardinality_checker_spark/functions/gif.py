@@ -114,6 +114,7 @@ def _lzw_encode(indices, min_code_size: int) -> bytes:
     width = min_code_size + 1
     table = {bytes([i]): i for i in range(clear)}
     next_code = end + 1
+    n_since_reset = 0  # data codes emitted since the last CLEAR
     emit(clear, width)
     buf = b""
     for sym in bytes(indices):
@@ -122,19 +123,33 @@ def _lzw_encode(indices, min_code_size: int) -> bytes:
             buf = nxt
             continue
         emit(table[buf], width)
+        n_since_reset += 1
         if next_code == _TABLE_LIMIT:
             emit(clear, width)
             table = {bytes([i]): i for i in range(clear)}
             next_code = end + 1
             width = min_code_size + 1
+            n_since_reset = 0
         else:
             table[nxt] = next_code
             next_code += 1
+            # decoder trails one entry behind mid-stream, so it needs
+            # width w when OUR next_code passes 2^w by one
             if next_code == (1 << width) + 1 and width < _MAX_CODE_WIDTH:
                 width += 1
         buf = bytes([sym])
     if buf:
         emit(table[buf], width)
+        n_since_reset += 1
+    # END-code width edge: the decoder adds one more table entry after the
+    # final data code (we don't), erasing its one-entry lag — if that add
+    # lands exactly on 2^width it bumps and reads END at width+1
+    if (
+        n_since_reset >= 2
+        and next_code == (1 << width)
+        and width < _MAX_CODE_WIDTH
+    ):
+        width += 1
     emit(end, width)
     if n_bits:
         out.append(acc & 0xFF)

@@ -30,6 +30,17 @@ def test_lzw_roundtrip_exercises_width_growth_and_resets():
     assert _lzw_decode(enc, 2, len(runs)).tobytes() == runs
 
 
+def test_lzw_end_code_width_boundary():
+    """Regression pin (found by hypothesis): the decoder adds one more
+    table entry after the FINAL data code than the encoder does; when
+    that add lands exactly on 2^width the decoder bumps and reads END at
+    width+1, so the encoder must mirror the bump.  This 14-symbol stream
+    puts the final add exactly at table size 16 == 2^4."""
+    data = bytes([3, 1, 3, 3, 0, 2, 2, 2, 0, 3, 1, 2, 0, 2])
+    out = _lzw_decode(_lzw_encode(data, 2), 2, len(data))
+    assert out.tobytes() == data
+
+
 def test_lzw_rejects_truncation_and_overrun():
     data = b"abcabcabc" * 50
     enc = _lzw_encode(data, 8)
