@@ -1503,6 +1503,37 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew(_routed(spark, sf_dir))
 
 
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract gate over the raw transcripts table: 9 declarative
+    constraints (completeness, PK uniqueness, domain, regex, bounds, row
+    count, referential integrity vs tool_dim) evaluated in ONE scan.
+    `tool_short` deliberately fails (tool_19 has two digits) so the oracle
+    hash also covers a failed row."""
+    from otlp_cardinality_checker_spark.datagen import ROLES
+    from otlp_cardinality_checker_spark.operators import quality as Q
+    from otlp_cardinality_checker_spark.sources.transcripts import (
+        load_dims,
+        load_transcripts,
+    )
+
+    turns = load_transcripts(spark, sf_dir)
+    _, tool_dim = load_dims(spark, sf_dir)
+    return Q.constraint_audit(
+        turns,
+        [
+            Q.complete("conv_complete", "conv_id"),
+            Q.complete("text_complete", "text"),
+            Q.unique("pk_unique", "conv_id", "turn_idx"),
+            Q.in_domain("role_domain", "role", list(ROLES)),
+            Q.matches("tool_short", "tool", r"^tool_\d$"),
+            Q.min_value("turn_nonneg", "turn_idx", 0.0),
+            Q.min_value("ts_after_2025", "ts", 1735689600.0),
+            Q.row_count("nonempty", 1.0),
+            Q.ref_integrity("tool_ri", "tool", tool_dim, "tool"),
+        ],
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1616,6 +1647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "rollup_hierarchy": q_rollup_hierarchy,
         "cohort_retention": q_cohort_retention,
+        "constraint_audit": q_constraint_audit,
     }
 
 
@@ -2889,6 +2921,49 @@ SELECT t."key", n_rows, n_values, top_value, top_count,
   round(top_count / n_rows, 4) AS top_share,
   round(top_count * n_values / n_rows, 4) AS skew_ratio
 FROM totals t JOIN top USING ("key")
+""",
+        "constraint_audit": f"""
+WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}')),
+m AS (
+  SELECT
+    round(count(conv_id)*1.0/count(*), 6) AS conv_complete,
+    round(count(text)*1.0/count(*), 6) AS text_complete,
+    round(count(DISTINCT (conv_id, turn_idx))*1.0/count(*), 6) AS pk_unique,
+    round(sum(CASE WHEN role IN ('user','assistant','system','tool')
+              THEN 1 ELSE 0 END)*1.0/count(role), 6) AS role_domain,
+    round(sum(CASE WHEN regexp_matches(tool, '^tool_\\d$')
+              THEN 1 ELSE 0 END)*1.0/count(tool), 6) AS tool_short,
+    round(min(turn_idx)*1.0, 6) AS turn_nonneg,
+    round(min(epoch_us(ts)/1000000.0), 6) AS ts_after_2025,
+    round(count(*)*1.0, 6) AS nonempty,
+    round(sum(CASE WHEN tool IN (
+                SELECT tool FROM read_parquet('{_tool_dim_path()}'))
+              THEN 1 ELSE 0 END)*1.0/count(tool), 6) AS tool_ri
+  FROM t
+)
+SELECT * FROM (
+  SELECT 'conv_complete' AS constraint, 'completeness' AS kind,
+         'conv_id' AS "column", conv_complete AS metric, 1.0 AS threshold,
+         '>=' AS op, CASE WHEN conv_complete >= 1.0 THEN 1 ELSE 0 END AS passed
+  FROM m
+  UNION ALL SELECT 'text_complete', 'completeness', 'text', text_complete,
+         1.0, '>=', CASE WHEN text_complete >= 1.0 THEN 1 ELSE 0 END FROM m
+  UNION ALL SELECT 'pk_unique', 'uniqueness', 'conv_id,turn_idx', pk_unique,
+         1.0, '>=', CASE WHEN pk_unique >= 1.0 THEN 1 ELSE 0 END FROM m
+  UNION ALL SELECT 'role_domain', 'domain', 'role', role_domain,
+         1.0, '>=', CASE WHEN role_domain >= 1.0 THEN 1 ELSE 0 END FROM m
+  UNION ALL SELECT 'tool_short', 'pattern', 'tool', tool_short,
+         1.0, '>=', CASE WHEN tool_short >= 1.0 THEN 1 ELSE 0 END FROM m
+  UNION ALL SELECT 'turn_nonneg', 'min_value', 'turn_idx', turn_nonneg,
+         0.0, '>=', CASE WHEN turn_nonneg >= 0.0 THEN 1 ELSE 0 END FROM m
+  UNION ALL SELECT 'ts_after_2025', 'min_value', 'ts', ts_after_2025,
+         1735689600.0, '>=',
+         CASE WHEN ts_after_2025 >= 1735689600.0 THEN 1 ELSE 0 END FROM m
+  UNION ALL SELECT 'nonempty', 'row_count', '', nonempty,
+         1.0, '>=', CASE WHEN nonempty >= 1.0 THEN 1 ELSE 0 END FROM m
+  UNION ALL SELECT 'tool_ri', 'ref_integrity', 'tool', tool_ri,
+         1.0, '>=', CASE WHEN tool_ri >= 1.0 THEN 1 ELSE 0 END FROM m
+)
 """,
     }
 
