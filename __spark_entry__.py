@@ -1503,6 +1503,18 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew(_routed(spark, sf_dir))
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent users (count > n/150) over the events stream via the
+    two-pass MG-candidates + verify-scan operator — bounded memory at any
+    user cardinality, exact output."""
+    from otlp_cardinality_checker_spark.operators.heavy_hitters import (
+        heavy_hitters,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return heavy_hitters(events, "user_id", k=150)
+
+
 def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-contract gate over the raw transcripts table: 9 declarative
     constraints (completeness, PK uniqueness, domain, regex, bounds, row
@@ -1648,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hierarchy": q_rollup_hierarchy,
         "cohort_retention": q_cohort_retention,
         "constraint_audit": q_constraint_audit,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -2964,6 +2977,16 @@ SELECT * FROM (
   UNION ALL SELECT 'tool_ri', 'ref_integrity', 'tool', tool_ri,
          1.0, '>=', CASE WHEN tool_ri >= 1.0 THEN 1 ELSE 0 END FROM m
 )
+""",
+        "heavy_hitters": """
+WITH n AS (SELECT count(user_id) AS n FROM events),
+c AS (
+  SELECT user_id, count(*) AS cnt FROM events
+  WHERE user_id IS NOT NULL GROUP BY 1
+)
+SELECT user_id AS value, CAST(cnt AS BIGINT) AS count,
+       round(cnt * 1.0 / n.n, 6) AS share
+FROM c, n WHERE cnt * 150 > n.n
 """,
     }
 
