@@ -1503,6 +1503,50 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew(_routed(spark, sf_dir))
 
 
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otlp_cardinality_checker_spark.sources.transcripts import (
+        load_transcripts,
+    )
+
+    return load_transcripts(spark, sf_dir)
+
+
+def q_tool_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-call chain mining: consecutive tool pairs per conversation."""
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        tool_bigrams,
+    )
+
+    return tool_bigrams(_transcripts(spark, sf_dir))
+
+
+def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-transition stochastic matrix over consecutive turns."""
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        role_transitions,
+    )
+
+    return role_transitions(_transcripts(spark, sf_dir))
+
+
+def q_conv_depth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-depth histogram (turns per conversation)."""
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        conv_depth_stats,
+    )
+
+    return conv_depth_stats(_transcripts(spark, sf_dir))
+
+
+def q_turn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-role exact p50/p90/p99 of the inter-turn gap (seconds)."""
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        turn_gap_percentiles,
+    )
+
+    return turn_gap_percentiles(_transcripts(spark, sf_dir))
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact frequent users (count > n/150) over the events stream via the
     two-pass MG-candidates + verify-scan operator — bounded memory at any
@@ -1661,6 +1705,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "constraint_audit": q_constraint_audit,
         "heavy_hitters": q_heavy_hitters,
+        "tool_bigrams": q_tool_bigrams,
+        "role_transitions": q_role_transitions,
+        "conv_depth_stats": q_conv_depth_stats,
+        "turn_gaps": q_turn_gaps,
     }
 
 
@@ -2987,6 +3035,61 @@ c AS (
 SELECT user_id AS value, CAST(cnt AS BIGINT) AS count,
        round(cnt * 1.0 / n.n, 6) AS share
 FROM c, n WHERE cnt * 150 > n.n
+""",
+        "tool_bigrams": f"""
+WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}')),
+chain AS (
+  SELECT conv_id, turn_idx, tool,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool
+  FROM t WHERE tool IS NOT NULL
+),
+c AS (
+  SELECT prev_tool, tool, count(*) AS cnt
+  FROM chain WHERE prev_tool IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_tool, tool, CAST(cnt AS BIGINT) AS count,
+       round(cnt * 1.0 / sum(cnt) OVER (), 6) AS share
+FROM c
+""",
+        "role_transitions": f"""
+WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}')),
+seq AS (
+  SELECT role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM t
+),
+c AS (
+  SELECT prev_role, role, count(*) AS cnt
+  FROM seq WHERE prev_role IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_role, role, CAST(cnt AS BIGINT) AS count,
+       round(cnt * 1.0 / sum(cnt) OVER (PARTITION BY prev_role), 6)
+         AS row_share
+FROM c
+""",
+        "conv_depth_stats": f"""
+WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}')),
+d AS (SELECT conv_id, count(*) AS depth FROM t GROUP BY 1),
+h AS (SELECT depth, count(*) AS n_convs FROM d GROUP BY 1)
+SELECT CAST(depth AS BIGINT) AS depth, CAST(n_convs AS BIGINT) AS n_convs,
+       round(n_convs * 1.0 / sum(n_convs) OVER (), 6) AS conv_share,
+       CAST(depth * n_convs AS BIGINT) AS n_turns
+FROM h
+""",
+        "turn_gaps": f"""
+WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}')),
+g AS (
+  SELECT role,
+         (epoch_us(ts) - lag(epoch_us(ts))
+            OVER (PARTITION BY conv_id ORDER BY turn_idx)) / 1000000.0
+           AS gap_s
+  FROM t
+)
+SELECT role, CAST(count(*) AS BIGINT) AS n_gaps,
+       round(quantile_cont(gap_s, 0.5), 6) AS p50,
+       round(quantile_cont(gap_s, 0.9), 6) AS p90,
+       round(quantile_cont(gap_s, 0.99), 6) AS p99
+FROM g WHERE gap_s IS NOT NULL GROUP BY role
 """,
     }
 

@@ -1,0 +1,131 @@
+"""Conversation-structure analytics over the transcripts table.
+
+The reference analyzes telemetry *records* individually; the rebuild's
+input is multi-turn agent transcripts (`conv_id, turn_idx, role, text,
+tool, ts` — BASELINE.json input_hint), where the *sequence* inside a
+conversation carries signal the per-record operators cannot see: which
+tool follows which (chain mining), how roles alternate (protocol
+conformance), how deep conversations run, and how long turns take.
+
+Every operator here is one window pass partitioned by ``conv_id`` (plus a
+small hash aggregation on top): the shuffle key is the conversation id —
+high-cardinality and uniform by construction — so the plan is skew-free
+and the per-group state is one conversation (bounded by the longest
+transcript, never by table size).  No driver-side loops, no UDFs; at
+100 TB each of these is a single exchange on `conv_id` followed by a
+map-side-combinable aggregate.
+
+Sequence semantics are deliberately *event-order* based (``turn_idx``, the
+PK within a conversation), not wall-clock based, so results are exact and
+reproducible under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _by_turn(extra: str | None = None) -> Window:
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return w
+
+
+def tool_bigrams(turns: DataFrame) -> DataFrame:
+    """Consecutive tool-call pairs inside each conversation.
+
+    The chain is the ordered sequence of non-null ``tool`` values per
+    ``conv_id`` (turns without a tool call do not break a chain — they are
+    simply not part of it).  Returns ``(prev_tool, tool, count, share)``
+    with share = count / all bigrams, rounded to 6."""
+    chain = turns.where(F.col("tool").isNotNull()).select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.lag("tool").over(_by_turn()).alias("prev_tool"),
+    )
+    pairs = chain.where(F.col("prev_tool").isNotNull())
+    counts = pairs.groupBy("prev_tool", "tool").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    total = Window.partitionBy()
+    return counts.select(
+        "prev_tool",
+        "tool",
+        "count",
+        F.round(F.col("count") / F.sum("count").over(total), 6).alias("share"),
+    ).orderBy(F.desc("count"), "prev_tool", "tool")
+
+
+def role_transitions(turns: DataFrame) -> DataFrame:
+    """Role-transition matrix: counts of ``(prev_role -> role)`` over
+    consecutive turns, plus the share of transitions *out of* prev_role
+    (rows of the stochastic matrix sum to 1)."""
+    seq = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.lag("role").over(_by_turn()).alias("prev_role"),
+    ).where(F.col("prev_role").isNotNull())
+    counts = seq.groupBy("prev_role", "role").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    out_of = Window.partitionBy("prev_role")
+    return counts.select(
+        "prev_role",
+        "role",
+        "count",
+        F.round(F.col("count") / F.sum("count").over(out_of), 6).alias(
+            "row_share"
+        ),
+    ).orderBy("prev_role", "role")
+
+
+def conv_depth_stats(turns: DataFrame) -> DataFrame:
+    """Conversation-depth histogram: for each depth (turns per
+    conversation), how many conversations have it, their share, and the
+    total turn volume they carry."""
+    depths = turns.groupBy("conv_id").agg(F.count(F.lit(1)).alias("depth"))
+    hist = depths.groupBy("depth").agg(F.count(F.lit(1)).alias("n_convs"))
+    total = Window.partitionBy()
+    return hist.select(
+        "depth",
+        "n_convs",
+        F.round(F.col("n_convs") / F.sum("n_convs").over(total), 6).alias(
+            "conv_share"
+        ),
+        (F.col("depth") * F.col("n_convs")).alias("n_turns"),
+    ).orderBy("depth")
+
+
+def turn_gap_percentiles(
+    turns: DataFrame, probabilities: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Per-role latency profile: exact percentiles of the gap (seconds)
+    between a turn and the previous turn in its conversation.
+
+    Uses the exact ``percentile`` aggregate (linear interpolation — the
+    same definition as DuckDB's ``quantile_cont``, so the oracle matches
+    bit-for-bit after rounding).  The gap for a conversation's first turn
+    is undefined and excluded.  Exact percentile needs the per-group
+    values collected on the reducer — fine for a bounded role domain; for
+    an unbounded group key at 100 TB swap in ``percentile_approx``
+    (t-digest sketch, mergeable) at the same call site."""
+    gaps = turns.select(
+        "role",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(
+                F.lag(F.col("ts").cast("timestamp")).over(_by_turn())
+            )
+        ).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    gap_s = (F.col("gap_us") / 1_000_000.0).alias("gap_s")
+    aggs = [F.count(F.lit(1)).alias("n_gaps")]
+    for p in probabilities:
+        aggs.append(
+            F.round(
+                F.percentile(gap_s, F.lit(p)), 6
+            ).alias(f"p{str(p).replace('0.', '').ljust(2, '0')}")
+        )
+    return gaps.groupBy("role").agg(*aggs).orderBy("role")

@@ -1,0 +1,84 @@
+"""Conversation-structure operators: sequence semantics on hand fixtures."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from otlp_cardinality_checker_spark.operators.conversation import (
+    conv_depth_stats,
+    role_transitions,
+    tool_bigrams,
+    turn_gap_percentiles,
+)
+
+
+def _ts(m, s=0):
+    return dt.datetime(2026, 1, 1, 0, m, s)
+
+
+@pytest.fixture(scope="module")
+def turns(spark):
+    rows = [
+        # conv A: tool chain search -> calc -> search (gap turn without
+        # tool between calc and search must NOT break the chain)
+        ("A", 0, "user", "q", None, _ts(0)),
+        ("A", 1, "assistant", "t", "search", _ts(1)),
+        ("A", 2, "assistant", "t", "calc", _ts(2)),
+        ("A", 3, "user", "followup", None, _ts(3)),
+        ("A", 4, "assistant", "t", "search", _ts(10)),
+        # conv B: single tool call -> no bigram
+        ("B", 0, "user", "q", None, _ts(0)),
+        ("B", 1, "assistant", "t", "calc", _ts(0, 30)),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+
+
+def test_tool_bigrams_chain_semantics(turns):
+    rows = {(r["prev_tool"], r["tool"]): r for r in tool_bigrams(turns).collect()}
+    assert set(rows) == {("search", "calc"), ("calc", "search")}
+    assert all(r["count"] == 1 and r["share"] == 0.5 for r in rows.values())
+
+
+def test_role_transitions_row_stochastic(turns):
+    rows = role_transitions(turns).collect()
+    got = {(r["prev_role"], r["role"]): r["count"] for r in rows}
+    # A: u->a, a->a, a->u, u->a ; B: u->a
+    assert got == {
+        ("user", "assistant"): 3,
+        ("assistant", "assistant"): 1,
+        ("assistant", "user"): 1,
+    }
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        by_prev[r["prev_role"]] = by_prev.get(r["prev_role"], 0.0) + r["row_share"]
+    assert all(abs(v - 1.0) < 1e-9 for v in by_prev.values())
+
+
+def test_conv_depth_histogram(turns):
+    rows = {r["depth"]: r for r in conv_depth_stats(turns).collect()}
+    assert rows[5]["n_convs"] == 1 and rows[2]["n_convs"] == 1
+    assert rows[5]["n_turns"] == 5 and rows[2]["n_turns"] == 2
+    assert rows[5]["conv_share"] == 0.5
+
+
+def test_turn_gaps_excludes_first_turn(turns):
+    rows = {r["role"]: r for r in turn_gap_percentiles(turns).collect()}
+    # gaps: A turn1..4 -> 60,60,60,420 ; B turn1 -> 30
+    # first turn of each conv contributes no gap
+    assert rows["assistant"]["n_gaps"] == 4  # A:1,2,4 + B:1
+    assert rows["user"]["n_gaps"] == 1  # A:3
+    assert rows["user"]["p50"] == 60.0
+    # assistant gaps sorted: 30,60,60,420 -> p50 = 60 (linear interp)
+    assert rows["assistant"]["p50"] == 60.0
+
+
+def test_partitioning_invariance(turns):
+    a = sorted(map(tuple, tool_bigrams(turns.repartition(13)).collect()))
+    b = sorted(map(tuple, tool_bigrams(turns.coalesce(1)).collect()))
+    assert a == b
