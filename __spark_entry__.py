@@ -1511,6 +1511,25 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_transcripts(spark, sf_dir)
 
 
+def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact test-split membership of an 8-word prefix fingerprint in the
+    train split, computed through the broadcast-Bloom prefilter (train side
+    never shuffled; verify join restores exactness)."""
+    from otlp_cardinality_checker_spark.operators.bloom import (
+        exact_membership,
+        prefix_fingerprint,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "prefix", prefix_fingerprint("text")
+    )
+    train = docs.where(F.length("source") < 5)
+    test = docs.where(F.length("source") >= 5)
+    return exact_membership(train, test, "prefix").select(
+        "doc_id", "source", "prefix"
+    )
+
+
 def q_tool_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tool-call chain mining: consecutive tool pairs per conversation."""
     from otlp_cardinality_checker_spark.operators.conversation import (
@@ -1709,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_transitions": q_role_transitions,
         "conv_depth_stats": q_conv_depth_stats,
         "turn_gaps": q_turn_gaps,
+        "bloom_contamination": q_bloom_contamination,
     }
 
 
@@ -3090,6 +3110,17 @@ SELECT role, CAST(count(*) AS BIGINT) AS n_gaps,
        round(quantile_cont(gap_s, 0.9), 6) AS p90,
        round(quantile_cont(gap_s, 0.99), 6) AS p99
 FROM g WHERE gap_s IS NOT NULL GROUP BY role
+""",
+        "bloom_contamination": """
+WITH d AS (
+  SELECT doc_id, source,
+         array_to_string((string_split(lower(text), ' '))[1:8], ' ')
+           AS prefix
+  FROM documents
+)
+SELECT doc_id, source, prefix FROM d
+WHERE length(source) >= 5
+  AND prefix IN (SELECT prefix FROM d WHERE length(source) < 5)
 """,
     }
 

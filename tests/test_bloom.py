@@ -1,0 +1,124 @@
+"""Bloom-prefiltered exact membership: exactness, FP removal, plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from otlp_cardinality_checker_spark.operators.bloom import (
+    bloom_candidates,
+    build_bloom,
+    exact_membership,
+    prefix_fingerprint,
+)
+
+
+@pytest.fixture(scope="module")
+def splits(spark):
+    train = spark.createDataFrame(
+        [(i, f"train_val_{i % 40}") for i in range(200)], "id long, v string"
+    )
+    test = spark.createDataFrame(
+        [(i, f"train_val_{i}") for i in range(20)]  # 20 members
+        + [(100 + i, f"test_only_{i}") for i in range(80)],  # 80 non-members
+        "id long, v string",
+    )
+    return train, test
+
+
+def _exact_ids(train, test):
+    return {
+        r["id"]
+        for r in test.join(
+            train.select("v").distinct(), "v", "leftsemi"
+        ).collect()
+    }
+
+
+def test_exact_at_default_params(splits):
+    train, test = splits
+    got = {r["id"] for r in exact_membership(train, test, "v").collect()}
+    assert got == _exact_ids(train, test)
+    assert len(got) == 20
+
+
+@pytest.mark.parametrize("m_per_item,k", [(1, 1), (2, 2), (64, 8)])
+def test_exact_even_with_saturated_filter(splits, m_per_item, k):
+    """At m_per_item=1 the filter is saturated (FP rate near 1): the
+    verify join must still make the answer exact."""
+    train, test = splits
+    got = {
+        r["id"]
+        for r in exact_membership(
+            train, test, "v", m_per_item=m_per_item, k=k
+        ).collect()
+    }
+    assert got == _exact_ids(train, test)
+
+
+def test_prefilter_actually_prunes(splits):
+    """With a reasonable filter the candidate set must be far smaller than
+    the test domain (that's the whole point at scale)."""
+    train, test = splits
+    train_vals = train.select("v").distinct()
+    n = train_vals.count()
+    m, k = 16 * n, 4
+    bloom = build_bloom(train_vals, "v", m, k)
+    cand = bloom_candidates(
+        test.select("v").distinct(), bloom, "v", m, k
+    ).count()
+    # 20 true members; allow a small number of false positives
+    assert 20 <= cand <= 30
+
+
+def test_no_false_negatives_property(spark):
+    """Bloom can never drop a true member, for any m/k — pinned on a
+    domain engineered to collide heavily."""
+    train = spark.range(500).select(
+        F.concat(F.lit("x"), F.col("id")).alias("v")
+    )
+    test = spark.range(400, 600).select(
+        F.concat(F.lit("x"), F.col("id")).alias("v"), F.col("id")
+    )
+    got = {
+        r["id"]
+        for r in exact_membership(
+            train, test, "v", m_per_item=1, k=2
+        ).collect()
+    }
+    assert got == set(range(400, 500))
+
+
+def test_nulls_never_match(spark):
+    train = spark.createDataFrame([("a",), (None,)], "v string")
+    test = spark.createDataFrame([(1, None), (2, "a")], "id long, v string")
+    got = {r["id"] for r in exact_membership(train, test, "v").collect()}
+    assert got == {2}
+
+
+def test_train_side_never_shuffled(splits):
+    """Plan pin: every join in the membership plan is a broadcast join —
+    the train relation must not appear under an Exchange hashpartitioning."""
+    train, test = splits
+    plan = (
+        exact_membership(train, test, "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_prefix_fingerprint_semantics(spark):
+    df = spark.createDataFrame(
+        [("The Quick brown fox jumps over the lazy dog extra",),
+         ("short one",)],
+        "text string",
+    )
+    got = [r[0] for r in df.select(prefix_fingerprint("text")).collect()]
+    assert got == [
+        "the quick brown fox jumps over the lazy",
+        "short one",
+    ]
