@@ -1511,6 +1511,19 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_transcripts(spark, sf_dir)
 
 
+def q_volume_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type hourly volume with trailing-6-window z-scores and
+    spike flags (z >= 3) — the time-domain alarm over the events stream."""
+    from otlp_cardinality_checker_spark.operators.anomaly import volume_spikes
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = volume_spikes(ev, "event_type", trailing=6, z_threshold=3.0)
+    return out.withColumn(
+        "window_start",
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss"),
+    )
+
+
 def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact test-split membership of an 8-word prefix fingerprint in the
     train split, computed through the broadcast-Bloom prefilter (train side
@@ -1729,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_depth_stats": q_conv_depth_stats,
         "turn_gaps": q_turn_gaps,
         "bloom_contamination": q_bloom_contamination,
+        "volume_spikes": q_volume_spikes,
     }
 
 
@@ -3121,6 +3135,32 @@ WITH d AS (
 SELECT doc_id, source, prefix FROM d
 WHERE length(source) >= 5
   AND prefix IN (SELECT prefix FROM d WHERE length(source) < 5)
+""",
+        "volume_spikes": """
+WITH c AS (
+  SELECT event_type AS "group", date_trunc('hour', ts) AS ws,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT "group", ws, cnt,
+         count(*) OVER w AS baseline_n,
+         avg(cnt) OVER w AS mean,
+         stddev_samp(cnt) OVER w AS std
+  FROM c
+  WINDOW w AS (PARTITION BY "group" ORDER BY ws
+               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+)
+SELECT "group", strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(cnt AS BIGINT) AS count, CAST(baseline_n AS BIGINT) AS baseline_n,
+       CASE WHEN baseline_n = 6 THEN round(mean, 6) END AS baseline_mean,
+       CASE WHEN baseline_n = 6 THEN round(std, 6) END AS baseline_std,
+       CASE WHEN baseline_n = 6 AND std > 0
+            THEN round((cnt - mean) / std, 6) END AS z,
+       CASE WHEN baseline_n = 6 AND std > 0
+            THEN CASE WHEN (cnt - mean) / std >= 3.0 THEN 1 ELSE 0 END
+       END AS is_spike
+FROM b
 """,
     }
 

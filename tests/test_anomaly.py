@@ -1,0 +1,75 @@
+"""Volume-spike detection: baseline gating, z math, planted-spike recall."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from otlp_cardinality_checker_spark.operators.anomaly import volume_spikes
+
+
+def _hour(h):
+    return dt.datetime(2026, 3, 1, h)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """svc_a: hours 0-5 alternate 10/12 events, hour 6 spikes to 100.
+    svc_b: constant 5 events/hour (zero variance -> z undefined)."""
+    rows = []
+    for h in range(6):
+        n = 10 if h % 2 == 0 else 12
+        rows += [("svc_a", _hour(h))] * n
+        rows += [("svc_b", _hour(h))] * 5
+    rows += [("svc_a", _hour(6))] * 100
+    rows += [("svc_b", _hour(6))] * 5
+    return spark.createDataFrame(rows, "svc string, ts timestamp")
+
+
+def test_planted_spike_flagged(planted):
+    out = {
+        (r["group"], r["window_start"].hour): r
+        for r in volume_spikes(planted, "svc", trailing=6).collect()
+    }
+    spike = out[("svc_a", 6)]
+    assert spike["is_spike"] == 1 and spike["z"] > 3
+    assert spike["baseline_n"] == 6
+    assert spike["baseline_mean"] == 11.0  # mean of 10,12,10,12,10,12
+
+
+def test_half_filled_baseline_never_alarms(planted):
+    out = {
+        (r["group"], r["window_start"].hour): r
+        for r in volume_spikes(planted, "svc", trailing=6).collect()
+    }
+    for h in range(6):  # fewer than 6 prior windows
+        assert out[("svc_a", h)]["z"] is None
+        assert out[("svc_a", h)]["is_spike"] is None
+
+
+def test_zero_variance_baseline_undefined(planted):
+    out = {
+        (r["group"], r["window_start"].hour): r
+        for r in volume_spikes(planted, "svc", trailing=6).collect()
+    }
+    b6 = out[("svc_b", 6)]
+    # full baseline but std == 0: z must be NULL, not an alarm or a crash
+    assert b6["baseline_n"] == 6 and b6["baseline_std"] == 0.0
+    assert b6["z"] is None and b6["is_spike"] is None
+
+
+def test_no_false_alarm_below_threshold(planted):
+    flagged = [
+        r
+        for r in volume_spikes(planted, "svc", trailing=6).collect()
+        if r["is_spike"] == 1
+    ]
+    assert [(r["group"], r["window_start"].hour) for r in flagged] == [
+        ("svc_a", 6)
+    ]
+
+
+def test_trailing_validation(planted):
+    with pytest.raises(ValueError, match="trailing"):
+        volume_spikes(planted, "svc", trailing=1)
