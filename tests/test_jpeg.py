@@ -1,0 +1,164 @@
+"""Baseline JPEG codec: closed-form DC parity, roundtrip bounds, rejects.
+
+No Spark here — pure codec tests (the Spark-side plumbing is covered by
+tests/test_multimodal-style oracle queries: jpeg_tile_stats in
+__spark_entry__).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from otlp_cardinality_checker_spark.functions.jpeg import (
+    BASE_Q_CHROMA,
+    BASE_Q_LUMA,
+    decode_jpeg,
+    encode_jpeg,
+    is_jpeg,
+    quality_scale,
+    rgb_to_ycbcr,
+    solid_tile_decoded_value,
+    ycbcr_to_rgb,
+    _C,
+)
+
+
+def test_dct_basis_is_orthonormal():
+    assert np.allclose(_C @ _C.T, np.eye(8), atol=1e-12)
+
+
+def test_idct_matches_textbook_double_loop():
+    """Cross-implementation check: the einsum IDCT must equal the direct
+    spec-formula double loop (independent formulation)."""
+    rng = np.random.default_rng(3)
+    S = rng.integers(-500, 500, (8, 8)).astype(np.float64)
+    fast = np.einsum("ux,uv,vy->xy", _C, S, _C)
+    slow = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            acc = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    acc += (
+                        cu * cv / 4.0
+                        * S[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            slow[x, y] = acc
+    assert np.allclose(fast, slow, atol=1e-9)
+
+
+@pytest.mark.parametrize("quality", [35, 50, 75, 90])
+def test_solid_gray_matches_closed_form(quality):
+    q00 = int(quality_scale(BASE_Q_LUMA, quality)[0])
+    for v in range(0, 256, 7):
+        img = np.full((16, 24), v, dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, quality=quality))
+        u = np.unique(dec)
+        assert len(u) == 1 and u[0] == solid_tile_decoded_value(v, q00)
+
+
+def test_solid_color_matches_closed_form():
+    """Color path: RGB -> YCbCr -> per-channel DC pipeline -> RGB, every
+    stage via the module's own public functions (the SQL oracle repeats
+    the same arithmetic with no codec)."""
+    quality = 75
+    q_l = int(quality_scale(BASE_Q_LUMA, quality)[0])
+    q_c = int(quality_scale(BASE_Q_CHROMA, quality)[0])
+    for rgb in [(200, 30, 90), (0, 0, 0), (255, 255, 255), (12, 250, 128)]:
+        img = np.zeros((8, 16, 3), dtype=np.uint8)
+        img[..., 0], img[..., 1], img[..., 2] = rgb
+        dec = decode_jpeg(encode_jpeg(img, quality=quality))
+        ycc = rgb_to_ycbcr(img[:1, :1])[0, 0]
+        rt = np.array(
+            [
+                solid_tile_decoded_value(int(ycc[0]), q_l),
+                solid_tile_decoded_value(int(ycc[1]), q_c),
+                solid_tile_decoded_value(int(ycc[2]), q_c),
+            ],
+            dtype=np.uint8,
+        )
+        expect = ycbcr_to_rgb(rt.reshape(1, 1, 3))[0, 0]
+        assert np.array_equal(dec.reshape(-1, 3), np.tile(expect, (128, 1)))
+
+
+def test_random_roundtrip_error_bounds():
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    err90 = np.abs(
+        decode_jpeg(encode_jpeg(img, quality=90)).astype(int) - img
+    ).max()
+    err30 = np.abs(
+        decode_jpeg(encode_jpeg(img, quality=30)).astype(int) - img
+    ).max()
+    assert err90 <= 30  # noise is the worst case for DCT coding
+    assert err30 >= err90  # lower quality can't be more faithful
+
+
+def test_smooth_image_near_lossless_at_high_quality():
+    ys, xs = np.mgrid[0:48, 0:64]
+    smooth = ((ys + xs) // 2 % 256).astype(np.uint8)
+    err95 = np.abs(
+        decode_jpeg(encode_jpeg(smooth, quality=95)).astype(int) - smooth
+    ).max()
+    assert err95 <= 1
+
+
+def test_odd_dimensions_pad_and_crop():
+    rng = np.random.default_rng(1)
+    for shape in [(13, 17), (1, 1), (8, 9), (9, 8), (7, 24, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, quality=95))
+        assert dec.shape == img.shape
+
+
+def test_restart_interval_parity():
+    rng = np.random.default_rng(5)
+    gray = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    color = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    for img in (gray, color):
+        base = decode_jpeg(encode_jpeg(img, quality=80))
+        for ri in (1, 2, 5):
+            assert np.array_equal(
+                decode_jpeg(encode_jpeg(img, quality=80, restart_interval=ri)),
+                base,
+            )
+
+
+def test_color_conversion_roundtrip_bound():
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (50, 50, 3), dtype=np.uint8)
+    back = ycbcr_to_rgb(rgb_to_ycbcr(px))
+    assert np.abs(back.astype(int) - px.astype(int)).max() <= 3
+
+
+def test_rejects_garbage_and_unsupported():
+    assert not is_jpeg(b"\x89PNG")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg at all")
+    img = np.zeros((8, 8), dtype=np.uint8)
+    data = bytearray(encode_jpeg(img))
+    # flip SOF0 (FFC0) to progressive SOF2 (FFC2)
+    i = bytes(data).find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF"):
+        decode_jpeg(bytes(data))
+    # corrupt sampling factor to 4:2:0 (0x22)
+    data = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    i = bytes(data).find(b"\xff\xc0")
+    data[i + 11] = 0x22  # first component sampling byte
+    with pytest.raises(ValueError, match="subsampling"):
+        decode_jpeg(bytes(data))
+
+
+def test_encoder_input_validation():
+    with pytest.raises(ValueError, match="uint8"):
+        encode_jpeg(np.zeros((8, 8), dtype=np.int32))
+    with pytest.raises(ValueError, match="quality"):
+        encode_jpeg(np.zeros((8, 8), dtype=np.uint8), quality=0)
+    with pytest.raises(ValueError, match="grayscale"):
+        encode_jpeg(np.zeros((8, 8, 4), dtype=np.uint8))
