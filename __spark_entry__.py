@@ -1511,6 +1511,33 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_transcripts(spark, sf_dir)
 
 
+def q_jpeg_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode (Huffman + dequant + IDCT), oracle-checked:
+    solid-tile fixtures survive the lossy pipeline as a closed form the
+    DuckDB oracle evaluates with no codec (functions/jpeg.py docstring).
+    Quality 50 rows put every odd (v-128) exactly on a quantizer tie and
+    every third image uses restart markers — both oracle-covered.
+    sf_dir unused (deterministic fixtures, like the other media queries)."""
+    from otlp_cardinality_checker_spark.operators.multimodal import (
+        jpeg_tile_stats,
+        synthetic_jpeg_media,
+    )
+
+    return jpeg_tile_stats(synthetic_jpeg_media(spark, 40))
+
+
+def q_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color JPEG decode (RGB 4:4:4 -> YCbCr -> per-channel DC pipeline ->
+    RGB), oracle-checked bit-for-bit: the DuckDB oracle repeats the color
+    transform + quant roundtrip in exact SQL arithmetic, no codec."""
+    from otlp_cardinality_checker_spark.operators.multimodal import (
+        jpeg_color_tile_stats,
+        synthetic_jpeg_color_media,
+    )
+
+    return jpeg_color_tile_stats(synthetic_jpeg_color_media(spark, 24))
+
+
 def q_volume_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type hourly volume with trailing-6-window z-scores and
     spike flags (z >= 3) — the time-domain alarm over the events stream."""
@@ -1743,6 +1770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_gaps": q_turn_gaps,
         "bloom_contamination": q_bloom_contamination,
         "volume_spikes": q_volume_spikes,
+        "jpeg_tile_stats": q_jpeg_tile_stats,
+        "jpeg_color_stats": q_jpeg_color_stats,
     }
 
 
@@ -3161,6 +3190,127 @@ SELECT "group", strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
             THEN CASE WHEN (cnt - mean) / std >= 3.0 THEN 1 ELSE 0 END
        END AS is_spike
 FROM b
+""",
+        # REAL lossy-codec parity: solid 8x8 tiles survive JPEG's
+        # quantize/dequantize/IDCT as a closed form (functions/jpeg.py),
+        # so the oracle needs only the quality->q00 formula and the
+        # tie-guarded half-away rounding rnd(x)=sign(x)*floor(|x|+.5+1e-9)
+        "jpeg_tile_stats": """
+WITH imgs AS (
+  SELECT i, printf('jpg_%05d', i) AS media_id,
+         2 + (i*3)%5 AS bw, 2 + (i*5)%4 AS bh,
+         CASE i%4 WHEN 0 THEN 35 WHEN 1 THEN 50 WHEN 2 THEN 75
+                  ELSE 90 END AS q
+  FROM range(40) t(i)
+), qq AS (
+  SELECT *, bw*8 AS width, bh*8 AS height,
+         GREATEST(1, LEAST(255,
+           (16 * (CASE WHEN q < 50 THEN 5000//q ELSE 200 - 2*q END) + 50)
+             // 100)) AS q00
+  FROM imgs
+), tiles AS (
+  SELECT media_id, width, height, q00,
+         CAST(by AS BIGINT) AS by, CAST(bx AS BIGINT) AS bx,
+         (17*i + 31*bx + 57*by) % 256 AS v
+  FROM qq, unnest(range(bh)) tb(by), unnest(range(bw)) tx(bx)
+), dec AS (
+  SELECT *, CAST(sign(8.0*(v-128)/q00)
+                 * floor(abs(8.0*(v-128)/q00) + 0.5 + 1e-9) AS BIGINT) AS dc
+  FROM tiles
+), pix AS (
+  SELECT media_id, width, height, by, bx,
+         CAST(LEAST(255, GREATEST(0,
+           sign(dc*q00/8.0 + 128) * floor(abs(dc*q00/8.0 + 128) + 0.5 + 1e-9)
+         )) AS BIGINT) AS pv
+  FROM dec
+)
+SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(64*count(*) AS BIGINT) AS n_px,
+       CAST(64*sum(pv) AS BIGINT) AS sum_lum,
+       CAST(min(pv) AS INT) AS min_lum,
+       CAST(max(pv) AS INT) AS max_lum,
+       CAST(sum(pv * (512*(by*width + bx) + 224*(width+1))) % 1000000007
+            AS BIGINT) AS pos_checksum
+FROM pix GROUP BY media_id, width, height
+""",
+        "jpeg_color_stats": """
+WITH imgs AS (
+  SELECT i, printf('jpc_%05d', i) AS media_id,
+         2 + (i*3)%4 AS bw, 2 + i%3 AS bh,
+         CASE i%4 WHEN 0 THEN 35 WHEN 1 THEN 50 WHEN 2 THEN 75
+                  ELSE 90 END AS q
+  FROM range(24) t(i)
+), qq AS (
+  SELECT *, bw*8 AS width, bh*8 AS height,
+         GREATEST(1, LEAST(255,
+           (16 * (CASE WHEN q < 50 THEN 5000//q ELSE 200 - 2*q END) + 50)
+             // 100)) AS q00l,
+         GREATEST(1, LEAST(255,
+           (17 * (CASE WHEN q < 50 THEN 5000//q ELSE 200 - 2*q END) + 50)
+             // 100)) AS q00c
+  FROM imgs
+), tiles AS (
+  SELECT media_id, width, height, q00l, q00c,
+         CAST(by AS BIGINT) AS by, CAST(bx AS BIGINT) AS bx,
+         (29*i + 31*bx + 57*by) % 256 AS r,
+         (7*i + 11*bx + 43*by) % 256 AS g,
+         (3*i + 53*bx + 19*by) % 256 AS b
+  FROM qq, unnest(range(bh)) tb(by), unnest(range(bw)) tx(bx)
+), ycc AS (
+  SELECT media_id, width, height, q00l, q00c, by, bx,
+    CAST(LEAST(255, GREATEST(0, sign(0.299*r + 0.587*g + 0.114*b)
+      * floor(abs(0.299*r + 0.587*g + 0.114*b) + 0.5 + 1e-9))) AS BIGINT)
+      AS yv,
+    CAST(LEAST(255, GREATEST(0,
+      sign(-0.168736*r - 0.331264*g + 0.5*b + 128.0)
+      * floor(abs(-0.168736*r - 0.331264*g + 0.5*b + 128.0) + 0.5 + 1e-9)))
+      AS BIGINT) AS cb,
+    CAST(LEAST(255, GREATEST(0,
+      sign(0.5*r - 0.418688*g - 0.081312*b + 128.0)
+      * floor(abs(0.5*r - 0.418688*g - 0.081312*b + 128.0) + 0.5 + 1e-9)))
+      AS BIGINT) AS cr
+  FROM tiles
+), dcs AS (
+  SELECT *,
+    CAST(sign(8.0*(yv-128)/q00l)
+         * floor(abs(8.0*(yv-128)/q00l) + 0.5 + 1e-9) AS BIGINT) AS dcy,
+    CAST(sign(8.0*(cb-128)/q00c)
+         * floor(abs(8.0*(cb-128)/q00c) + 0.5 + 1e-9) AS BIGINT) AS dcb,
+    CAST(sign(8.0*(cr-128)/q00c)
+         * floor(abs(8.0*(cr-128)/q00c) + 0.5 + 1e-9) AS BIGINT) AS dcr
+  FROM ycc
+), chan AS (
+  SELECT media_id, width, height, by, bx,
+    CAST(LEAST(255, GREATEST(0, sign(dcy*q00l/8.0 + 128)
+      * floor(abs(dcy*q00l/8.0 + 128) + 0.5 + 1e-9))) AS BIGINT) AS yd,
+    CAST(LEAST(255, GREATEST(0, sign(dcb*q00c/8.0 + 128)
+      * floor(abs(dcb*q00c/8.0 + 128) + 0.5 + 1e-9))) AS BIGINT) AS cbd,
+    CAST(LEAST(255, GREATEST(0, sign(dcr*q00c/8.0 + 128)
+      * floor(abs(dcr*q00c/8.0 + 128) + 0.5 + 1e-9))) AS BIGINT) AS crd
+  FROM dcs
+), rgb AS (
+  SELECT media_id, width, height, by, bx,
+    CAST(LEAST(255, GREATEST(0, sign(yd + 1.402*(crd - 128.0))
+      * floor(abs(yd + 1.402*(crd - 128.0)) + 0.5 + 1e-9))) AS BIGINT)
+      AS rr,
+    CAST(LEAST(255, GREATEST(0,
+      sign(yd - 0.344136*(cbd - 128.0) - 0.714136*(crd - 128.0))
+      * floor(abs(yd - 0.344136*(cbd - 128.0) - 0.714136*(crd - 128.0))
+              + 0.5 + 1e-9))) AS BIGINT) AS gg,
+    CAST(LEAST(255, GREATEST(0, sign(yd + 1.772*(cbd - 128.0))
+      * floor(abs(yd + 1.772*(cbd - 128.0)) + 0.5 + 1e-9))) AS BIGINT)
+      AS bb
+  FROM chan
+)
+SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(64*count(*) AS BIGINT) AS n_px,
+       CAST(64*sum(rr) AS BIGINT) AS sum_r,
+       CAST(64*sum(gg) AS BIGINT) AS sum_g,
+       CAST(64*sum(bb) AS BIGINT) AS sum_b,
+       CAST(sum((rr + 2*gg + 3*bb)
+                * (512*(by*width + bx) + 224*(width+1))) % 1000000007
+            AS BIGINT) AS pos_checksum
+FROM rgb GROUP BY media_id, width, height
 """,
     }
 

@@ -4,19 +4,21 @@ A 100 TB training pipeline carries image/audio/video as `binary` columns
 with typed metadata; decode/feature-extraction runs as Arrow-batched pandas
 UDFs over `mapInPandas`.
 
-Decode status by modality: **image/png, image/gif (animated), audio/wav,
-and video rawvideo-AVI all decode FOR REAL** via the pure-stdlib codecs in
-``functions/png.py`` (zlib + struct + numpy unfilter), ``functions/gif.py``
-(real variable-width LZW inflate + palette mapping), ``functions/wav.py``
-(RIFF/PCM), and ``functions/avi.py`` (RIFF/AVI with bottom-up BGR24 DIB
-frames) — pass ``decode_stub=False`` and those payloads yield actual
-pixels/samples (real luminance/amplitude features, real nearest-neighbor
-resize + re-encode).  Lossy codecs (JPEG, MP3, H.264 …) remain stubbed —
-they need libraries this container lacks: ``decode_stub=True`` produces a
-deterministic fake from the bytes, and ``decode_stub=False`` on an
-undecodable payload raises NotImplementedError at evaluation time.  The
-Spark-side plumbing (schema, batch iteration, partition sizing) is
-identical either way.
+Decode status by modality: **image/png, image/gif (animated), image/jpeg
+(baseline, the first LOSSY format), audio/wav, and video rawvideo-AVI all
+decode FOR REAL** via the pure-stdlib codecs in ``functions/png.py``
+(zlib + struct + numpy unfilter), ``functions/gif.py`` (real
+variable-width LZW inflate + palette mapping), ``functions/jpeg.py``
+(canonical Huffman + dequant + vectorized IDCT + YCbCr), ``functions/
+wav.py`` (RIFF/PCM), and ``functions/avi.py`` (RIFF/AVI with bottom-up
+BGR24 DIB frames) — pass ``decode_stub=False`` and those payloads yield
+actual pixels/samples (real luminance/amplitude features, real
+nearest-neighbor resize + re-encode).  Remaining lossy codecs (MP3,
+H.264 …) stay stubbed — they need libraries this container lacks:
+``decode_stub=True`` produces a deterministic fake from the bytes, and
+``decode_stub=False`` on an undecodable payload raises
+NotImplementedError at evaluation time.  The Spark-side plumbing
+(schema, batch iteration, partition sizing) is identical either way.
 """
 
 from __future__ import annotations
@@ -428,6 +430,163 @@ def gif_frame_stats(media: DataFrame) -> DataFrame:
     ).mapInPandas(batches, schema=GIF_STATS_SCHEMA)
 
 
+def synthetic_jpeg_media(spark, n: int = 40) -> DataFrame:
+    """REAL baseline-JPEG media table with closed-form DECODED pixels.
+
+    JPEG is lossy, so the trick that makes a decoder-less oracle possible
+    is solid 8x8 tiles: image i is a mosaic of uniform tiles with
+    ``v(i, by, bx) = (17*i + 31*bx + 57*by) % 256``, and a uniform block
+    survives the whole quantize/dequantize/IDCT pipeline as the CLOSED
+    FORM ``solid_tile_decoded_value(v, q00)`` (functions/jpeg.py) — plain
+    arithmetic DuckDB can evaluate with no codec.  Quality cycles
+    {35, 50, 75, 90} (q=50 puts every odd v-128 exactly on a quantizer
+    tie — the hardest rounding case) and every third image uses restart
+    markers, so DRI/RSTn resync is oracle-covered too.
+    """
+    from ..functions.jpeg import encode_jpeg
+
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        bw = 2 + (i * 3) % 5
+        bh = 2 + (i * 5) % 4
+        quality = (35, 50, 75, 90)[i % 4]
+        ri = 2 if i % 3 == 0 else 0
+        tiles = (
+            17 * i
+            + 31 * np.arange(bw, dtype=np.int64)[None, :]
+            + 57 * np.arange(bh, dtype=np.int64)[:, None]
+        ) % 256
+        px = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1).astype(
+            np.uint8
+        )
+        rows.append(
+            (f"jpg_{i:05d}", "image", "image/jpeg", bw * 8, bh * 8, None,
+             encode_jpeg(px, quality=quality, restart_interval=ri))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthetic_jpeg_color_media(spark, n: int = 24) -> DataFrame:
+    """RGB 4:4:4 twin of :func:`synthetic_jpeg_media`: per-tile
+    ``r = (29i+31bx+57by) % 256, g = (7i+11bx+43by) % 256,
+    b = (3i+53bx+19by) % 256`` — the oracle repeats RGB->YCbCr, the
+    per-channel DC pipeline (luma + chroma quant tables), and YCbCr->RGB
+    in exact SQL arithmetic."""
+    from ..functions.jpeg import encode_jpeg
+
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        bw = 2 + (i * 3) % 4
+        bh = 2 + i % 3
+        quality = (35, 50, 75, 90)[i % 4]
+        bxs = np.arange(bw, dtype=np.int64)[None, :]
+        bys = np.arange(bh, dtype=np.int64)[:, None]
+        chans = [
+            (29 * i + 31 * bxs + 57 * bys) % 256,
+            (7 * i + 11 * bxs + 43 * bys) % 256,
+            (3 * i + 53 * bxs + 19 * bys) % 256,
+        ]
+        px = np.stack(
+            [np.repeat(np.repeat(c, 8, axis=0), 8, axis=1) for c in chans],
+            axis=-1,
+        ).astype(np.uint8)
+        rows.append(
+            (f"jpc_{i:05d}", "image", "image/jpeg", bw * 8, bh * 8, None,
+             encode_jpeg(px, quality=quality))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def jpeg_tile_stats(media: DataFrame) -> DataFrame:
+    """Exact grayscale pixel stats from a REAL baseline-JPEG decode
+    (Huffman + dequant + IDCT).  Same all-integer shape as
+    :func:`png_pixel_stats`; bit-exact match against the solid-tile
+    closed-form oracle proves the whole lossy pipeline."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.jpeg import decode_jpeg
+
+        cols = [f.name for f in PNG_STATS_SCHEMA]
+        for pdf in it:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_jpeg(payload)
+                if px.ndim != 2:
+                    raise ValueError("expected grayscale fixture")
+                h, w = px.shape
+                lum = px.astype(np.int64)
+                pos = np.arange(h * w, dtype=np.int64).reshape(h, w)
+                out.append(
+                    (
+                        media_id, w, h, h * w, int(lum.sum()),
+                        int(lum.min()), int(lum.max()),
+                        int((lum * pos).sum() % 1_000_000_007),
+                    )
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.where(
+        F.col("mime_type") == "image/jpeg"
+    ).mapInPandas(batches, schema=PNG_STATS_SCHEMA)
+
+
+JPEG_COLOR_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("n_px", LongType(), False),
+        StructField("sum_r", LongType(), False),
+        StructField("sum_g", LongType(), False),
+        StructField("sum_b", LongType(), False),
+        StructField("pos_checksum", LongType(), False),
+    ]
+)
+
+
+def jpeg_color_tile_stats(media: DataFrame) -> DataFrame:
+    """Exact RGB stats from a REAL color JPEG decode; ``pos_checksum``
+    weights channels (r + 2g + 3b) by pixel position so channel swaps,
+    transposes, and chroma mix-ups all break the hash."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.jpeg import decode_jpeg
+
+        cols = [f.name for f in JPEG_COLOR_STATS_SCHEMA]
+        for pdf in it:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_jpeg(payload).astype(np.int64)
+                if px.ndim != 3:
+                    raise ValueError("expected RGB fixture")
+                h, w = px.shape[:2]
+                pos = np.arange(h * w, dtype=np.int64).reshape(h, w)
+                mix = px[..., 0] + 2 * px[..., 1] + 3 * px[..., 2]
+                out.append(
+                    (
+                        media_id, w, h, h * w,
+                        int(px[..., 0].sum()), int(px[..., 1].sum()),
+                        int(px[..., 2].sum()),
+                        int((mix * pos).sum() % 1_000_000_007),
+                    )
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.where(
+        F.col("mime_type") == "image/jpeg"
+    ).mapInPandas(batches, schema=JPEG_COLOR_STATS_SCHEMA)
+
+
 def _batch_buffer(payloads: list[bytes]):
     """Concatenate a batch's payloads into ONE numpy byte buffer.
 
@@ -451,12 +610,12 @@ def extract_features(
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    With ``decode_stub=False``, **PNG, WAV, and rawvideo-AVI payloads
-    decode for real** (stdlib codecs under `functions/`): features = the
-    n_features-bucket normalized luminance (or amplitude) histogram of the
-    actual pixels/samples.  Other formats raise NotImplementedError
-    (compressed codecs need libraries this container lacks) — filter on
-    mime_type first.  With ``decode_stub=True`` the
+    With ``decode_stub=False``, **PNG, GIF, baseline JPEG, WAV, and
+    rawvideo-AVI payloads decode for real** (stdlib codecs under
+    `functions/`): features = the n_features-bucket normalized luminance
+    (or amplitude) histogram of the actual pixels/samples.  Other formats
+    raise NotImplementedError (those codecs need libraries this container
+    lacks) — filter on mime_type first.  With ``decode_stub=True`` the
     deterministic fake kernel runs instead, batch-vectorized (np.bincount
     over the concatenated batch buffer) so the plumbing benchmark reflects
     Arrow-batch reality, not per-row Python: feature bucket c of row r =
@@ -472,6 +631,7 @@ def extract_features(
             if not decode_stub:
                 from ..functions.avi import decode_avi, is_avi
                 from ..functions.gif import decode_gif, is_gif
+                from ..functions.jpeg import decode_jpeg, is_jpeg
                 from ..functions.png import decode_png, is_png
                 from ..functions.wav import decode_wav, is_wav
 
@@ -506,10 +666,18 @@ def extract_features(
                         hist = np.histogram(
                             lum, bins=k, range=(0.0, 256.0)
                         )[0] / max(lum.size, 1)
+                    elif is_jpeg(payload):
+                        px = decode_jpeg(payload)
+                        lum = px.reshape(
+                            px.shape[0], px.shape[1], -1
+                        ).astype(np.float64).mean(axis=2)
+                        hist = np.histogram(
+                            lum, bins=k, range=(0.0, 256.0)
+                        )[0] / max(lum.size, 1)
                     else:
                         raise NotImplementedError(
-                            "real decode is implemented for PNG, GIF, WAV, "
-                            "and rawvideo AVI; got an undecodable "
+                            "real decode is implemented for PNG, GIF, JPEG, "
+                            "WAV, and rawvideo AVI; got an undecodable "
                             f"{modality} payload"
                         )
                     rows.append(
