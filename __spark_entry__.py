@@ -1511,6 +1511,32 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_transcripts(spark, sf_dir)
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-sessionization of per-user event streams (1-hour gap) —
+    the batch twin of the streaming conv_sessions operator."""
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        sessionize,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sessionize(
+        ev, gap_seconds=3600, id_col="user_id",
+        order_cols=("ts", "event_id"), ts_col="ts",
+    )
+    return out.select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "start_ts"
+        ),
+        F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "end_ts"
+        ),
+        "duration_s",
+    )
+
+
 def q_jpeg_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG decode (Huffman + dequant + IDCT), oracle-checked:
     solid-tile fixtures survive the lossy pipeline as a closed form the
@@ -1772,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_spikes": q_volume_spikes,
         "jpeg_tile_stats": q_jpeg_tile_stats,
         "jpeg_color_stats": q_jpeg_color_stats,
+        "user_sessions": q_user_sessions,
     }
 
 
@@ -3311,6 +3338,28 @@ SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
                 * (512*(by*width + bx) + 224*(width+1))) % 1000000007
             AS BIGINT) AS pos_checksum
 FROM rgb GROUP BY media_id, width, height
+""",
+        "user_sessions": """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM marked
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts,
+       round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 6)
+         AS duration_s
+FROM numbered GROUP BY user_id, session_idx
 """,
     }
 

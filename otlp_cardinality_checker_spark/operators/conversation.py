@@ -98,6 +98,66 @@ def conv_depth_stats(turns: DataFrame) -> DataFrame:
     ).orderBy("depth")
 
 
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int = 300,
+    id_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Batch gap-sessionization: split each entity's event sequence into
+    sessions wherever the inter-event gap exceeds ``gap_seconds``.
+
+    The batch twin of the streaming ``conv_sessions`` operator
+    (streaming/stream.py applyInPandasWithState): one lag window to mark
+    session starts, one running sum over the same partitioning to number
+    them — Catalyst reuses the id_col exchange for both window passes, so
+    this is still a single shuffle.  ``order_cols`` must be a
+    deterministic total order within the entity (PK columns; wall-clock
+    alone is not one if timestamps repeat).  Returns one row per session:
+    ``(<id_col>, session_idx, n_events, start_ts, end_ts, duration_s)``.
+    """
+    w = Window.partitionBy(id_col).orderBy(*order_cols)
+    gap_us = (
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        - F.unix_micros(F.lag(F.col(ts_col).cast("timestamp")).over(w))
+    )
+    marked = df.select(
+        id_col,
+        *order_cols,
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+        F.when(
+            gap_us.isNull() | (gap_us > gap_seconds * 1_000_000), 1
+        ).otherwise(0).alias("_new_session"),
+    )
+    numbered = marked.select(
+        id_col,
+        "_ts",
+        F.sum("_new_session").over(
+            Window.partitionBy(id_col)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("session_idx"),
+    )
+    return (
+        numbered.groupBy(id_col, "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("_ts").alias("start_ts"),
+            F.max("_ts").alias("end_ts"),
+        )
+        .withColumn(
+            "duration_s",
+            F.round(
+                (F.unix_micros("end_ts") - F.unix_micros("start_ts"))
+                / 1_000_000.0,
+                6,
+            ),
+        )
+        .orderBy(id_col, "session_idx")
+    )
+
+
 def turn_gap_percentiles(
     turns: DataFrame, probabilities: tuple[float, ...] = (0.5, 0.9, 0.99)
 ) -> DataFrame:

@@ -9,6 +9,7 @@ import pytest
 from otlp_cardinality_checker_spark.operators.conversation import (
     conv_depth_stats,
     role_transitions,
+    sessionize,
     tool_bigrams,
     turn_gap_percentiles,
 )
@@ -76,6 +77,35 @@ def test_turn_gaps_excludes_first_turn(turns):
     assert rows["user"]["p50"] == 60.0
     # assistant gaps sorted: 30,60,60,420 -> p50 = 60 (linear interp)
     assert rows["assistant"]["p50"] == 60.0
+
+
+def test_sessionize_gap_split(turns):
+    # conv A ts: 0,1,2,3,10 min — a 300 s gap splits before the last turn
+    rows = {
+        (r["conv_id"], r["session_idx"]): r
+        for r in sessionize(turns, gap_seconds=300).collect()
+    }
+    assert rows[("A", 1)]["n_events"] == 4
+    assert rows[("A", 1)]["duration_s"] == 180.0
+    assert rows[("A", 2)]["n_events"] == 1
+    assert rows[("A", 2)]["duration_s"] == 0.0
+    assert rows[("B", 1)]["n_events"] == 2
+    assert len(rows) == 3
+
+
+def test_sessionize_no_split_when_gap_large(turns):
+    rows = sessionize(turns, gap_seconds=10_000).collect()
+    assert {(r["conv_id"], r["n_events"]) for r in rows} == {("A", 5), ("B", 2)}
+
+
+def test_sessionize_single_shuffle(turns):
+    plan = (
+        sessionize(turns)._jdf.queryExecution().executedPlan().toString()
+    )
+    # both window passes and the session aggregate must reuse ONE
+    # hashpartitioning exchange on the id column (plus the final orderBy's
+    # range exchange)
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_partitioning_invariance(turns):
