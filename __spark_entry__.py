@@ -1511,6 +1511,18 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_transcripts(spark, sf_dir)
 
 
+def q_jpeg420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 subsampled JPEG decode (2x2-luma MCUs, chroma box downsample
+    + replicate upsample, MCU-level restart markers), oracle-checked via
+    the same per-channel closed form on 16x16 solid tiles."""
+    from otlp_cardinality_checker_spark.operators.multimodal import (
+        jpeg_color_tile_stats,
+        synthetic_jpeg420_media,
+    )
+
+    return jpeg_color_tile_stats(synthetic_jpeg420_media(spark, 24))
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch gap-sessionization of per-user event streams (1-hour gap) —
     the batch twin of the streaming conv_sessions operator."""
@@ -1798,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_spikes": q_volume_spikes,
         "jpeg_tile_stats": q_jpeg_tile_stats,
         "jpeg_color_stats": q_jpeg_color_stats,
+        "jpeg420_stats": q_jpeg420_stats,
         "user_sessions": q_user_sessions,
     }
 
@@ -3336,6 +3349,89 @@ SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
        CAST(64*sum(bb) AS BIGINT) AS sum_b,
        CAST(sum((rr + 2*gg + 3*bb)
                 * (512*(by*width + bx) + 224*(width+1))) % 1000000007
+            AS BIGINT) AS pos_checksum
+FROM rgb GROUP BY media_id, width, height
+""",
+        # 4:2:0: same per-channel closed form — a uniform 16x16 tile stays
+        # uniform through the 2x2 box downsample and replicate upsample,
+        # so only the tile geometry terms change (256 px/tile; position
+        # sum 4096*(by*width+bx) + 1920*(width+1))
+        "jpeg420_stats": """
+WITH imgs AS (
+  SELECT i, printf('j20_%05d', i) AS media_id,
+         2 + (i*3)%4 AS bw, 2 + i%3 AS bh,
+         CASE i%4 WHEN 0 THEN 35 WHEN 1 THEN 50 WHEN 2 THEN 75
+                  ELSE 90 END AS q
+  FROM range(24) t(i)
+), qq AS (
+  SELECT *, bw*16 AS width, bh*16 AS height,
+         GREATEST(1, LEAST(255,
+           (16 * (CASE WHEN q < 50 THEN 5000//q ELSE 200 - 2*q END) + 50)
+             // 100)) AS q00l,
+         GREATEST(1, LEAST(255,
+           (17 * (CASE WHEN q < 50 THEN 5000//q ELSE 200 - 2*q END) + 50)
+             // 100)) AS q00c
+  FROM imgs
+), tiles AS (
+  SELECT media_id, width, height, q00l, q00c,
+         CAST(by AS BIGINT) AS by, CAST(bx AS BIGINT) AS bx,
+         (29*i + 31*bx + 57*by) % 256 AS r,
+         (7*i + 11*bx + 43*by) % 256 AS g,
+         (3*i + 53*bx + 19*by) % 256 AS b
+  FROM qq, unnest(range(bh)) tb(by), unnest(range(bw)) tx(bx)
+), ycc AS (
+  SELECT media_id, width, height, q00l, q00c, by, bx,
+    CAST(LEAST(255, GREATEST(0, sign(0.299*r + 0.587*g + 0.114*b)
+      * floor(abs(0.299*r + 0.587*g + 0.114*b) + 0.5 + 1e-9))) AS BIGINT)
+      AS yv,
+    CAST(LEAST(255, GREATEST(0,
+      sign(-0.168736*r - 0.331264*g + 0.5*b + 128.0)
+      * floor(abs(-0.168736*r - 0.331264*g + 0.5*b + 128.0) + 0.5 + 1e-9)))
+      AS BIGINT) AS cb,
+    CAST(LEAST(255, GREATEST(0,
+      sign(0.5*r - 0.418688*g - 0.081312*b + 128.0)
+      * floor(abs(0.5*r - 0.418688*g - 0.081312*b + 128.0) + 0.5 + 1e-9)))
+      AS BIGINT) AS cr
+  FROM tiles
+), dcs AS (
+  SELECT *,
+    CAST(sign(8.0*(yv-128)/q00l)
+         * floor(abs(8.0*(yv-128)/q00l) + 0.5 + 1e-9) AS BIGINT) AS dcy,
+    CAST(sign(8.0*(cb-128)/q00c)
+         * floor(abs(8.0*(cb-128)/q00c) + 0.5 + 1e-9) AS BIGINT) AS dcb,
+    CAST(sign(8.0*(cr-128)/q00c)
+         * floor(abs(8.0*(cr-128)/q00c) + 0.5 + 1e-9) AS BIGINT) AS dcr
+  FROM ycc
+), chan AS (
+  SELECT media_id, width, height, by, bx,
+    CAST(LEAST(255, GREATEST(0, sign(dcy*q00l/8.0 + 128)
+      * floor(abs(dcy*q00l/8.0 + 128) + 0.5 + 1e-9))) AS BIGINT) AS yd,
+    CAST(LEAST(255, GREATEST(0, sign(dcb*q00c/8.0 + 128)
+      * floor(abs(dcb*q00c/8.0 + 128) + 0.5 + 1e-9))) AS BIGINT) AS cbd,
+    CAST(LEAST(255, GREATEST(0, sign(dcr*q00c/8.0 + 128)
+      * floor(abs(dcr*q00c/8.0 + 128) + 0.5 + 1e-9))) AS BIGINT) AS crd
+  FROM dcs
+), rgb AS (
+  SELECT media_id, width, height, by, bx,
+    CAST(LEAST(255, GREATEST(0, sign(yd + 1.402*(crd - 128.0))
+      * floor(abs(yd + 1.402*(crd - 128.0)) + 0.5 + 1e-9))) AS BIGINT)
+      AS rr,
+    CAST(LEAST(255, GREATEST(0,
+      sign(yd - 0.344136*(cbd - 128.0) - 0.714136*(crd - 128.0))
+      * floor(abs(yd - 0.344136*(cbd - 128.0) - 0.714136*(crd - 128.0))
+              + 0.5 + 1e-9))) AS BIGINT) AS gg,
+    CAST(LEAST(255, GREATEST(0, sign(yd + 1.772*(cbd - 128.0))
+      * floor(abs(yd + 1.772*(cbd - 128.0)) + 0.5 + 1e-9))) AS BIGINT)
+      AS bb
+  FROM chan
+)
+SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(256*count(*) AS BIGINT) AS n_px,
+       CAST(256*sum(rr) AS BIGINT) AS sum_r,
+       CAST(256*sum(gg) AS BIGINT) AS sum_g,
+       CAST(256*sum(bb) AS BIGINT) AS sum_b,
+       CAST(sum((rr + 2*gg + 3*bb)
+                * (4096*(by*width + bx) + 1920*(width+1))) % 1000000007
             AS BIGINT) AS pos_checksum
 FROM rgb GROUP BY media_id, width, height
 """,

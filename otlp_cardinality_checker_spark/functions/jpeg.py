@@ -13,9 +13,10 @@ libraries beyond numpy:
   variable-width bit decoding, restart-marker resync, dequantize +
   dezigzag, one vectorized einsum IDCT over all blocks, YCbCr→RGB.
 
-Scope: baseline (SOF0), 8-bit, 1 or 3 components, no chroma subsampling
-(4:4:4).  Progressive (SOF2), arithmetic coding, and subsampled streams
-raise ValueError — explicitly, not silently.
+Scope: baseline (SOF0), 8-bit, 1 or 3 components, 4:4:4 AND 4:2:0 chroma
+subsampling (2x2-luma MCUs, box-filter downsample on encode, replicate
+upsample on decode).  Progressive (SOF2), arithmetic coding, and other
+sampling layouts raise ValueError — explicitly, not silently.
 
 Numeric contract (what makes a lossy codec *oracle-checkable*): every
 rounding step is ``sign(x) * floor(|x| + 0.5 + 1e-9)`` — half-away with a
@@ -187,10 +188,11 @@ def ycbcr_to_rgb(px: np.ndarray) -> np.ndarray:
     return np.clip(_round_half_up(out), 0, 255).astype(np.uint8)
 
 
-def _to_blocks(chan: np.ndarray) -> tuple[np.ndarray, int, int]:
-    """Pad (edge-replicate) to multiples of 8 and split into 8x8 blocks."""
+def _to_blocks(chan: np.ndarray, mult: int = 8) -> tuple[np.ndarray, int, int]:
+    """Pad (edge-replicate) to multiples of ``mult`` and split into 8x8
+    blocks (``mult=16`` aligns the luma plane to whole 4:2:0 MCUs)."""
     h, w = chan.shape
-    ph, pw = (-h) % 8, (-w) % 8
+    ph, pw = (-h) % mult, (-w) % mult
     padded = np.pad(chan, ((0, ph), (0, pw)), mode="edge")
     hh, ww = padded.shape
     blocks = (
@@ -272,25 +274,103 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, prev_dc: int,
     return dc
 
 
+def _quantize_blocks(chan: np.ndarray, q: np.ndarray,
+                     mult: int = 8) -> tuple[np.ndarray, int, int]:
+    """FDCT all 8x8 blocks of one channel at once, quantize, zigzag."""
+    blocks, by, bx = _to_blocks(chan, mult)
+    shifted = blocks.astype(np.float64) - 128.0
+    coef = np.einsum("ux,nxy,vy->nuv", _C, shifted, _C)
+    zz = _round_half_up(coef / q.reshape(8, 8)).astype(np.int64)
+    return zz.reshape(-1, 64)[:, ZIGZAG], by, bx
+
+
+def _downsample2(chan: np.ndarray) -> np.ndarray:
+    """2x2 box downsample with the codec's half-away rounding (the 4:2:0
+    chroma reduction; exact on uniform tiles)."""
+    h, w = chan.shape
+    quad = chan.astype(np.float64).reshape(h // 2, 2, w // 2, 2)
+    return np.clip(
+        _round_half_up(quad.mean(axis=(1, 3))), 0, 255
+    ).astype(np.uint8)
+
+
+def _mcu_plan_444(n_comp: int, by: int, bx: int):
+    """One block per component per MCU; MCU grid == block grid."""
+    return [[(ci, m) for ci in range(n_comp)] for m in range(by * bx)]
+
+
+def _mcu_plan_420(lby: int, lbx: int):
+    """2x2 luma blocks + 1 Cb + 1 Cr per MCU (luma grid is 16-aligned)."""
+    mby, mbx = lby // 2, lbx // 2
+    plan = []
+    for my in range(mby):
+        for mx in range(mbx):
+            plan.append(
+                [
+                    (0, (2 * my) * lbx + 2 * mx),
+                    (0, (2 * my) * lbx + 2 * mx + 1),
+                    (0, (2 * my + 1) * lbx + 2 * mx),
+                    (0, (2 * my + 1) * lbx + 2 * mx + 1),
+                    (1, my * mbx + mx),
+                    (2, my * mbx + mx),
+                ]
+            )
+    return plan
+
+
 def encode_jpeg(px: np.ndarray, quality: int = 75,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                subsampling: str = "444") -> bytes:
     """Baseline JFIF encode of a (h, w) grayscale or (h, w, 3) RGB uint8
-    array, 4:4:4 (no chroma subsampling), optional restart markers."""
+    array; ``subsampling`` is ``"444"`` or ``"420"`` (color only),
+    optional restart markers (interval counts MCUs)."""
     if px.dtype != np.uint8:
         raise ValueError("pixels must be uint8")
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
         raise ValueError("expected (h,w) grayscale or (h,w,3) RGB")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be 444 or 420, got {subsampling}")
+    sub420 = subsampling == "420" and not gray
     h, w = px.shape[:2]
     if h == 0 or w == 0 or h > 65535 or w > 65535:
         raise ValueError(f"bad dimensions {h}x{w}")
 
     q_luma = quality_scale(BASE_Q_LUMA, quality)
     q_chroma = quality_scale(BASE_Q_CHROMA, quality)
-    channels = (
-        [px] if gray else [rgb_to_ycbcr(px)[..., i] for i in range(3)]
-    )
-    qtabs = [q_luma] + ([q_chroma, q_chroma] if not gray else [])
+
+    # component planes -> quantized zigzag blocks + an MCU plan
+    if gray:
+        zz, by, bx = _quantize_blocks(px, q_luma)
+        comp_zz = [zz]
+        plan = _mcu_plan_444(1, by, bx)
+        n_comp, samplings = 1, [0x11]
+    else:
+        ycc = rgb_to_ycbcr(px)
+        if sub420:
+            ph, pw = (-h) % 16, (-w) % 16
+            ycc = np.pad(ycc, ((0, ph), (0, pw), (0, 0)), mode="edge")
+            comp_zz = [_quantize_blocks(ycc[..., 0], q_luma)[0]]
+            lby = ycc.shape[0] // 8
+            lbx = ycc.shape[1] // 8
+            for ci in (1, 2):
+                comp_zz.append(
+                    _quantize_blocks(
+                        _downsample2(ycc[..., ci]), q_chroma
+                    )[0]
+                )
+            plan = _mcu_plan_420(lby, lbx)
+            n_comp, samplings = 3, [0x22, 0x11, 0x11]
+        else:
+            comp_zz = []
+            by = bx = 0
+            for ci in range(3):
+                zz, by, bx = _quantize_blocks(
+                    ycc[..., ci], q_luma if ci == 0 else q_chroma
+                )
+                comp_zz.append(zz)
+            plan = _mcu_plan_444(3, by, bx)
+            n_comp, samplings = 3, [0x11, 0x11, 0x11]
 
     dc_codes, dc_counts, dc_syms = _canonical_codes(_DC_LENGTHS)
     ac_codes, ac_counts, ac_syms = _canonical_codes(_ac_lengths())
@@ -302,12 +382,12 @@ def encode_jpeg(px: np.ndarray, quality: int = 75,
     for tid, q in ((0, q_luma), (1, q_chroma)) if not gray else ((0, q_luma),):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
         out += bytes(int(v) for v in q[ZIGZAG])
-    n_comp = 1 if gray else 3
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * n_comp, 8, h, w,
                                      n_comp)
     for ci in range(n_comp):
-        # component id, sampling 1x1 (0x11), quant table id
-        out += struct.pack(">BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+        out += struct.pack(
+            ">BBB", ci + 1, samplings[ci], 0 if ci == 0 else 1
+        )
     for tclass_tid, counts, syms in ((0x00, dc_counts, dc_syms),
                                      (0x10, ac_counts, ac_syms)):
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(syms), tclass_tid)
@@ -319,30 +399,18 @@ def encode_jpeg(px: np.ndarray, quality: int = 75,
         out += struct.pack(">BB", ci + 1, 0x00)  # DC table 0, AC table 0
     out += struct.pack(">BBB", 0, 63, 0)  # spectral selection (baseline)
 
-    # per-channel coefficient blocks (all channels share block geometry
-    # in 4:4:4): FDCT all blocks at once, quantize, zigzag
-    comp_zz = []
-    n_blocks = None
-    for chan, q in zip(channels, qtabs):
-        blocks, by, bx = _to_blocks(chan)
-        n_blocks = len(blocks)
-        shifted = blocks.astype(np.float64) - 128.0
-        coef = np.einsum("ux,nxy,vy->nuv", _C, shifted, _C)
-        zz = _round_half_up(coef / q.reshape(8, 8)).astype(np.int64)
-        comp_zz.append(zz.reshape(-1, 64)[:, ZIGZAG])
-
     bw = _BitWriter()
     prev_dc = [0] * n_comp
     rst = 0
-    for bi in range(n_blocks):
-        if restart_interval and bi and bi % restart_interval == 0:
+    for mi, mcu in enumerate(plan):
+        if restart_interval and mi and mi % restart_interval == 0:
             bw.pad_to_byte()
             bw.buf += bytes([0xFF, 0xD0 + (rst & 7)])
             rst += 1
             prev_dc = [0] * n_comp
-        for ci in range(n_comp):
+        for ci, blk in mcu:
             prev_dc[ci] = _encode_block(
-                bw, comp_zz[ci][bi], prev_dc[ci], dc_codes, ac_codes
+                bw, comp_zz[ci][blk], prev_dc[ci], dc_codes, ac_codes
             )
     bw.pad_to_byte()
     out += bw.buf
@@ -504,10 +572,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError(f"unsupported precision {precision}")
             for ci in range(n_comp):
                 cid, samp, qid = seg[6 + 3 * ci:9 + 3 * ci]
-                if samp != 0x11:
-                    raise ValueError(
-                        "chroma subsampling unsupported (4:4:4 only)"
-                    )
                 comps.append((cid, samp, qid))
         elif marker == 0xC4:  # DHT
             p = 0
@@ -536,22 +600,38 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if [c[0] for c in comps] != [c[0] for c in scan_comps]:
         raise ValueError("scan component order mismatch")
 
-    by, bx = (h + 7) // 8, (w + 7) // 8
-    n_blocks = by * bx
-    coef = np.zeros((n_comp, n_blocks, 64), dtype=np.int64)
+    samps = [c[1] for c in comps]
+    if all(s == 0x11 for s in samps):
+        sub420 = False
+        by, bx = (h + 7) // 8, (w + 7) // 8
+        comp_dims = [(by, bx)] * n_comp
+        plan = _mcu_plan_444(n_comp, by, bx)
+    elif n_comp == 3 and samps == [0x22, 0x11, 0x11]:
+        sub420 = True
+        lby, lbx = 2 * ((h + 15) // 16), 2 * ((w + 15) // 16)
+        comp_dims = [(lby, lbx), (lby // 2, lbx // 2), (lby // 2, lbx // 2)]
+        plan = _mcu_plan_420(lby, lbx)
+    else:
+        raise ValueError(
+            "chroma subsampling unsupported (4:4:4 and 4:2:0 only), got "
+            f"sampling bytes {[hex(s) for s in samps]}"
+        )
+
+    coef = [
+        np.zeros((cby * cbx, 64), dtype=np.int64) for cby, cbx in comp_dims
+    ]
     br = _BitReader(data[scan_start:])
     prev_dc = [0] * n_comp
-    bi = 0
-    while bi < n_blocks:
-        if restart_interval and bi and bi % restart_interval == 0:
+    for mi, mcu in enumerate(plan):
+        if restart_interval and mi and mi % restart_interval == 0:
             br.sync_restart()
             prev_dc = [0] * n_comp
-        for ci in range(n_comp):
+        for ci, blk in mcu:
             dc_lut = huff_dc[scan_comps[ci][1]]
             ac_lut = huff_ac[scan_comps[ci][2]]
             size = dc_lut.decode(br)
             prev_dc[ci] += _extend(br.take(size), size)
-            coef[ci, bi, 0] = prev_dc[ci]
+            coef[ci][blk, 0] = prev_dc[ci]
             k = 1
             while k < 64:
                 sym = ac_lut.decode(br)
@@ -566,19 +646,25 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 k += run
                 if k >= 64:
                     raise ValueError("AC run past block end")
-                coef[ci, bi, k] = _extend(br.take(size), size)
+                coef[ci][blk, k] = _extend(br.take(size), size)
                 k += 1
-        bi += 1
 
     chans = []
     for ci, (cid, _samp, qid) in enumerate(comps):
         q = qtabs[qid]
+        cby, cbx = comp_dims[ci]
         deq = (coef[ci][:, UNZIGZAG] * q).reshape(-1, 8, 8).astype(
             np.float64
         )
         spatial = np.einsum("ux,nuv,vy->nxy", _C, deq, _C)
-        px = np.clip(_round_half_up(spatial + 128.0), 0, 255)
-        chans.append(_from_blocks(px.astype(np.uint8), by, bx, h, w))
+        px = np.clip(_round_half_up(spatial + 128.0), 0, 255).astype(
+            np.uint8
+        )
+        plane = _from_blocks(px, cby, cbx, cby * 8, cbx * 8)
+        if sub420 and ci > 0:
+            # nearest (replicate) upsample back to luma resolution
+            plane = np.repeat(np.repeat(plane, 2, axis=0), 2, axis=1)
+        chans.append(plane[:h, :w])
     if n_comp == 1:
         return chans[0]
     if n_comp != 3:

@@ -501,6 +501,42 @@ def synthetic_jpeg_color_media(spark, n: int = 24) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synthetic_jpeg420_media(spark, n: int = 24) -> DataFrame:
+    """4:2:0 twin of :func:`synthetic_jpeg_color_media`: the same per-tile
+    RGB formulas but on 16x16 tiles (one full MCU each), encoded with
+    2x2-luma subsampling and MCU-level restart markers on every third
+    image.  A uniform 16x16 tile stays uniform through the box-filter
+    chroma downsample, so the SAME per-channel closed form verifies the
+    whole subsampled pipeline (including replicate upsample)."""
+    from ..functions.jpeg import encode_jpeg
+
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        bw = 2 + (i * 3) % 4
+        bh = 2 + i % 3
+        quality = (35, 50, 75, 90)[i % 4]
+        ri = 1 if i % 3 == 0 else 0
+        bxs = np.arange(bw, dtype=np.int64)[None, :]
+        bys = np.arange(bh, dtype=np.int64)[:, None]
+        chans = [
+            (29 * i + 31 * bxs + 57 * bys) % 256,
+            (7 * i + 11 * bxs + 43 * bys) % 256,
+            (3 * i + 53 * bxs + 19 * bys) % 256,
+        ]
+        px = np.stack(
+            [np.repeat(np.repeat(c, 16, axis=0), 16, axis=1) for c in chans],
+            axis=-1,
+        ).astype(np.uint8)
+        rows.append(
+            (f"j20_{i:05d}", "image", "image/jpeg", bw * 16, bh * 16, None,
+             encode_jpeg(px, quality=quality, subsampling="420",
+                         restart_interval=ri))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def jpeg_tile_stats(media: DataFrame) -> DataFrame:
     """Exact grayscale pixel stats from a REAL baseline-JPEG decode
     (Huffman + dequant + IDCT).  Same all-integer shape as

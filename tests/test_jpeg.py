@@ -129,6 +129,84 @@ def test_restart_interval_parity():
             )
 
 
+def test_420_solid_macroblock_matches_closed_form():
+    """4:2:0: a uniform 16x16 tile stays uniform through the box
+    downsample + replicate upsample, so the 4:4:4 closed form verifies
+    the subsampled pipeline unchanged."""
+    quality = 75
+    q_l = int(quality_scale(BASE_Q_LUMA, quality)[0])
+    q_c = int(quality_scale(BASE_Q_CHROMA, quality)[0])
+    for rgb in [(200, 30, 90), (5, 250, 125), (0, 0, 0)]:
+        img = np.zeros((16, 32, 3), dtype=np.uint8)
+        img[..., 0], img[..., 1], img[..., 2] = rgb
+        dec = decode_jpeg(encode_jpeg(img, quality=quality,
+                                      subsampling="420"))
+        ycc = rgb_to_ycbcr(img[:1, :1])[0, 0]
+        rt = np.array(
+            [
+                solid_tile_decoded_value(int(ycc[0]), q_l),
+                solid_tile_decoded_value(int(ycc[1]), q_c),
+                solid_tile_decoded_value(int(ycc[2]), q_c),
+            ],
+            dtype=np.uint8,
+        )
+        expect = ycbcr_to_rgb(rt.reshape(1, 1, 3))[0, 0]
+        assert np.array_equal(dec.reshape(-1, 3), np.tile(expect, (512, 1)))
+
+
+def test_420_roundtrip_and_odd_sizes():
+    rng = np.random.default_rng(11)
+    ys, xs = np.mgrid[0:48, 0:64]
+    smooth = np.stack(
+        [((ys + xs) // 2) % 256, ys % 256, xs % 256], axis=-1
+    ).astype(np.uint8)
+    err = np.abs(
+        decode_jpeg(encode_jpeg(smooth, quality=90, subsampling="420"))
+        .astype(int) - smooth
+    ).max()
+    assert err <= 8  # chroma subsampling costs a little even when smooth
+    for shape in [(23, 37, 3), (16, 16, 3), (1, 1, 3), (17, 16, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert decode_jpeg(
+            encode_jpeg(img, quality=95, subsampling="420")
+        ).shape == img.shape
+
+
+def test_420_restart_interval_parity():
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=80, subsampling="420"))
+    for ri in (1, 3):
+        assert np.array_equal(
+            decode_jpeg(
+                encode_jpeg(img, quality=80, subsampling="420",
+                            restart_interval=ri)
+            ),
+            base,
+        )
+
+
+def test_420_luma_fidelity_unaffected_by_subsampling():
+    """Subsampling touches chroma only: the decoded LUMA plane of a 420
+    stream must equal the 444 stream's (same quant, same DCT path)."""
+    rng = np.random.default_rng(17)
+    # mid-gamut values: RGB clamping never fires, so luma passes through
+    # the color roundtrip undistorted by chroma error
+    img = rng.integers(100, 160, (32, 32, 3), dtype=np.uint8)
+    a = rgb_to_ycbcr(decode_jpeg(encode_jpeg(img, quality=90)))[..., 0]
+    b = rgb_to_ycbcr(
+        decode_jpeg(encode_jpeg(img, quality=90, subsampling="420"))
+    )[..., 0]
+    # YCbCr->RGB->YCbCr roundtrips wobble by ±2; the luma signal itself
+    # is identical between the two streams
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 4
+
+
+def test_encoder_subsampling_validation():
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), subsampling="422")
+
+
 def test_color_conversion_roundtrip_bound():
     rng = np.random.default_rng(9)
     px = rng.integers(0, 256, (50, 50, 3), dtype=np.uint8)
@@ -147,10 +225,10 @@ def test_rejects_garbage_and_unsupported():
     data[i + 1] = 0xC2
     with pytest.raises(ValueError, match="SOF"):
         decode_jpeg(bytes(data))
-    # corrupt sampling factor to 4:2:0 (0x22)
+    # corrupt sampling factor to an unsupported 4:1:1-style layout (0x41)
     data = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
     i = bytes(data).find(b"\xff\xc0")
-    data[i + 11] = 0x22  # first component sampling byte
+    data[i + 11] = 0x41  # first component sampling byte
     with pytest.raises(ValueError, match="subsampling"):
         decode_jpeg(bytes(data))
 
