@@ -1523,6 +1523,19 @@ def q_jpeg420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_color_tile_stats(synthetic_jpeg420_media(spark, 24))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals (top-bigram char
+    mass, duplicated-bigram char mass, distinct-word ratio) — zero-shuffle
+    row-local HOF computation; overlapping occurrences over-count shared
+    characters by design, so degenerate loops score > 1."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        intra_doc_repetition,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return intra_doc_repetition(docs)
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch gap-sessionization of per-user event streams (1-hour gap) —
     the batch twin of the streaming conv_sessions operator."""
@@ -1812,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_color_stats": q_jpeg_color_stats,
         "jpeg420_stats": q_jpeg420_stats,
         "user_sessions": q_user_sessions,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -3456,6 +3470,44 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 6)
          AS duration_s
 FROM numbered GROUP BY user_id, session_idx
+""",
+        # same determinism contract as intra_doc_repetition: literal
+        # single-space split, chars = re-joined words, top-gram tie-break
+        # (count DESC, gram DESC), <2-word docs -> NULL gram / 0 fractions
+        "repetition_stats": """
+WITH base AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+), stats AS (
+  SELECT doc_id, len(w) AS n_words,
+         length(array_to_string(w, ' ')) AS n_chars,
+         len(list_distinct(w)) AS n_distinct, w
+  FROM base
+), grams AS (
+  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS gram
+  FROM stats, unnest(range(1, n_words)) t(i)
+  WHERE n_words >= 2
+), gc AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, gram AS top_gram, cnt AS top_cnt
+  FROM gc
+  QUALIFY row_number()
+    OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) = 1
+), dup AS (
+  SELECT doc_id,
+         sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END)
+           AS dup_mass
+  FROM gc GROUP BY 1
+)
+SELECT s.doc_id, CAST(n_words AS BIGINT) AS n_words,
+  round(n_distinct / CAST(n_words AS DOUBLE), 4) AS distinct_frac,
+  top_gram,
+  CAST(coalesce(top_cnt, 0) AS BIGINT) AS top_gram_count,
+  round(coalesce(top_cnt * length(top_gram), 0)
+        / CAST(greatest(n_chars, 1) AS DOUBLE), 4) AS top_gram_char_frac,
+  round(coalesce(dup_mass, 0)
+        / CAST(greatest(n_chars, 1) AS DOUBLE), 4) AS dup_gram_frac
+FROM stats s LEFT JOIN top USING (doc_id) LEFT JOIN dup USING (doc_id)
 """,
     }
 

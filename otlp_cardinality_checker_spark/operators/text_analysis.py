@@ -413,3 +413,105 @@ def language_id(docs: DataFrame) -> DataFrame:
         detected.alias("lang_detected"),
         best.cast("long").alias("marker_score"),
     )
+
+
+def intra_doc_repetition(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Gopher-style INTRA-document repetition signals per document: the
+    character mass of the most frequent word n-gram and of all duplicated
+    n-grams, plus the distinct-word ratio — the standard web-corpus
+    filters for boilerplate/keyword-stuffed/looping text that corpus-level
+    dedup (dup_ngram_rate) cannot see because they fire within ONE doc.
+
+    Scale shape: everything is row-local — split, array_sort, and a
+    run-length fold over higher-order functions, so the whole operator is
+    ONE narrow projection with ZERO exchanges (plan-pinned in
+    tests/test_text_analysis.py). At 100 TB this is embarrassingly
+    parallel: no shuffle, no skew surface, cost linear in document bytes
+    (the sort is per-doc, O(words log words)).
+
+    Determinism contract (mirrored exactly by the DuckDB oracle):
+    words = literal single-space split of trim(text); n_chars = length of
+    the words re-joined with single spaces; top gram tie-break = highest
+    count, then lexicographically LARGEST gram; docs with < n words yield
+    NULL top_gram and 0 fractions.
+    """
+    words = F.split(F.trim(F.col("text")), " ")
+    d = docs.select("doc_id", words.alias("w"))
+    # sequence(0, size-n) on a doc with < n words would be DESCENDING;
+    # the `when` guard pins those docs to an empty gram array instead
+    d = d.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.length(F.array_join("w", " ")).alias("n_chars"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        F.when(
+            F.size("w") >= n,
+            F.expr(
+                f"""
+                array_sort(transform(
+                  sequence(0, size(w) - {n}),
+                  i -> array_join(slice(w, i + 1, {n}), ' ')
+                ))
+                """
+            ),
+        )
+        .otherwise(F.expr("cast(array() as array<string>)"))
+        .alias("g"),
+    )
+    # run-length encode the sorted gram array: `runs` holds the 0-based
+    # positions where a new gram starts; run j spans runs[j]..(runs[j+1]-1)
+    d = d.withColumn(
+        "runs",
+        # sequence(0, -1) is DESCENDING in Spark, so empty gram arrays
+        # need the explicit empty-runs branch
+        F.expr(
+            """
+            if(size(g) = 0, cast(array() as array<int>),
+               filter(sequence(0, size(g) - 1),
+                      i -> i = 0 OR g[i] != g[i-1]))
+            """
+        ),
+    ).withColumn(
+        "tops",
+        F.expr(
+            """
+            if(size(runs) = 0,
+               cast(array() as array<struct<cnt: int, gram: string>>),
+               transform(
+                 sequence(0, size(runs) - 1),
+                 j -> named_struct(
+                   'cnt',
+                   if(j = size(runs) - 1, size(g), runs[j + 1]) - runs[j],
+                   'gram', g[runs[j]]
+                 )
+               ))
+            """
+        ),
+    )
+    top = F.array_max("tops")
+    dup_mass = F.expr(
+        """
+        aggregate(
+          tops, 0L,
+          (acc, s) -> acc + if(s.cnt > 1, s.cnt * length(s.gram), 0L)
+        )
+        """
+    )
+    chars = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    return d.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(F.col("n_distinct") / F.col("n_words"), 4).alias(
+            "distinct_frac"
+        ),
+        top["gram"].alias("top_gram"),
+        F.coalesce(top["cnt"].cast("long"), F.lit(0)).alias(
+            "top_gram_count"
+        ),
+        F.round(
+            F.coalesce(top["cnt"] * F.length(top["gram"]), F.lit(0))
+            / chars,
+            4,
+        ).alias("top_gram_char_frac"),
+        F.round(dup_mass / chars, 4).alias("dup_gram_frac"),
+    )

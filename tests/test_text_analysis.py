@@ -88,3 +88,48 @@ def test_char_entropy_engines_agree_on_adversarial_inputs(spark):
     assert by_id[3][3] == 0.0  # lower() folds 4x'a'+4x'A' to one symbol
     assert by_id[6][3] == 0.0  # single-letter spam: zero entropy
     assert by_id[5][3] > 2.0  # pangram: near the latin letter ceiling
+
+
+def test_intra_doc_repetition_hand_computed(spark):
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        intra_doc_repetition,
+    )
+
+    rows = [
+        (1, "solo"),            # < 2 words: NULL gram, zero fractions
+        (2, "a a a a"),         # "a a" x3 (overlapping runs of one gram)
+        (3, "x y x y x"),       # "x y" x2, "y x" x2 -> tie, "y x" wins
+        (4, ""),                # split('') == [''] in both engines
+        (5, "cat dog cat dog"), # "cat dog" x2, others x1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in intra_doc_repetition(docs).collect()
+    }
+    assert got[1]["top_gram"] is None
+    assert got[1]["top_gram_count"] == 0
+    assert got[1]["dup_gram_frac"] == 0.0
+    assert got[2]["top_gram"] == "a a"
+    assert got[2]["top_gram_count"] == 3
+    # 3 occurrences x 3 chars / 7 chars -> overlapping mass can exceed 1
+    assert got[2]["top_gram_char_frac"] == round(9 / 7, 4)
+    assert got[3]["top_gram"] == "y x"  # tie on count=2 -> larger gram
+    assert got[3]["dup_gram_frac"] == round((2 * 3 + 2 * 3) / 9, 4)
+    assert got[4]["top_gram"] is None
+    assert got[5]["top_gram"] == "cat dog"
+    assert got[5]["top_gram_count"] == 2
+    assert got[5]["distinct_frac"] == 0.5
+
+
+def test_intra_doc_repetition_plan_has_no_exchange(spark):
+    """The operator is row-local by construction: ONE scan, projections
+    only — any Exchange in this plan is a scale regression."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        intra_doc_repetition,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = intra_doc_repetition(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan
