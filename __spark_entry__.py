@@ -1523,6 +1523,20 @@ def q_jpeg420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_color_tile_stats(synthetic_jpeg420_media(spark, 24))
 
 
+def q_jpeg_prog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive (SOF2) JPEG decode — multi-scan parse, spectral
+    selection, successive approximation on DC and AC, EOB runs,
+    correction bits, restart markers — oracle-checked by the 4:4:4
+    closed form (progressive re-orders the same quantized
+    coefficients, so the baseline oracle applies verbatim)."""
+    from otlp_cardinality_checker_spark.operators.multimodal import (
+        jpeg_color_tile_stats,
+        synthetic_jpeg_progressive_media,
+    )
+
+    return jpeg_color_tile_stats(synthetic_jpeg_progressive_media(spark, 24))
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document repetition signals (top-bigram char
     mass, duplicated-bigram char mass, distinct-word ratio) — zero-shuffle
@@ -1826,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg420_stats": q_jpeg420_stats,
         "user_sessions": q_user_sessions,
         "repetition_stats": q_repetition_stats,
+        "jpeg_prog_stats": q_jpeg_prog_stats,
     }
 
 
@@ -1958,7 +1973,7 @@ FROM u GROUP BY sink, "key"
 """
     )
 
-    return {
+    oracles = {
         "route_counts": pre
         + "SELECT sink, count(*) AS n_rows FROM routed GROUP BY sink",
         "sink_chat_turns": sink_turns_sql("chat"),
@@ -3510,6 +3525,13 @@ SELECT s.doc_id, CAST(n_words AS BIGINT) AS n_words,
 FROM stats s LEFT JOIN top USING (doc_id) LEFT JOIN dup USING (doc_id)
 """,
     }
+    # progressive JPEG carries the SAME quantized coefficients as baseline,
+    # so its oracle is the 4:4:4 closed form verbatim, only the fixture
+    # ids differ
+    oracles["jpeg_prog_stats"] = oracles["jpeg_color_stats"].replace(
+        "jpc_", "jpp_"
+    )
+    return oracles
 
 
 def _pii_stats_sql() -> str:

@@ -13,10 +13,21 @@ libraries beyond numpy:
   variable-width bit decoding, restart-marker resync, dequantize +
   dezigzag, one vectorized einsum IDCT over all blocks, YCbCr→RGB.
 
-Scope: baseline (SOF0), 8-bit, 1 or 3 components, 4:4:4 AND 4:2:0 chroma
-subsampling (2x2-luma MCUs, box-filter downsample on encode, replicate
-upsample on decode).  Progressive (SOF2), arithmetic coding, and other
-sampling layouts raise ValueError — explicitly, not silently.
+Scope: baseline (SOF0/SOF1) AND progressive (SOF2) DCT, 8-bit, 1 or 3
+components, 4:4:4 and 4:2:0 chroma subsampling (2x2-luma MCUs,
+box-filter downsample on encode, replicate upsample on decode).
+Progressive covers the full ITU T.81 Annex G Huffman path: multi-scan
+parsing, spectral selection, successive approximation on DC and AC
+(first scans with cross-block EOB runs, refinement scans with
+correction bits), restart markers inside any scan.  Arithmetic coding,
+hierarchical (SOF3+), and other sampling layouts raise ValueError —
+explicitly, not silently.
+
+A progressive stream transmits the SAME quantized coefficients as the
+baseline stream, only re-ordered — so decode(progressive encode) must
+equal decode(baseline encode) bit-for-bit, which is how the tests pin
+the whole Annex-G path without any external codec; the solid-tile
+closed form below therefore verifies progressive streams unchanged.
 
 Numeric contract (what makes a lossy codec *oracle-checkable*): every
 rounding step is ``sign(x) * floor(|x| + 0.5 + 1e-9)`` — half-away with a
@@ -102,8 +113,8 @@ def _ac_lengths() -> list[tuple[int, int]]:
     for run in range(16):
         for size in range(0, 11):
             sym = (run << 4) | size
-            if size == 0 and run not in (0, 15):
-                continue  # only EOB (0x00) and ZRL (0xF0) have size 0
+            # size-0 symbols are EOB runs (EOB0..EOB14, used by the
+            # progressive path; EOB0 = baseline EOB) and ZRL (0xF0)
             if sym in _AC_SHORT:
                 continue
             rest.append(sym)
@@ -274,6 +285,96 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, prev_dc: int,
     return dc
 
 
+def _flush_eobrun(bw: _BitWriter, ac_codes: dict, state: dict) -> None:
+    """Emit a pending cross-block EOB run (EOBn code + extra bits) and the
+    correction bits that ride with it (T.81 G.1.2.2/G.1.2.3)."""
+    if state["eobrun"] > 0:
+        nbits = state["eobrun"].bit_length() - 1
+        code, length = ac_codes[nbits << 4]
+        bw.write(code, length)
+        if nbits:
+            bw.write(state["eobrun"] & ((1 << nbits) - 1), nbits)
+        state["eobrun"] = 0
+    for b in state["bits"]:
+        bw.write(b, 1)
+    state["bits"] = []
+
+
+def _enc_ac_first(bw: _BitWriter, zz: np.ndarray, ss: int, se: int,
+                  al: int, ac_codes: dict, state: dict) -> None:
+    """One block of an AC first (Ah=0) progressive scan: point-transformed
+    sign-magnitude coefficients, zero runs, cross-block EOB runs."""
+    r = 0
+    emitted = False
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        if not emitted:
+            _flush_eobrun(bw, ac_codes, state)
+            emitted = True
+        while r > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            r -= 16
+        size = t.bit_length()
+        _, bits = _magnitude(t if v > 0 else -t)
+        code, length = ac_codes[(r << 4) | size]
+        bw.write(code, length)
+        bw.write(bits, size)
+        r = 0
+    if r > 0 or not emitted:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(bw, ac_codes, state)
+
+
+def _enc_ac_refine(bw: _BitWriter, zz: np.ndarray, ss: int, se: int,
+                   al: int, ac_codes: dict, state: dict) -> None:
+    """One block of an AC refinement (Ah>0) scan: newly-visible
+    coefficients as run/1 codes with a sign bit; one correction bit per
+    nonzero-history coefficient, buffered to ride with the next code or
+    the EOB run (T.81 G.1.2.3)."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = 0  # 1 + relative index of the last NEWLY-visible coefficient
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i + 1
+    r = 0
+    br_bits: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        # ZRLs only when they cannot fold into the EOB run
+        while r > 15 and i < eob:
+            _flush_eobrun(bw, ac_codes, state)
+            code, length = ac_codes[0xF0]
+            bw.write(code, length)
+            r -= 16
+            for b in br_bits:
+                bw.write(b, 1)
+            br_bits = []
+        if t > 1:  # history-nonzero: correction bit only, run unaffected
+            br_bits.append(t & 1)
+            continue
+        _flush_eobrun(bw, ac_codes, state)
+        code, length = ac_codes[(r << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if int(zz[ss + i]) > 0 else 0, 1)
+        for b in br_bits:
+            bw.write(b, 1)
+        br_bits = []
+        r = 0
+    if r > 0 or br_bits:
+        state["eobrun"] += 1
+        state["bits"].extend(br_bits)
+        if state["eobrun"] == 0x7FFF or len(state["bits"]) > 1000:
+            _flush_eobrun(bw, ac_codes, state)
+
+
 def _quantize_blocks(chan: np.ndarray, q: np.ndarray,
                      mult: int = 8) -> tuple[np.ndarray, int, int]:
     """FDCT all 8x8 blocks of one channel at once, quantize, zigzag."""
@@ -320,10 +421,16 @@ def _mcu_plan_420(lby: int, lbx: int):
 
 def encode_jpeg(px: np.ndarray, quality: int = 75,
                 restart_interval: int = 0,
-                subsampling: str = "444") -> bytes:
-    """Baseline JFIF encode of a (h, w) grayscale or (h, w, 3) RGB uint8
-    array; ``subsampling`` is ``"444"`` or ``"420"`` (color only),
-    optional restart markers (interval counts MCUs)."""
+                subsampling: str = "444",
+                progressive: bool = False) -> bytes:
+    """Baseline (SOF0) or progressive (SOF2) JFIF encode of a (h, w)
+    grayscale or (h, w, 3) RGB uint8 array; ``subsampling`` is ``"444"``
+    or ``"420"`` (color only), optional restart markers (interval counts
+    MCUs / blocks per scan).  The progressive scan script uses spectral
+    selection AND successive approximation (DC Al=1→0; luma AC split
+    1-5/6-63 at Al=2 then two refinement passes, chroma AC at Al=1 then
+    one), exercising every Annex-G Huffman coding mode; the quantized
+    coefficients are identical to the baseline stream's by construction."""
     if px.dtype != np.uint8:
         raise ValueError("pixels must be uint8")
     gray = px.ndim == 2
@@ -339,12 +446,15 @@ def encode_jpeg(px: np.ndarray, quality: int = 75,
     q_luma = quality_scale(BASE_Q_LUMA, quality)
     q_chroma = quality_scale(BASE_Q_CHROMA, quality)
 
-    # component planes -> quantized zigzag blocks + an MCU plan
+    # component planes -> quantized zigzag blocks + an MCU plan; grid_dims
+    # is the (MCU-padded) block grid each comp's blocks are stored on,
+    # scan_dims the ceil(samples/8) grid non-interleaved scans cover
     if gray:
         zz, by, bx = _quantize_blocks(px, q_luma)
         comp_zz = [zz]
         plan = _mcu_plan_444(1, by, bx)
         n_comp, samplings = 1, [0x11]
+        grid_dims = scan_dims = [(by, bx)]
     else:
         ycc = rgb_to_ycbcr(px)
         if sub420:
@@ -361,6 +471,14 @@ def encode_jpeg(px: np.ndarray, quality: int = 75,
                 )
             plan = _mcu_plan_420(lby, lbx)
             n_comp, samplings = 3, [0x22, 0x11, 0x11]
+            grid_dims = [(lby, lbx), (lby // 2, lbx // 2),
+                         (lby // 2, lbx // 2)]
+            ch, cw = (h + 1) // 2, (w + 1) // 2
+            scan_dims = [
+                ((h + 7) // 8, (w + 7) // 8),
+                ((ch + 7) // 8, (cw + 7) // 8),
+                ((ch + 7) // 8, (cw + 7) // 8),
+            ]
         else:
             comp_zz = []
             by = bx = 0
@@ -371,6 +489,7 @@ def encode_jpeg(px: np.ndarray, quality: int = 75,
                 comp_zz.append(zz)
             plan = _mcu_plan_444(3, by, bx)
             n_comp, samplings = 3, [0x11, 0x11, 0x11]
+            grid_dims = scan_dims = [(by, bx)] * 3
 
     dc_codes, dc_counts, dc_syms = _canonical_codes(_DC_LENGTHS)
     ac_codes, ac_counts, ac_syms = _canonical_codes(_ac_lengths())
@@ -382,8 +501,9 @@ def encode_jpeg(px: np.ndarray, quality: int = 75,
     for tid, q in ((0, q_luma), (1, q_chroma)) if not gray else ((0, q_luma),):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
         out += bytes(int(v) for v in q[ZIGZAG])
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * n_comp, 8, h, w,
-                                     n_comp)
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof_marker + struct.pack(">HBHHB", 8 + 3 * n_comp, 8, h, w,
+                                    n_comp)
     for ci in range(n_comp):
         out += struct.pack(
             ">BBB", ci + 1, samplings[ci], 0 if ci == 0 else 1
@@ -394,26 +514,100 @@ def encode_jpeg(px: np.ndarray, quality: int = 75,
         out += bytes(counts) + bytes(syms)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * n_comp, n_comp)
-    for ci in range(n_comp):
-        out += struct.pack(">BB", ci + 1, 0x00)  # DC table 0, AC table 0
-    out += struct.pack(">BBB", 0, 63, 0)  # spectral selection (baseline)
 
-    bw = _BitWriter()
-    prev_dc = [0] * n_comp
-    rst = 0
-    for mi, mcu in enumerate(plan):
-        if restart_interval and mi and mi % restart_interval == 0:
-            bw.pad_to_byte()
-            bw.buf += bytes([0xFF, 0xD0 + (rst & 7)])
-            rst += 1
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        hdr = struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
+        for cid in comp_ids:
+            hdr += struct.pack(">BB", cid + 1, 0x00)  # DC tab 0, AC tab 0
+        hdr += struct.pack(">BBB", ss, se, (ah << 4) | al)
+        return b"\xff\xda" + hdr
+
+    if not progressive:
+        out += sos(list(range(n_comp)), 0, 63, 0, 0)
+        bw = _BitWriter()
+        prev_dc = [0] * n_comp
+        rst = 0
+        for mi, mcu in enumerate(plan):
+            if restart_interval and mi and mi % restart_interval == 0:
+                bw.pad_to_byte()
+                bw.buf += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                prev_dc = [0] * n_comp
+            for ci, blk in mcu:
+                prev_dc[ci] = _encode_block(
+                    bw, comp_zz[ci][blk], prev_dc[ci], dc_codes, ac_codes
+                )
+        bw.pad_to_byte()
+        out += bw.buf
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    # --- progressive scan script (T.81 Annex G, Huffman path) ---
+    if gray:
+        script: list[tuple] = [
+            ("dc", 0, 1),          # DC first, Al=1 (point transform)
+            ("ac", 0, 1, 63, 0, 1),
+            ("dcr", 1, 0),         # DC refinement bit
+            ("ac", 0, 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ("dc", 0, 1),
+            ("ac", 0, 1, 5, 0, 2),   # luma low band first
+            ("ac", 2, 1, 63, 0, 1),
+            ("ac", 1, 1, 63, 0, 1),
+            ("ac", 0, 6, 63, 0, 2),  # luma high band
+            ("ac", 0, 1, 63, 2, 1),  # luma refine Al 2->1
+            ("dcr", 1, 0),
+            ("ac", 0, 1, 63, 1, 0),  # final refinements to full precision
+            ("ac", 2, 1, 63, 1, 0),
+            ("ac", 1, 1, 63, 1, 0),
+        ]
+
+    def ac_units(ci: int):
+        nby, nbx = scan_dims[ci]
+        gbx = grid_dims[ci][1]
+        return [r * gbx + c for r in range(nby) for c in range(nbx)]
+
+    for entry in script:
+        bw = _BitWriter()
+        rst = 0
+        if entry[0] in ("dc", "dcr"):
+            _kind, ah, al = entry
+            out += sos(list(range(n_comp)), 0, 0, ah, al)
             prev_dc = [0] * n_comp
-        for ci, blk in mcu:
-            prev_dc[ci] = _encode_block(
-                bw, comp_zz[ci][blk], prev_dc[ci], dc_codes, ac_codes
-            )
-    bw.pad_to_byte()
-    out += bw.buf
+            for mi, mcu in enumerate(plan):
+                if restart_interval and mi and mi % restart_interval == 0:
+                    bw.pad_to_byte()
+                    bw.buf += bytes([0xFF, 0xD0 + (rst & 7)])
+                    rst += 1
+                    prev_dc = [0] * n_comp
+                for ci, blk in mcu:
+                    dc = int(comp_zz[ci][blk][0])
+                    if ah == 0:
+                        v = dc >> al  # arithmetic shift (two's complement)
+                        size, bits = _magnitude(v - prev_dc[ci])
+                        code, length = dc_codes[size]
+                        bw.write(code, length)
+                        bw.write(bits, size)
+                        prev_dc[ci] = v
+                    else:
+                        bw.write((dc >> al) & 1, 1)
+        else:
+            _kind, ci, ss, se, ah, al = entry
+            out += sos([ci], ss, se, ah, al)
+            state = {"eobrun": 0, "bits": []}
+            for bi, blk in enumerate(ac_units(ci)):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    _flush_eobrun(bw, ac_codes, state)
+                    bw.pad_to_byte()
+                    bw.buf += bytes([0xFF, 0xD0 + (rst & 7)])
+                    rst += 1
+                enc = _enc_ac_first if ah == 0 else _enc_ac_refine
+                enc(bw, comp_zz[ci][blk], ss, se, al, ac_codes, state)
+            _flush_eobrun(bw, ac_codes, state)
+        bw.pad_to_byte()
+        out += bw.buf
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -521,11 +715,113 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline 4:4:4 / grayscale JPEG to (h, w) or (h, w, 3) uint8.
+def _entropy_end(data: bytes, start: int) -> int:
+    """Index of the first non-RST, non-stuffed marker after ``start`` —
+    the end of one entropy-coded segment (RSTn markers and 0xFF00
+    stuffing belong to the segment; 0xFFFF is fill)."""
+    i = start
+    n = len(data)
+    while i + 1 < n:
+        if data[i] == 0xFF:
+            nxt = data[i + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            if nxt == 0xFF:  # fill byte
+                i += 1
+                continue
+            return i
+        i += 1
+    return n
 
-    Raises ValueError on non-baseline (progressive/arithmetic), subsampled,
-    or malformed streams."""
+
+def _dec_ac_first(br: _BitReader, row: np.ndarray, lut: _HuffLUT,
+                  kstart: int, se: int, al: int, eobrun: int) -> int:
+    """AC coefficients of one block, first (Ah=0) pass — also the
+    baseline AC path (kstart=1, se=63, al=0, where EOB0 == baseline EOB).
+    Returns the remaining cross-block EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = kstart
+    while k <= se:
+        sym = lut.decode(br)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.take(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        row[k] = _extend(br.take(s), s) << al
+        k += 1
+    return 0
+
+
+def _dec_ac_refine(br: _BitReader, row: np.ndarray, lut: _HuffLUT,
+                   ss: int, se: int, al: int, eobrun: int) -> int:
+    """AC refinement (Ah>0) pass over one block: newly-nonzero
+    coefficients arrive as ±1<<Al; every nonzero-history coefficient
+    passed over receives one correction bit (T.81 G.1.2.3)."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = lut.decode(br)
+            r, s = sym >> 4, sym & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    # NOTE: unlike the first-scan decoder this counts the
+                    # CURRENT block too — the tail below must still hand
+                    # correction bits to the rest of this block's band
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.take(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement symbol")
+                newval = p1 if br.take(1) else m1
+            # advance past r zero-history coefficients, handing a
+            # correction bit to each nonzero-history one on the way
+            while k <= se:
+                if row[k] != 0:
+                    if br.take(1) and (int(row[k]) & p1) == 0:
+                        row[k] += p1 if row[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if k <= se:
+                if newval:
+                    row[k] = newval
+                k += 1
+            elif newval:
+                raise ValueError("AC refinement run past band end")
+    if eobrun > 0:
+        while k <= se:
+            if row[k] != 0:
+                if br.take(1) and (int(row[k]) & p1) == 0:
+                    row[k] += p1 if row[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG, 4:4:4 /
+    4:2:0 / grayscale, to (h, w) or (h, w, 3) uint8.
+
+    Raises ValueError on arithmetic-coded, hierarchical, 12-bit, other
+    sampling layouts, or malformed streams."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG stream")
     pos = 2
@@ -533,12 +829,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_dc: dict[int, _HuffLUT] = {}
     huff_ac: dict[int, _HuffLUT] = {}
     h = w = 0
+    progressive = False
     comps: list[tuple[int, int, int]] = []  # (id, sampling, qtab)
-    scan_comps: list[tuple[int, int, int]] = []  # (id, dc_tab, ac_tab)
     restart_interval = 0
-    scan_start = None
+    # one record per SOS: (comp indices, dc luts, ac luts, ss, se, ah, al,
+    #                      restart interval in force, entropy bytes)
+    scans: list[tuple] = []
 
     while pos + 1 < len(data):
+        while (data[pos] == 0xFF and pos + 1 < len(data)
+               and data[pos + 1] == 0xFF):
+            pos += 1  # fill bytes before a marker
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = data[pos + 1]
@@ -560,13 +861,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 ).astype(np.int64)
                 qtabs[tid] = tab[UNZIGZAG]
                 p += 65
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported SOF marker 0xFF{marker:02X} "
-                "(only baseline SOF0)"
+                "(only baseline SOF0/SOF1 and progressive SOF2)"
             )
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             precision, h, w, n_comp = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise ValueError(f"unsupported precision {precision}")
@@ -586,30 +888,57 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
+            if not comps:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
-            for ci in range(ns):
-                cid, tabs = seg[1 + 2 * ci], seg[2 + 2 * ci]
-                scan_comps.append((cid, tabs >> 4, tabs & 0x0F))
-            scan_start = pos + seglen
-            break
+            cids = [c[0] for c in comps]
+            sc_idx, sc_dc, sc_ac = [], [], []
+            for i in range(ns):
+                cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                if cid not in cids:
+                    raise ValueError(f"scan references unknown comp {cid}")
+                sc_idx.append(cids.index(cid))
+                sc_dc.append(huff_dc.get(tabs >> 4))
+                sc_ac.append(huff_ac.get(tabs & 0x0F))
+            ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("non-full scan in a baseline frame")
+            if progressive and ss == 0 and se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            if progressive and ss > 0 and ns != 1:
+                raise ValueError("progressive AC scans must be ns=1")
+            end = _entropy_end(data, pos + seglen)
+            scans.append((sc_idx, sc_dc, sc_ac, ss, se, ah, al,
+                          restart_interval, data[pos + seglen:end]))
+            pos = end
+            continue
         pos += seglen
 
-    if scan_start is None or not comps:
-        raise ValueError("missing SOS/SOF0 segment")
+    if not scans or not comps:
+        raise ValueError("missing SOS/SOF segment")
     n_comp = len(comps)
-    if [c[0] for c in comps] != [c[0] for c in scan_comps]:
-        raise ValueError("scan component order mismatch")
 
     samps = [c[1] for c in comps]
     if all(s == 0x11 for s in samps):
         sub420 = False
         by, bx = (h + 7) // 8, (w + 7) // 8
         comp_dims = [(by, bx)] * n_comp
+        # non-interleaved (ns=1) scan grids match the MCU grid in 4:4:4
+        scan_dims = list(comp_dims)
         plan = _mcu_plan_444(n_comp, by, bx)
     elif n_comp == 3 and samps == [0x22, 0x11, 0x11]:
         sub420 = True
         lby, lbx = 2 * ((h + 15) // 16), 2 * ((w + 15) // 16)
         comp_dims = [(lby, lbx), (lby // 2, lbx // 2), (lby // 2, lbx // 2)]
+        # ns=1 scans cover ceil(component samples / 8) data units, NOT the
+        # MCU-padded grid (T.81 A.2.2); padded blocks simply stay zero
+        ch, cw = (h + 1) // 2, (w + 1) // 2
+        scan_dims = [
+            ((h + 7) // 8, (w + 7) // 8),
+            ((ch + 7) // 8, (cw + 7) // 8),
+            ((ch + 7) // 8, (cw + 7) // 8),
+        ]
         plan = _mcu_plan_420(lby, lbx)
     else:
         raise ValueError(
@@ -620,34 +949,57 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     coef = [
         np.zeros((cby * cbx, 64), dtype=np.int64) for cby, cbx in comp_dims
     ]
-    br = _BitReader(data[scan_start:])
-    prev_dc = [0] * n_comp
-    for mi, mcu in enumerate(plan):
-        if restart_interval and mi and mi % restart_interval == 0:
-            br.sync_restart()
-            prev_dc = [0] * n_comp
-        for ci, blk in mcu:
-            dc_lut = huff_dc[scan_comps[ci][1]]
-            ac_lut = huff_ac[scan_comps[ci][2]]
-            size = dc_lut.decode(br)
-            prev_dc[ci] += _extend(br.take(size), size)
-            coef[ci][blk, 0] = prev_dc[ci]
-            k = 1
-            while k < 64:
-                sym = ac_lut.decode(br)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("bad AC symbol")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k >= 64:
-                    raise ValueError("AC run past block end")
-                coef[ci][blk, k] = _extend(br.take(size), size)
-                k += 1
+    for sc_idx, sc_dc, sc_ac, ss, se, ah, al, ri, entropy in scans:
+        if len(sc_idx) > 1:
+            if sc_idx != list(range(n_comp)):
+                raise ValueError("interleaved scan must cover all comps")
+            units = plan
+            dc_luts, ac_luts = sc_dc, sc_ac
+        else:
+            ci = sc_idx[0]
+            nby, nbx = scan_dims[ci]
+            gridbx = comp_dims[ci][1]
+            units = [
+                [(ci, r * gridbx + c)]
+                for r in range(nby)
+                for c in range(nbx)
+            ]
+            dc_luts = [None] * ci + [sc_dc[0]]
+            ac_luts = [None] * ci + [sc_ac[0]]
+        if ss == 0 and ah == 0 and any(
+            dc_luts[ci] is None for ci, _b in
+            (pair for unit in units[:1] for pair in unit)
+        ):
+            raise ValueError("scan references undefined DC table")
+        br = _BitReader(entropy)
+        prev_dc = [0] * n_comp
+        eobrun = 0
+        for ui, unit in enumerate(units):
+            if ri and ui and ui % ri == 0:
+                br.sync_restart()
+                prev_dc = [0] * n_comp
+                eobrun = 0
+            for ci, blk in unit:
+                row = coef[ci][blk]
+                if ss == 0:
+                    if ah == 0:
+                        size = dc_luts[ci].decode(br)
+                        prev_dc[ci] += _extend(br.take(size), size)
+                        row[0] = prev_dc[ci] << al
+                    elif br.take(1):
+                        row[0] = int(row[0]) | (1 << al)
+                if se == 0:
+                    continue  # DC-only progressive scan
+                if ac_luts[ci] is None:
+                    raise ValueError("scan references undefined AC table")
+                if ah == 0:
+                    eobrun = _dec_ac_first(
+                        br, row, ac_luts[ci], max(ss, 1), se, al, eobrun
+                    )
+                else:
+                    eobrun = _dec_ac_refine(
+                        br, row, ac_luts[ci], ss, se, al, eobrun
+                    )
 
     chans = []
     for ci, (cid, _samp, qid) in enumerate(comps):

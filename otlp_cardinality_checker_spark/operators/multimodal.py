@@ -501,6 +501,42 @@ def synthetic_jpeg_color_media(spark, n: int = 24) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synthetic_jpeg_progressive_media(spark, n: int = 24) -> DataFrame:
+    """Progressive (SOF2) twin of :func:`synthetic_jpeg_color_media`:
+    identical tile content and quality ladder, encoded with the full
+    spectral-selection + successive-approximation scan script (restart
+    markers on every third image).  A progressive stream carries the SAME
+    quantized coefficients as the baseline stream, so the SAME closed-form
+    oracle verifies the whole multi-scan decode path."""
+    from ..functions.jpeg import encode_jpeg
+
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        bw = 2 + (i * 3) % 4
+        bh = 2 + i % 3
+        quality = (35, 50, 75, 90)[i % 4]
+        ri = 2 if i % 3 == 0 else 0
+        bxs = np.arange(bw, dtype=np.int64)[None, :]
+        bys = np.arange(bh, dtype=np.int64)[:, None]
+        chans = [
+            (29 * i + 31 * bxs + 57 * bys) % 256,
+            (7 * i + 11 * bxs + 43 * bys) % 256,
+            (3 * i + 53 * bxs + 19 * bys) % 256,
+        ]
+        px = np.stack(
+            [np.repeat(np.repeat(c, 8, axis=0), 8, axis=1) for c in chans],
+            axis=-1,
+        ).astype(np.uint8)
+        rows.append(
+            (f"jpp_{i:05d}", "image", "image/jpeg", bw * 8, bh * 8, None,
+             encode_jpeg(px, quality=quality, progressive=True,
+                         restart_interval=ri))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def synthetic_jpeg420_media(spark, n: int = 24) -> DataFrame:
     """4:2:0 twin of :func:`synthetic_jpeg_color_media`: the same per-tile
     RGB formulas but on 16x16 tiles (one full MCU each), encoded with

@@ -220,10 +220,15 @@ def test_rejects_garbage_and_unsupported():
         decode_jpeg(b"not a jpeg at all")
     img = np.zeros((8, 8), dtype=np.uint8)
     data = bytearray(encode_jpeg(img))
-    # flip SOF0 (FFC0) to progressive SOF2 (FFC2)
+    # flip SOF0 (FFC0) to lossless SOF3 (FFC3) — still unsupported
     i = bytes(data).find(b"\xff\xc0")
-    data[i + 1] = 0xC2
+    data[i + 1] = 0xC3
     with pytest.raises(ValueError, match="SOF"):
+        decode_jpeg(bytes(data))
+    # SOF2 relabel alone is now caught by progressive scan validation
+    # (a progressive DC scan may not carry AC coefficients)
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive DC scan"):
         decode_jpeg(bytes(data))
     # corrupt sampling factor to an unsupported 4:1:1-style layout (0x41)
     data = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
@@ -240,3 +245,97 @@ def test_encoder_input_validation():
         encode_jpeg(np.zeros((8, 8), dtype=np.uint8), quality=0)
     with pytest.raises(ValueError, match="grayscale"):
         encode_jpeg(np.zeros((8, 8, 4), dtype=np.uint8))
+
+
+def test_progressive_equals_baseline_bit_exact():
+    """A progressive stream re-orders the SAME quantized coefficients, so
+    the decoded image must equal the baseline stream's bit-for-bit —
+    this pins the whole Annex-G path (spectral selection, successive
+    approximation, EOB runs, correction bits) with no external codec."""
+    rng = np.random.default_rng(42)
+    cases = [
+        (rng.integers(0, 256, (16, 24), dtype=np.uint8), {}),
+        (rng.integers(0, 256, (13, 9), dtype=np.uint8), {}),
+        (rng.integers(0, 256, (24, 32, 3), dtype=np.uint8), {}),
+        (rng.integers(0, 256, (17, 23, 3), dtype=np.uint8), {}),
+        (rng.integers(0, 256, (32, 48, 3), dtype=np.uint8),
+         {"subsampling": "420"}),
+        (rng.integers(0, 256, (23, 37, 3), dtype=np.uint8),
+         {"subsampling": "420"}),
+        (np.full((16, 16, 3), 130, dtype=np.uint8), {}),
+        (rng.integers(0, 256, (1, 1, 3), dtype=np.uint8), {}),
+    ]
+    for img, kw in cases:
+        for q in (35, 75, 90):
+            base = decode_jpeg(encode_jpeg(img, quality=q, **kw))
+            prog = decode_jpeg(
+                encode_jpeg(img, quality=q, progressive=True, **kw)
+            )
+            assert np.array_equal(base, prog), (img.shape, q, kw)
+
+
+def test_progressive_restart_markers_parity():
+    rng = np.random.default_rng(7)
+    for kw in ({}, {"subsampling": "420"}):
+        img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=80, **kw))
+        for ri in (1, 2, 5):
+            prog = decode_jpeg(
+                encode_jpeg(img, quality=80, progressive=True,
+                            restart_interval=ri, **kw)
+            )
+            assert np.array_equal(base, prog), (ri, kw)
+
+
+def test_progressive_scan_pair_property():
+    """Fuzz the AC first/refinement encoder-decoder pair in isolation:
+    random coefficient blocks, random bands, 3- and 4-level successive
+    approximation ladders — decoded band must equal the input exactly."""
+    from otlp_cardinality_checker_spark.functions import jpeg as J
+
+    ac_codes, counts, syms = J._canonical_codes(J._ac_lengths())
+    lut = J._HuffLUT(list(counts), list(syms))
+    rng = np.random.default_rng(1)
+    for trial in range(300):
+        n = int(rng.integers(1, 8))
+        density = float(rng.uniform(0, 0.5))
+        blocks = []
+        for _ in range(n):
+            b = np.zeros(64, dtype=np.int64)
+            mask = rng.random(63) < density
+            vals = rng.integers(-200, 201, 63)
+            b[1:][mask] = vals[mask]
+            blocks.append(b)
+        ss = int(rng.integers(1, 10))
+        se = int(rng.integers(ss, 64))
+        levels = [2, 1, 0] if trial % 2 == 0 else [3, 2, 1, 0]
+        dec = [np.zeros(64, dtype=np.int64) for _ in blocks]
+        for si, al in enumerate(levels):
+            bw = J._BitWriter()
+            state = {"eobrun": 0, "bits": []}
+            for b in blocks:
+                enc = J._enc_ac_first if si == 0 else J._enc_ac_refine
+                enc(bw, b, ss, se, al, ac_codes, state)
+            J._flush_eobrun(bw, ac_codes, state)
+            bw.pad_to_byte()
+            br = J._BitReader(bytes(bw.buf))
+            eobrun = 0
+            for d in dec:
+                fn = J._dec_ac_first if si == 0 else J._dec_ac_refine
+                eobrun = fn(br, d, lut, ss, se, al, eobrun)
+        for b, d in zip(blocks, dec):
+            assert np.array_equal(b[ss:se + 1], d[ss:se + 1]), trial
+
+
+def test_progressive_fuzz_shapes():
+    rng = np.random.default_rng(3)
+    for t in range(25):
+        hh, ww = int(rng.integers(1, 70)), int(rng.integers(1, 70))
+        gray = t % 3 == 0
+        shape = (hh, ww) if gray else (hh, ww, 3)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        kw = {"subsampling": "420"} if (not gray and t % 2) else {}
+        q = int(rng.integers(1, 101))
+        b = decode_jpeg(encode_jpeg(img, quality=q, **kw))
+        p = decode_jpeg(encode_jpeg(img, quality=q, progressive=True, **kw))
+        assert np.array_equal(b, p), (t, shape, q, kw)
