@@ -73,8 +73,11 @@ def _media_row(i: int):
         exp = 64 * sum(
             solid_tile_decoded_value(int(v), q00) for v in tiles.ravel()
         )
+        # every second JPEG is progressive (SOF2): same quantized
+        # coefficients, same closed-form expectation, different wire path
         return (f"m{i:07d}", "image", "image/jpeg", bw * 8, bh * 8, None,
-                encode_jpeg(px, quality=quality, restart_interval=ri),
+                encode_jpeg(px, quality=quality, restart_interval=ri,
+                            progressive=i % 2 == 1),
                 int(exp))
     if kind == 0:  # PNG: lum = (a*x + b*y + c) % 256
         w, h = 48 + i % 33, 32 + i % 17
