@@ -1523,6 +1523,19 @@ def q_jpeg420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_color_tile_stats(synthetic_jpeg420_media(spark, 24))
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (integer octave-quarter histogram):
+    per-language p50/p90/p99 of document length from (group, bucket,
+    count) partials — union+sum IS the merge, estimates deterministic
+    integers (hash-oracle-safe), overshoot < 25% by construction."""
+    from otlp_cardinality_checker_spark.operators.quantiles import (
+        quantile_sketch,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quantile_sketch(docs, "n_chars", (0.5, 0.9, 0.99), "lang")
+
+
 def q_jpeg_prog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Progressive (SOF2) JPEG decode — multi-scan parse, spectral
     selection, successive approximation on DC and AC, EOB runs,
@@ -1841,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "repetition_stats": q_repetition_stats,
         "jpeg_prog_stats": q_jpeg_prog_stats,
+        "quantile_sketch": q_quantile_sketch,
     }
 
 
@@ -3531,6 +3545,29 @@ FROM stats s LEFT JOIN top USING (doc_id) LEFT JOIN dup USING (doc_id)
     oracles["jpeg_prog_stats"] = oracles["jpeg_color_stats"].replace(
         "jpc_", "jpp_"
     )
+    # same integer bucketing as operators/quantiles.py: bit_length via
+    # printf('%b') (Spark twin: length(conv(v, 10, 2)))
+    oracles["quantile_sketch"] = """
+WITH vals AS (
+  SELECT lang, GREATEST(CAST(n_chars AS BIGINT), 1) AS v FROM documents
+), b AS (
+  SELECT lang,
+    ((v >> GREATEST(length(printf('%b', v)) - 3, 0)) + 1)
+      << GREATEST(length(printf('%b', v)) - 3, 0) AS bucket_hi
+  FROM vals
+), sk AS (
+  SELECT lang, bucket_hi, count(*) AS cnt FROM b GROUP BY 1, 2
+), cum AS (
+  SELECT lang, bucket_hi,
+    sum(cnt) OVER (PARTITION BY lang ORDER BY bucket_hi) AS cum,
+    sum(cnt) OVER (PARTITION BY lang) AS n
+  FROM sk
+), qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+SELECT lang, q, CAST(min(bucket_hi) AS BIGINT) AS estimate,
+       CAST(max(n) AS BIGINT) AS n
+FROM cum, qs WHERE cum >= ceil(q * n)
+GROUP BY lang, q
+"""
     return oracles
 
 
