@@ -1523,6 +1523,58 @@ def q_jpeg420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_color_tile_stats(synthetic_jpeg420_media(spark, 24))
 
 
+def q_attribution_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 STREAM-STREAM watermarked inner join run as a real
+    Structured Streaming job: click events joined to purchase events of
+    the same user within 30 minutes after them, both sides fed as two
+    time-split micro-batches.  With watermark (2h) > horizon (30min) and
+    time-split batches, no match can be evicted before its partner
+    arrives, so the emitted pairs equal the batch join EXACTLY — the
+    DuckDB oracle is the plain relational join."""
+    import tempfile
+    from pathlib import Path
+
+    from otlp_cardinality_checker_spark.streaming.stream import (
+        run_stream_stream_join,
+    )
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "event_type", "user_id", "value", "ts")
+    )
+    tmax = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    import datetime as _dt
+
+    cutoff = tmax - _dt.timedelta(days=15)
+    tmp = Path(tempfile.mkdtemp(prefix="ssjoin_"))
+    for name, etype in (("clicks", "click"), ("purchases", "purchase")):
+        side = ev.where(F.col("event_type") == etype)
+        _write_microbatch_sources(
+            tmp / name,
+            [
+                side.where(F.col("ts") < F.lit(cutoff)),
+                side.where(F.col("ts") >= F.lit(cutoff)),
+            ],
+        )
+    run_stream_stream_join(
+        spark,
+        str(tmp / "clicks"),
+        str(tmp / "purchases"),
+        str(tmp / "out"),
+        str(tmp / "ckpt"),
+        horizon="30 minutes",
+        watermark="2 hours",
+    )
+    res = spark.read.parquet(str(tmp / "out" / "joined"))
+    return res.select(
+        F.col("l_user").alias("user_id"),
+        F.col("l_id").alias("click_id"),
+        F.col("r_id").alias("purchase_id"),
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("gap_us"),
+        F.round(F.col("r_value"), 3).alias("purchase_value"),
+    )
+
+
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (integer octave-quarter histogram):
     per-language p50/p90/p99 of document length from (group, bucket,
@@ -1855,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "jpeg_prog_stats": q_jpeg_prog_stats,
         "quantile_sketch": q_quantile_sketch,
+        "attribution_join_stream": q_attribution_join_stream,
     }
 
 
@@ -3567,6 +3620,21 @@ SELECT lang, q, CAST(min(bucket_hi) AS BIGINT) AS estimate,
        CAST(max(n) AS BIGINT) AS n
 FROM cum, qs WHERE cum >= ceil(q * n)
 GROUP BY lang, q
+"""
+    # stream-stream join exact batch-equivalence (see
+    # q_attribution_join_stream's eviction-safety argument)
+    oracles["attribution_join_stream"] = """
+SELECT c.user_id AS user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+       round(p.value, 3) AS purchase_value
+FROM events c
+JOIN events p
+  ON c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
 """
     return oracles
 

@@ -653,3 +653,73 @@ def run_windowed_stream(
         .start()
     )
     q.awaitTermination(300)
+
+
+def run_stream_stream_join(
+    spark: SparkSession,
+    left_src: str,
+    right_src: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    horizon: str = "30 minutes",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Watermarked STREAM-STREAM inner join (the last Structured
+    Streaming operator family the repo didn't exercise): left events
+    joined to right events of the same user within ``horizon`` after
+    them — the classic click→purchase attribution shape.
+
+    State-bound semantics (what makes this runnable at 10^12 events):
+    both sides carry a watermark and the join predicate bounds the
+    time range, so Spark evicts left rows once the watermark passes
+    ts + horizon and right rows once it passes ts — state is
+    O(events inside the watermark window), never the whole stream.
+    With watermark > horizon, an inner join emits EXACTLY the batch
+    join's pairs (no match can be evicted before its partner arrives
+    when micro-batches are time-split), which is the exact
+    batch-equivalence contract the DuckDB oracle checks."""
+    left = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(left_src)
+        .select(
+            F.col("event_id").alias("l_id"),
+            F.col("user_id").alias("l_user"),
+            F.col("value").alias("l_value"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(right_src)
+        .select(
+            F.col("event_id").alias("r_id"),
+            F.col("user_id").alias("r_user"),
+            F.col("value").alias("r_value"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            f"""
+            l_user = r_user
+            AND r_ts >= l_ts
+            AND r_ts <= l_ts + interval {horizon}
+            """
+        ),
+        "inner",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(Path(out_dir) / "joined"))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
