@@ -1523,6 +1523,23 @@ def q_jpeg420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_color_tile_stats(synthetic_jpeg420_media(spark, 24))
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer trained on the corpus (40 merges learned from the
+    distributed word histogram), then applied distributed: per-doc token
+    counts.  Iterative argmax training has no cross-engine oracle —
+    rows-only; correctness pinned by an independent second implementation
+    in tests/test_bpe.py plus roundtrip/monotonicity invariants."""
+    from otlp_cardinality_checker_spark.operators.bpe import (
+        bpe_token_stats,
+        bpe_train,
+        word_histogram,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train(word_histogram(docs), n_merges=40)
+    return bpe_token_stats(docs, merges)
+
+
 def q_attribution_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 STREAM-STREAM watermarked inner join run as a real
     Structured Streaming job: click events joined to purchase events of
@@ -1908,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_prog_stats": q_jpeg_prog_stats,
         "quantile_sketch": q_quantile_sketch,
         "attribution_join_stream": q_attribution_join_stream,
+        "bpe_tokens": q_bpe_tokens,
     }
 
 

@@ -1,0 +1,146 @@
+"""Byte-pair-encoding tokenizer training + encoding over the corpus.
+
+The canonical training-data-pipeline operator this family still lacked:
+learn a subword merge table from the corpus, then tokenize with it.
+
+Architecture for 100 TB (why each stage runs where it runs):
+
+* ``word_histogram`` — the ONLY stage that touches raw text: explode →
+  map-side-combined hash-agg to (word, count).  At web scale this is the
+  classic big-data→small-dict reduction: 10^12 turns collapse to a
+  bounded distinct-word histogram (capped at ``max_vocab`` by count with
+  a deterministic tie-break), which is the SAME input the original BPE
+  formulation trains on (Sennrich et al. 2016 train on word frequencies,
+  not the running corpus).
+* ``bpe_train`` — the merge loop runs driver-side over that bounded
+  histogram (pair counts shrink every iteration; the working set is
+  O(distinct words), like the reference's bounded in-memory stores,
+  internal/storage/memory/store.go:119-122).  Distributing each of the
+  n_merges iterations would shuffle the same tiny dict n times for
+  nothing.
+* ``bpe_token_stats`` — distributed encode: Arrow-batched mapInPandas
+  with a per-word memo (Zipf makes the memo hit rate ~1), no per-row
+  Python in the driver, merge table broadcast by closure.
+
+Determinism contract: word split is the literal single-space split used
+corpus-wide; pair selection maximizes (count, pair) with lexicographic
+tie-break; encoding applies merges greedily by training rank.  No
+cross-engine oracle can exist (iterative argmax), so correctness is
+pinned by an INDEPENDENT second implementation in tests
+(tests/test_bpe.py) plus structural invariants (detokenization
+roundtrip, monotone token counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"
+
+
+def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) corpus histogram — one exchange, map-side combined."""
+    return (
+        docs.select(
+            F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bpe_train(hist: DataFrame, n_merges: int,
+              max_vocab: int = 100_000) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` merge rules from a (word, cnt) histogram.
+
+    Driver-side by design (bounded input, see module docstring); the
+    histogram is capped at ``max_vocab`` words by (cnt, word) before
+    collecting so the memory envelope is explicit."""
+    rows = (
+        hist.orderBy(F.desc("cnt"), F.desc("word"))
+        .limit(max_vocab)
+        .collect()
+    )
+    seqs: list[tuple[list[str], int]] = [
+        (list(r["word"]) + [END], int(r["cnt"])) for r in rows
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in seqs:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + cnt
+        if not counts:
+            break
+        best = max(counts.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        merges.append(best)
+        tok = best[0] + best[1]
+        for syms, _cnt in seqs:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == best[0] and syms[i + 1] == best[1]:
+                    syms[i:i + 2] = [tok]
+                else:
+                    i += 1
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy rank-order BPE encode of one word (lowest-rank pair first;
+    leftmost occurrence on rank ties — the standard BPE apply order)."""
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        best_rank = None
+        best_i = -1
+        for i, pair in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_i = i
+        if best_rank is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_token_stats(docs: DataFrame, merges: list[tuple[str, str]],
+                    text_col: str = "text") -> DataFrame:
+    """Per-document token counts under the learned merge table:
+    (doc_id, n_words, n_tokens, tokens_per_word).  Arrow-batched with a
+    per-batch word memo; the merge table ships in the task closure
+    (it is a few KB — broadcast semantics without a broadcast join)."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    fields = "doc_id long, n_words long, n_tokens long, tokens_per_word double"
+
+    def run(batches):
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+
+        def n_tokens(word: str) -> int:
+            n = memo.get(word)
+            if n is None:
+                n = len(encode_word(word, ranks))
+                memo[word] = n
+            return n
+
+        for pdf in batches:
+            words = pdf[text_col].fillna("").str.strip().str.split(" ")
+            n_words = words.map(lambda ws: sum(1 for w in ws if w))
+            n_tok = words.map(
+                lambda ws: sum(n_tokens(w) for w in ws if w)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": n_words,
+                    "n_tokens": n_tok,
+                    "tokens_per_word": (
+                        n_tok / n_words.clip(lower=1)
+                    ).round(4),
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(run, schema=fields)
