@@ -1809,12 +1809,68 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness gate records the FIRST 50
     # entries only.  Rounds 1-3 recorded the pipeline/session/endpoint
-    # family (two+ rounds of green driver history for each); round 4
-    # rotates the dedup/ANN/text/PII/streaming-query families into the
-    # window, keeping 15 pipeline sentinels alongside them.  Entries past
+    # family; round 4 rotated the dedup/ANN/text/PII/streaming families in.
+    # Round 5 rotates the 17 round-4 additions (never driver-recorded)
+    # into positions 1-17, keeps 15 pipeline sentinels, and fills the rest
+    # of the window with the oldest-green r2/r3 history so every registry
+    # entry has a driver-green CORRECTNESS row in some round.  Entries past
     # position 50 remain runnable via scripts/check_oracle.py.
     return {
-        # --- 35 queries rotated into the driver window (round 4) -------
+        # --- 17 round-4 queries, first driver recording (round 5) -------
+        "constraint_audit": q_constraint_audit,
+        "heavy_hitters": q_heavy_hitters,
+        "tool_bigrams": q_tool_bigrams,
+        "role_transitions": q_role_transitions,
+        "conv_depth_stats": q_conv_depth_stats,
+        "turn_gaps": q_turn_gaps,
+        "bloom_contamination": q_bloom_contamination,
+        "volume_spikes": q_volume_spikes,
+        "jpeg_tile_stats": q_jpeg_tile_stats,
+        "jpeg_color_stats": q_jpeg_color_stats,
+        "jpeg420_stats": q_jpeg420_stats,
+        "user_sessions": q_user_sessions,
+        "repetition_stats": q_repetition_stats,
+        "jpeg_prog_stats": q_jpeg_prog_stats,
+        "quantile_sketch": q_quantile_sketch,
+        "attribution_join_stream": q_attribution_join_stream,
+        "bpe_tokens": q_bpe_tokens,
+        # --- 15 pipeline sentinels (driver-green every prior round) -----
+        "route_counts": q_route_counts,
+        "routed_fingerprint": q_routed_fingerprint,
+        "key_stats_exact": q_key_stats_exact,
+        "session_merge": q_session_merge,
+        "template_stats": q_template_stats,
+        "attribute_catalog": q_attribute_catalog,
+        "watched_values": q_watched_values,
+        "active_series_exact": q_active_series_exact,
+        "session_diff": q_session_diff,
+        "severity_counts": q_severity_counts,
+        "service_stats": q_service_stats,
+        "high_cardinality": q_high_cardinality,
+        "complexity": q_complexity,
+        "template_topk": q_template_topk,
+        "dedup_exact": q_dedup_exact,
+        # --- 18 oldest-green entries (last driver row r2/r3) ------------
+        "metric_shapes": q_metric_shapes,
+        "severity_pivot": q_severity_pivot,
+        "severity_cube": q_severity_cube,
+        "session_diff_filtered": q_session_diff_filtered,
+        "service_diff": q_service_diff,
+        "series_estimate": q_series_estimate,
+        "enriched_tool_stats": q_enriched_tool_stats,
+        "tool_detail": q_tool_detail,
+        "paginated_keys": q_paginated_keys,
+        "pattern_services": q_pattern_services,
+        "service_overview": q_service_overview,
+        "attribute_services": q_attribute_services,
+        "pattern_detail": q_pattern_detail,
+        "series_estimate_observed": q_series_estimate_observed,
+        "logs_by_service": q_logs_by_service,
+        "service_attributes": q_service_attributes,
+        "log_patterns_filtered": q_log_patterns_filtered,
+        "attribute_telemetry": q_attribute_telemetry,
+        # --- beyond the 50-entry driver window (driver-green in r3/r4;
+        # --- re-verifiable any time via scripts/check_oracle.py) --------
         "event_funnel": q_event_funnel,
         "events_windowed_stream": q_events_windowed_stream,
         "dedup_stream": q_dedup_stream,
@@ -1856,51 +1912,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "key_skew": q_key_skew,
         "cms_user_counts": q_cms_user_counts,
-        # --- 15 pipeline sentinels (driver-green in r1-r3) -------------
-        "route_counts": q_route_counts,
-        "routed_fingerprint": q_routed_fingerprint,
-        "key_stats_exact": q_key_stats_exact,
-        "session_merge": q_session_merge,
-        "template_stats": q_template_stats,
-        "attribute_catalog": q_attribute_catalog,
-        "watched_values": q_watched_values,
-        "active_series_exact": q_active_series_exact,
-        "session_diff": q_session_diff,
-        # --- beyond the 50-entry driver window (driver-green in r2-r3;
-        # --- re-verifiable any time via scripts/check_oracle.py) -------
-        "metric_shapes": q_metric_shapes,
         "drain_templates": q_drain_templates,
         "drain_infer": q_drain_infer,
-        "severity_counts": q_severity_counts,
-        "service_stats": q_service_stats,
         "events_windowed": q_events_windowed,
         "sink_chat_turns": _sink_turns("chat"),
         "sink_error_turns": _sink_turns("error"),
         "sink_tool_call_turns": _sink_turns("tool_call"),
-        "severity_pivot": q_severity_pivot,
-        "severity_cube": q_severity_cube,
-        "high_cardinality": q_high_cardinality,
-        "complexity": q_complexity,
-        "session_diff_filtered": q_session_diff_filtered,
-        "service_diff": q_service_diff,
-        "series_estimate": q_series_estimate,
-        "enriched_tool_stats": q_enriched_tool_stats,
-        "tool_detail": q_tool_detail,
-        "template_topk": q_template_topk,
-        "paginated_keys": q_paginated_keys,
-        "pattern_services": q_pattern_services,
-        "service_overview": q_service_overview,
-        "attribute_services": q_attribute_services,
-        "pattern_detail": q_pattern_detail,
-        "series_estimate_observed": q_series_estimate_observed,
-        "logs_by_service": q_logs_by_service,
-        "service_attributes": q_service_attributes,
-        "log_patterns_filtered": q_log_patterns_filtered,
-        "attribute_telemetry": q_attribute_telemetry,
         "attribute_filter": q_attribute_filter,
         "attribute_filter_sorted": q_attribute_filter_sorted,
         "watched_prefix": q_watched_prefix,
-        "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1909,23 +1929,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "rollup_hierarchy": q_rollup_hierarchy,
         "cohort_retention": q_cohort_retention,
-        "constraint_audit": q_constraint_audit,
-        "heavy_hitters": q_heavy_hitters,
-        "tool_bigrams": q_tool_bigrams,
-        "role_transitions": q_role_transitions,
-        "conv_depth_stats": q_conv_depth_stats,
-        "turn_gaps": q_turn_gaps,
-        "bloom_contamination": q_bloom_contamination,
-        "volume_spikes": q_volume_spikes,
-        "jpeg_tile_stats": q_jpeg_tile_stats,
-        "jpeg_color_stats": q_jpeg_color_stats,
-        "jpeg420_stats": q_jpeg420_stats,
-        "user_sessions": q_user_sessions,
-        "repetition_stats": q_repetition_stats,
-        "jpeg_prog_stats": q_jpeg_prog_stats,
-        "quantile_sketch": q_quantile_sketch,
-        "attribution_join_stream": q_attribution_join_stream,
-        "bpe_tokens": q_bpe_tokens,
     }
 
 
