@@ -48,12 +48,16 @@ def tool_bigrams(turns: DataFrame) -> DataFrame:
     counts = pairs.groupBy("prev_tool", "tool").agg(
         F.count(F.lit(1)).alias("count")
     )
-    total = Window.partitionBy()
-    return counts.select(
+    # Grand total via a broadcast scalar, not Window.partitionBy(): an
+    # unpartitioned window funnels the (bounded, but why bother) bigram
+    # frame through one task; crossJoin(broadcast(1-row agg)) keeps the
+    # plan exchange-free past the groupBy.
+    total = F.broadcast(counts.agg(F.sum("count").alias("_total")))
+    return counts.crossJoin(total).select(
         "prev_tool",
         "tool",
         "count",
-        F.round(F.col("count") / F.sum("count").over(total), 6).alias("share"),
+        F.round(F.col("count") / F.col("_total"), 6).alias("share"),
     ).orderBy(F.desc("count"), "prev_tool", "tool")
 
 
@@ -87,13 +91,12 @@ def conv_depth_stats(turns: DataFrame) -> DataFrame:
     total turn volume they carry."""
     depths = turns.groupBy("conv_id").agg(F.count(F.lit(1)).alias("depth"))
     hist = depths.groupBy("depth").agg(F.count(F.lit(1)).alias("n_convs"))
-    total = Window.partitionBy()
-    return hist.select(
+    # Same broadcast-scalar total as tool_bigrams (no unpartitioned window).
+    total = F.broadcast(hist.agg(F.sum("n_convs").alias("_total")))
+    return hist.crossJoin(total).select(
         "depth",
         "n_convs",
-        F.round(F.col("n_convs") / F.sum("n_convs").over(total), 6).alias(
-            "conv_share"
-        ),
+        F.round(F.col("n_convs") / F.col("_total"), 6).alias("conv_share"),
         (F.col("depth") * F.col("n_convs")).alias("n_turns"),
     ).orderBy("depth")
 
