@@ -17,9 +17,14 @@ Three paths, as a 100 TB training-data pipeline needs:
   IVF-Flat trade: one cheap q x nlist scoring pass prunes the corpus scan
   to ~nprobe/nlist of the data.
 
-Outside the fit step (an offline KMeans), no UDFs anywhere; hyperplanes
-are deterministic pseudo-random vectors generated from a hash expression
-so the plan is reproducible and shippable (no driver-side RNG state).
+Outside the fit step (an offline KMeans), no UDFs anywhere. Hyperplanes
+are deterministic pseudo-random vectors (fixed xorshift32 recurrence — no
+RNG state to ship) computed once on the driver and shipped as ONE
+broadcast array<array<array<double>>> column; bucketing is a nested
+zip_with/aggregate fold against that column, so the PLAN stays O(1) in
+(dim x n_bits x n_tables) — at dim=768 the old literal-per-component
+formulation put ~37k literals in a single projection (janino pressure,
+slow analysis); this one has none.
 """
 
 from __future__ import annotations
@@ -111,24 +116,59 @@ def _hyperplane(dim: int, table: int, bit: int) -> list[float]:
     return vals
 
 
-def _bucket_expr(vec, dim: int, table: int, n_bits: int = N_BITS):
-    bits = []
-    for b in range(n_bits):
-        plane = _hyperplane(dim, table, b)
-        proj = F.aggregate(
+def _planes_df(spark, dim: int, tables: list[int], n_bits: int = N_BITS):
+    """One-row DataFrame carrying every hyperplane as data, not literals.
+
+    Column ``_planes`` is array<array<array<double>>> indexed
+    [table_pos][bit][component]. Broadcast-crossJoined onto the corpus it
+    ships once per executor; the alternative (a literal per component)
+    bloats the plan by dim x n_bits x n_tables expressions.
+    """
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    planes = [
+        [_hyperplane(dim, t, b) for b in range(n_bits)] for t in tables
+    ]
+    schema = StructType(
+        [
+            StructField(
+                "_planes",
+                ArrayType(ArrayType(ArrayType(DoubleType()))),
+            )
+        ]
+    )
+    return spark.createDataFrame([(planes,)], schema)
+
+
+def _buckets_from_planes(vec, planes, n_bits: int = N_BITS):
+    """array<int> of per-table sign-pattern buckets, all via HOFs.
+
+    Semantics are bit-identical to the former literal formulation: per
+    bit, project ``vec`` onto the plane (zip_with product + aggregate
+    sum, same fold order), take ``1 << bit`` when the projection is
+    strictly positive, sum the bit weights.
+    """
+    weights = F.array(*[F.lit(1 << b) for b in range(n_bits)])
+    return F.transform(
+        planes,
+        lambda tp: F.aggregate(
             F.zip_with(
-                vec,
-                F.array(*[F.lit(v) for v in plane]),
-                lambda x, y: x * y,
+                tp,
+                weights,
+                lambda plane, wt: F.when(
+                    F.aggregate(
+                        F.zip_with(vec, plane, lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    > 0,
+                    wt,
+                ).otherwise(F.lit(0)),
             ),
-            F.lit(0.0),
+            F.lit(0),
             lambda acc, v: acc + v,
-        )
-        bits.append(F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0)))
-    out = bits[0]
-    for e in bits[1:]:
-        out = out + e
-    return out
+        ),
+    )
 
 
 def lsh_topk(
@@ -150,34 +190,30 @@ def lsh_topk(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("_qvec"),
     )
-    c_buckets = c.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        _bucket_expr(F.col("_cvec"), dim, t, n_bits).alias("bucket"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("_b"),
-    ).select(id_col, "_cvec", "_b.tbl", "_b.bucket")
-    q_buckets = q.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        _bucket_expr(F.col("_qvec"), dim, t, n_bits).alias("bucket"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("_b"),
-    ).select(query_id_col, "_qvec", "_b.tbl", "_b.bucket")
+    planes = F.broadcast(
+        _planes_df(corpus.sparkSession, dim, list(range(n_tables)), n_bits)
+    )
+    # posexplode position IS the table id (planes are built in table order)
+    c_buckets = (
+        c.crossJoin(planes)
+        .select(
+            id_col,
+            "_cvec",
+            F.posexplode(
+                _buckets_from_planes(F.col("_cvec"), F.col("_planes"), n_bits)
+            ).alias("tbl", "bucket"),
+        )
+    )
+    q_buckets = (
+        q.crossJoin(planes)
+        .select(
+            query_id_col,
+            "_qvec",
+            F.posexplode(
+                _buckets_from_planes(F.col("_qvec"), F.col("_planes"), n_bits)
+            ).alias("tbl", "bucket"),
+        )
+    )
     cands = (
         c_buckets.join(F.broadcast(q_buckets), ["tbl", "bucket"])
         .select(
@@ -207,9 +243,20 @@ def embedding_cosine_near_dups(
     """
     if dim is None:
         raise ValueError("dim required")
-    c = corpus.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    ).withColumn("bucket", _bucket_expr(F.col("_v"), dim, 0, n_bits))
+    planes = F.broadcast(_planes_df(corpus.sparkSession, dim, [0], n_bits))
+    c = (
+        corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        )
+        .crossJoin(planes)
+        .withColumn(
+            "bucket",
+            F.element_at(
+                _buckets_from_planes(F.col("_v"), F.col("_planes"), n_bits), 1
+            ),
+        )
+        .drop("_planes")
+    )
     left = c.alias("l")
     right = c.alias("r")
     return (

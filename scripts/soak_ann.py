@@ -24,7 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 DIM = 32
 
 
-def ensure_vectors(spark, n: int, path: str):
+def ensure_vectors(spark, n: int, path: str, dim: int = DIM):
     from pyspark.sql import functions as F
 
     if (Path(path) / "_SUCCESS").exists():
@@ -44,7 +44,7 @@ def ensure_vectors(spark, n: int, path: str):
             (_h(cluster, d) + 0.05 * _h(F.col("vec_id"), d + 1000)).cast(
                 "float"
             )
-            for d in range(DIM)
+            for d in range(dim)
         ]
     )
     base.select(
@@ -59,6 +59,7 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=200_000)
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--n-queries", type=int, default=20)
+    ap.add_argument("--dim", type=int, default=DIM)
     ap.add_argument("--skip-ivf", action="store_true")
     args = ap.parse_args()
 
@@ -73,8 +74,10 @@ def main() -> None:
     from otlp_cardinality_checker_spark.session import get_spark
 
     spark = get_spark(app_name="soak-ann", cores=args.cores)
-    path = str((Path(".data") / f"soak_vecs_n{args.n}").resolve())
-    ensure_vectors(spark, args.n, path)
+    path = str(
+        (Path(".data") / f"soak_vecs_n{args.n}_d{args.dim}").resolve()
+    )
+    ensure_vectors(spark, args.n, path, dim=args.dim)
     corpus = spark.read.parquet(path)
     queries = (
         corpus.where(F.col("vec_id") % (args.n // args.n_queries) == 3)
@@ -82,7 +85,7 @@ def main() -> None:
         .limit(args.n_queries)
     ).cache()
     queries.count()
-    out: dict = {"metric": "ann_soak", "n_vectors": args.n, "dim": DIM,
+    out: dict = {"metric": "ann_soak", "n_vectors": args.n, "dim": args.dim,
                  "n_queries": args.n_queries, "cores": args.cores}
 
     t0 = time.time()
@@ -92,11 +95,15 @@ def main() -> None:
     }
     out["brute_force_sec"] = round(time.time() - t0, 1)
 
+    # plan-build cost isolated from execution: at dim=384 the pre-round-5
+    # literal-per-component formulation spent seconds in analysis alone
     t0 = time.time()
-    lsh = {
-        (r["query_id"], r["vec_id"])
-        for r in lsh_topk(corpus, queries, dim=DIM, k=10).collect()
-    }
+    lsh_df = lsh_topk(corpus, queries, dim=args.dim, k=10)
+    lsh_df._jdf.queryExecution().analyzed()
+    out["lsh_plan_build_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    lsh = {(r["query_id"], r["vec_id"]) for r in lsh_df.collect()}
     out["lsh_sec"] = round(time.time() - t0, 1)
     out["lsh_recall_at_10"] = round(len(lsh & exact) / len(exact), 4)
 

@@ -299,3 +299,71 @@ def test_minhash_positions_are_independent_functions(spark):
     # disagree — the buggy form agreed on ALL of them
     agree = sum(1 for a, b in zip(sigs[1], sigs[2]) if a == b)
     assert agree < len(sigs[1]) // 2
+
+
+def test_lsh_bucket_regression_pin(spark):
+    """Pin the broadcast-plane bucket formulation to an independent
+    ground truth: numpy dot products against the same xorshift planes.
+
+    The round-4 formulation embedded every plane component as a literal
+    (O(dim x bits x tables) plan nodes); the broadcast-array rewrite must
+    produce bit-identical buckets. An independent recomputation (numpy,
+    not Spark HOFs) pins the semantics: bucket = sum(1<<b for bits whose
+    projection is strictly positive), per table."""
+    import numpy as np
+
+    from otlp_cardinality_checker_spark.operators.similarity import (
+        _buckets_from_planes,
+        _hyperplane,
+        _planes_df,
+    )
+
+    dim, n_tables, n_bits = 16, 4, 8
+    rows = [
+        (i, [(((i * 31 + d * 7) % 23) - 11.0) / 7.0 for d in range(dim)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = F.broadcast(
+        _planes_df(spark, dim, list(range(n_tables)), n_bits)
+    )
+    got = {
+        r["vec_id"]: r["buckets"]
+        for r in emb.crossJoin(planes)
+        .select(
+            "vec_id",
+            _buckets_from_planes(F.col("embedding"), F.col("_planes"), n_bits)
+            .alias("buckets"),
+        )
+        .collect()
+    }
+    for vid, vec in rows:
+        v = np.array(vec)
+        want = [
+            sum(
+                1 << b
+                for b in range(n_bits)
+                if float(v @ np.array(_hyperplane(dim, t, b))) > 0
+            )
+            for t in range(n_tables)
+        ]
+        assert got[vid] == want, vid
+
+
+def test_lsh_plan_size_constant_in_dim(spark):
+    """The plan must stay O(1) in (dim x bits x tables): at dim=384 the
+    old literal-per-component formulation put ~37k literal nodes into one
+    projection. Compare analyzed-plan text length at dim=8 vs dim=384 —
+    with planes shipped as broadcast data the plans are near-identical."""
+    from otlp_cardinality_checker_spark.operators.similarity import lsh_topk
+
+    def plan_len(dim):
+        emb = spark.createDataFrame(
+            [(0, [0.5] * dim)], "vec_id long, embedding array<double>"
+        )
+        q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+        df = lsh_topk(emb, q, dim=dim, k=3)
+        return len(df._jdf.queryExecution().analyzed().toString())
+
+    small, large = plan_len(8), plan_len(384)
+    assert large < small * 1.5, (small, large)
