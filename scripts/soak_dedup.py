@@ -134,6 +134,22 @@ def main() -> None:
     out["capped_jaccard_sec"] = round(time.time() - t0, 1)
     out["capped_jaccard_pairs"] = n_capped
 
+    # SimHash: both engines over the full corpus; checksum equality is the
+    # cross-engine correctness claim at soak scale
+    from otlp_cardinality_checker_spark.operators.dedup import simhash_signatures
+
+    sums = {}
+    for engine in ("sql", "pandas"):
+        t0 = time.time()
+        row = (
+            simhash_signatures(docs, engine=engine)
+            .agg(F.sum(F.hash("doc_id", "simhash")).alias("h"))
+            .collect()[0]
+        )
+        out[f"simhash_{engine}_sec"] = round(time.time() - t0, 1)
+        sums[engine] = row["h"]
+    out["simhash_engines_agree"] = sums["sql"] == sums["pandas"]
+
     sampler.stop()
     out["jvm_peak_rss_gb"] = round(sampler.peak_kb / 1024 / 1024, 2)
     try:

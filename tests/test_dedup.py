@@ -92,6 +92,41 @@ def test_simhash_identical_docs_collide(spark):
     assert got[0]["doc_ids"] == [1, 2]
 
 
+def test_simhash_golden_fingerprint(spark, docs):
+    """Pins the round-5 single-pass rewrite to the pre-rewrite output:
+    sum(hash(doc_id, simhash)) over sf0.001 documents, both engines."""
+    from otlp_cardinality_checker_spark.operators.dedup import simhash_signatures
+
+    for engine in ("sql", "pandas"):
+        row = (
+            simhash_signatures(docs, engine=engine)
+            .agg(F.sum(F.hash("doc_id", "simhash")).alias("h"), F.count("*").alias("n"))
+            .collect()[0]
+        )
+        assert (row["h"], row["n"]) == (3256769042, 500), engine
+
+
+def test_simhash_engines_agree_on_adversarial_inputs(spark):
+    from otlp_cardinality_checker_spark.operators.dedup import simhash_signatures
+
+    rows = [
+        (1, ""),  # zero tokens -> zero signature
+        (2, None),  # NULL text -> zero signature
+        (3, "   \t  \n "),  # whitespace only
+        (4, "solo"),  # single token: signature == its hash
+        (5, "a b c d e f g h i j k l m n o p"),
+        (6, "élève 世界 emoji\U0001f600 mix"),
+        (7, "repeat repeat repeat REPEAT Repeat"),  # distinct-after-lower
+        (8, "x " * 5000),  # long degenerate doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, simhash_signatures(docs, engine="sql").collect()))
+    b = sorted(map(tuple, simhash_signatures(docs, engine="pandas").collect()))
+    assert a == b
+    by_id = dict(a)
+    assert by_id[1] == by_id[2] == by_id[3] == 0
+
+
 def test_brute_force_topk(spark, emb):
     from otlp_cardinality_checker_spark.operators.similarity import brute_force_topk
 
