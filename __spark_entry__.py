@@ -696,9 +696,11 @@ def _write_microbatch_sources(src, frames, ts_cols=("ts",)) -> None:
     tiny source fixtures.  Production streams read from real sources
     (file trees, Iceberg); no operator module collects data to the driver.
     """
+    import os as _os
     import time as _time
 
     src.mkdir(parents=True, exist_ok=True)
+    now = _time.time()
     for i, frame in enumerate(frames):
         pdf = frame.toPandas() if hasattr(frame, "toPandas") else frame
         if len(pdf) > _MICROBATCH_ROW_CAP:
@@ -711,9 +713,12 @@ def _write_microbatch_sources(src, frames, ts_cols=("ts",)) -> None:
             if c in pdf.columns:
                 # Spark cannot read parquet TIMESTAMP(NANOS); pin to micros
                 pdf[c] = pdf[c].astype("datetime64[us]")
-        if i:
-            _time.sleep(1.2)  # mtime order == micro-batch order
-        pdf.to_parquet(src / f"part{i}.parquet", index=False)
+        path = src / f"part{i}.parquet"
+        pdf.to_parquet(path, index=False)
+        # mtime order == micro-batch order; set it explicitly (2s apart,
+        # in the past) instead of sleeping between writes
+        mt = now - 2.0 * (len(frames) - i)
+        _os.utime(path, (mt, mt))
 
 
 def q_events_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1555,23 +1560,24 @@ def q_attribution_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_stream_join,
     )
 
-    ev = (
+    # ONE Spark job builds all four fixture files: pull both sides to the
+    # driver together (harness-scale, row-capped in the helper) and split
+    # by type/cutoff in pandas
+    pdf = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .select("event_id", "event_type", "user_id", "value", "ts")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .toPandas()
     )
-    tmax = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
     import datetime as _dt
 
-    cutoff = tmax - _dt.timedelta(days=15)
+    cutoff = pdf["ts"].max() - _dt.timedelta(days=15)
     tmp = Path(tempfile.mkdtemp(prefix="ssjoin_"))
     for name, etype in (("clicks", "click"), ("purchases", "purchase")):
-        side = ev.where(F.col("event_type") == etype)
+        side = pdf[pdf["event_type"] == etype]
         _write_microbatch_sources(
             tmp / name,
-            [
-                side.where(F.col("ts") < F.lit(cutoff)),
-                side.where(F.col("ts") >= F.lit(cutoff)),
-            ],
+            [side[side["ts"] < cutoff], side[side["ts"] >= cutoff]],
         )
     run_stream_stream_join(
         spark,
@@ -1581,6 +1587,7 @@ def q_attribution_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         str(tmp / "ckpt"),
         horizon="30 minutes",
         watermark="2 hours",
+        shuffle_partitions=8,  # gate-scale state: 2 stores/partition/batch
     )
     res = spark.read.parquet(str(tmp / "out" / "joined"))
     return res.select(

@@ -664,6 +664,7 @@ def run_stream_stream_join(
     horizon: str = "30 minutes",
     watermark: str = "2 hours",
     max_files_per_trigger: int = 1,
+    shuffle_partitions: int | None = None,
 ) -> None:
     """Watermarked STREAM-STREAM inner join (the last Structured
     Streaming operator family the repo didn't exercise): left events
@@ -678,7 +679,18 @@ def run_stream_stream_join(
     With watermark > horizon, an inner join emits EXACTLY the batch
     join's pairs (no match can be evicted before its partner arrives
     when micro-batches are time-split), which is the exact
-    batch-equivalence contract the DuckDB oracle checks."""
+    batch-equivalence contract the DuckDB oracle checks.
+
+    ``shuffle_partitions`` sizes the join's state stores for the run
+    (set + restored around the query): a stream-stream join commits TWO
+    state stores per shuffle partition per micro-batch, so a gate-scale
+    fixture at the session's wide default pays tens of store commits per
+    trigger for kilobytes of state. Production runs size it to the
+    cluster as usual (state-store partitioning is fixed at the first run
+    of a checkpoint, so this is a per-checkpoint choice)."""
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     left = (
         spark.readStream.schema(EVENT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -714,12 +726,15 @@ def run_stream_stream_join(
         ),
         "inner",
     )
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", str(Path(out_dir) / "joined"))
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(Path(out_dir) / "joined"))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
