@@ -66,24 +66,53 @@ def bpe_train(hist: DataFrame, n_merges: int,
     seqs: list[tuple[list[str], int]] = [
         (list(r["word"]) + [END], int(r["cnt"])) for r in rows
     ]
+    # Incremental trainer: pair counts + a pair -> word-index occurrence
+    # set are maintained across merges instead of recounted per round, so
+    # each merge costs O(words containing the pair), not O(corpus symbols)
+    # — the difference between minutes and hours at n_merges=2000 over a
+    # 100k-word dict. Counts are integer adds either way, zero-count
+    # pairs are deleted as they vanish, and the argmax key (count, pair)
+    # is a total order, so the merge table is EXACTLY the recount-per-
+    # round one (pinned by the independent trainer in tests/test_bpe.py).
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for idx, (syms, cnt) in enumerate(seqs):
+        for p in zip(syms, syms[1:]):
+            counts[p] = counts.get(p, 0) + cnt
+            where.setdefault(p, set()).add(idx)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        counts: dict[tuple[str, str], int] = {}
-        for syms, cnt in seqs:
-            for a, b in zip(syms, syms[1:]):
-                counts[(a, b)] = counts.get((a, b), 0) + cnt
         if not counts:
             break
         best = max(counts.items(), key=lambda kv: (kv[1], kv[0]))[0]
         merges.append(best)
         tok = best[0] + best[1]
-        for syms, _cnt in seqs:
+        for idx in sorted(where.get(best, ())):
+            syms, cnt = seqs[idx]
+            # retract this word's pair contributions (counts once per
+            # OCCURRENCE, the occurrence index once per DISTINCT pair),
+            # then re-add post-merge
+            old_pairs = list(zip(syms, syms[1:]))
+            for p in old_pairs:
+                c = counts[p] - cnt
+                if c:
+                    counts[p] = c
+                else:
+                    del counts[p]
+            for p in set(old_pairs):
+                s = where[p]
+                s.discard(idx)
+                if not s:
+                    del where[p]
             i = 0
             while i < len(syms) - 1:
                 if syms[i] == best[0] and syms[i + 1] == best[1]:
                     syms[i:i + 2] = [tok]
                 else:
                     i += 1
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + cnt
+                where.setdefault(p, set()).add(idx)
     return merges
 
 

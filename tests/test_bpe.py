@@ -122,3 +122,61 @@ def test_token_stats_consistency(spark):
         F.sum(F.size(F.split(F.trim("text"), " "))).alias("w"),
     ).collect()[0]
     assert zero == chars["c"] + chars["w"]
+
+
+def test_train_matches_on_random_corpora(spark):
+    """Randomized parity sweep: seeded corpora with heavy repetition and
+    self-overlapping runs (the incremental trainer's hard cases — pairs
+    occurring many times inside one word, counts vanishing mid-round)."""
+    import random
+
+    from otlp_cardinality_checker_spark.operators.bpe import bpe_train
+
+    for seed in range(5):
+        rnd = random.Random(seed)
+        alpha = "abc"
+        words = {}
+        for _ in range(40):
+            w = "".join(
+                rnd.choice(alpha) * rnd.randint(1, 4)
+                for _ in range(rnd.randint(1, 5))
+            )
+            words[w] = words.get(w, 0) + rnd.randint(1, 9)
+        hist = spark.createDataFrame(
+            list(words.items()), "word string, cnt long"
+        )
+        assert bpe_train(hist, 40) == _reference_bpe(words, 40), seed
+
+
+def test_max_vocab_truncates_by_documented_order(spark):
+    """max_vocab keeps exactly the top-cap words by (cnt desc, word desc)
+    — training on the capped histogram equals the independent trainer on
+    that explicit truncation, and a cap >= dict size is a no-op.  Seeded
+    duplicate counts put ties ON the cap boundary."""
+    import random
+
+    from otlp_cardinality_checker_spark.operators.bpe import bpe_train
+
+    for seed in range(3):
+        rnd = random.Random(100 + seed)
+        words = {
+            "".join(rnd.choice("abcd") for _ in range(rnd.randint(2, 6))):
+            rnd.randint(1, 4)  # tiny count range -> ties at every rank
+            for _ in range(60)
+        }
+        hist = spark.createDataFrame(
+            list(words.items()), "word string, cnt long"
+        )
+        for cap in (7, 20, len(words), len(words) + 50):
+            kept = dict(
+                sorted(
+                    words.items(),
+                    key=lambda kv: (kv[1], kv[0]),
+                    reverse=True,
+                )[:cap]
+            )
+            got = bpe_train(hist, 30, max_vocab=cap)
+            assert got == _reference_bpe(kept, 30), (seed, cap)
+        assert bpe_train(hist, 30, max_vocab=10**6) == _reference_bpe(
+            words, 30
+        )
