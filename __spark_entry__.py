@@ -43,11 +43,14 @@ def _key_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_prefix(sf_dir: str = SF01) -> str:
-    """Shared DuckDB CTEs re-deriving parse/enrich/route independently."""
+def _oracle_prefix(sf_dir: str | None = None) -> str:
+    """Shared DuckDB CTEs re-deriving parse/enrich/route independently.
+
+    Defaults to the SPARK_GRAFT_ORACLE_SF-aware scale (see _oracle_sf) so
+    zero-arg call sites stay consistent with the sweep scale."""
     from otlp_cardinality_checker_spark.sources.transcripts import truth_paths
 
-    p = truth_paths(sf_dir)
+    p = truth_paths(sf_dir or _oracle_sf())
     return f"""
 WITH parsed AS (
   SELECT conv_id, turn_idx, role, text, tool, ts,
@@ -3864,19 +3867,33 @@ FROM s
 """
 
 
+def _oracle_sf() -> str:
+    """Scale dir for standalone fixture-path oracles.
+
+    Same contract as the pipeline-prefix CTEs (oracle_sql() line ~1986):
+    the driver's gate runs at sf0.01, SPARK_GRAFT_ORACLE_SF re-points the
+    oracle side when the local replica verifies another scale — without
+    this the conversation/tool oracles silently kept reading sf0.01
+    fixtures during an sf0.1 sweep (caught by the round-5 full sweep).
+    """
+    import os
+
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF", SF01)
+
+
 def _tool_dim_path() -> str:
     from otlp_cardinality_checker_spark.sources.transcripts import truth_paths
 
-    return truth_paths(SF01)["tool_dim"]
+    return truth_paths(_oracle_sf())["tool_dim"]
 
 
 def _transcripts_path() -> str:
     from otlp_cardinality_checker_spark.sources.transcripts import truth_paths
 
-    return truth_paths(SF01)["transcripts"]
+    return truth_paths(_oracle_sf())["transcripts"]
 
 
 def _metric_dim_path() -> str:
     from otlp_cardinality_checker_spark.datagen import ensure_dataset
 
-    return str(ensure_dataset(SF01) / "metric_dim.parquet")
+    return str(ensure_dataset(_oracle_sf()) / "metric_dim.parquet")
