@@ -1727,6 +1727,28 @@ def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastSS deletion-neighborhood fuzzy join over distinct part names
+    (Levenshtein <= 2). The oracle is the brute-force cross join — hash
+    equality proves the bucketed algorithm equals the semantic spec."""
+    from otlp_cardinality_checker_spark.operators.fuzzy import fuzzy_pairs
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return fuzzy_pairs(part, "p_name", 2)
+
+
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (PPS Poisson) sample audit of documents: inclusion
+    probability proportional to n_chars, exact-integer thresholds, so the
+    oracle reproduces the exact sample membership."""
+    from otlp_cardinality_checker_spark.operators.sampling import (
+        pps_sample_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pps_sample_stats(docs, 100)
+
+
 def q_tool_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tool-call chain mining: consecutive tool pairs per conversation."""
     from otlp_cardinality_checker_spark.operators.conversation import (
@@ -1844,6 +1866,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": q_quantile_sketch,
         "attribution_join_stream": q_attribution_join_stream,
         "bpe_tokens": q_bpe_tokens,
+        # --- 2 round-5 additions, first driver recording ----------------
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "pps_sample": q_pps_sample,
         # --- 15 pipeline sentinels (driver-green every prior round) -----
         "route_counts": q_route_counts,
         "routed_fingerprint": q_routed_fingerprint,
@@ -3139,6 +3164,36 @@ GROUP BY doc_id
 """,
         "curation_pipeline": _curation_pipeline_sql(),
         "stratified_sample": _stratified_sample_sql(),
+        # Deliberately NOT the FastSS algorithm: the brute-force distinct-
+        # name cross join is the semantic spec the bucketed Spark plan
+        # must equal (operators/fuzzy.py docstring).
+        "fuzzy_name_pairs": """
+WITH nm AS (SELECT p_name AS s, count(*) AS freq FROM part GROUP BY p_name)
+SELECT a.s AS name_a, b.s AS name_b, levenshtein(a.s, b.s) AS dist,
+       a.freq AS freq_a, b.freq AS freq_b
+FROM nm a JOIN nm b ON a.s < b.s AND levenshtein(a.s, b.s) <= 2
+""",
+        # Exact-integer PPS thresholds (operators/sampling.py): same
+        # md5 -> 32-bit uniform, same div arithmetic, same %08x rendering.
+        "pps_sample": """
+WITH w AS (SELECT CAST(sum(n_chars) AS BIGINT) AS w_total FROM documents),
+x AS (
+  SELECT d.*,
+    least(4294967296, (100 * n_chars * 4294967296) // w_total) AS t,
+    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS u
+  FROM documents d CROSS JOIN w
+), y AS (
+  SELECT *, CASE WHEN t >= 4294967296 OR u < printf('%08x', t)
+                 THEN 1 ELSE 0 END AS keep
+  FROM x
+)
+SELECT lang, count(*) AS n_total,
+       CAST(sum(keep) AS BIGINT) AS n_sampled,
+       CAST(sum(doc_id * keep) AS BIGINT) AS sampled_id_sum,
+       CAST(sum(n_chars * keep) AS BIGINT) AS sampled_w_sum,
+       round(CAST(sum(t) AS DOUBLE) / 4294967296, 4) AS expected_n
+FROM y GROUP BY lang
+""",
         "tfidf_terms": """
 WITH ex AS (
   SELECT doc_id, lang, t AS term FROM (

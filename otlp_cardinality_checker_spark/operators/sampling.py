@@ -67,6 +67,84 @@ def hash_sample(
     )
 
 
+RES_BITS = 32  # PPS inclusion-probability resolution: 8 hex chars
+_RES = 1 << RES_BITS
+
+
+def pps_keep_expr(
+    k: int,
+    weight_col: str,
+    id_col: str,
+    w_total_col: str = "w_total",
+    salt: str = "",
+) -> Column:
+    """Deterministic PPS (probability-proportional-to-size) Poisson
+    inclusion test: keep a row iff u < min(1, k * w / W), with
+    u = first 32 bits of md5(id || salt).
+
+    Everything is EXACT integer arithmetic — the per-row threshold is
+    t = min(2^32, (k * w * 2^32) div W) rendered as 8 lowercase hex chars
+    (format_string in Spark, printf in DuckDB — identical output), and
+    the comparison is fixed-width lexicographic, so the oracle reproduces
+    the exact sample membership with no float in sight. Inclusion
+    probability is quantized at 2^-32 (~2.3e-10) — irrelevant next to
+    Poisson noise at any real k.
+
+    Scale notes: W arrives as a column (crossJoin(broadcast(1-row agg)) —
+    no window, no second shuffle), and the test itself is a pure scan
+    predicate. The bigint product k*w*2^32 holds while k*w < 2^31
+    (k=10^3 x 1MB-char docs); beyond that promote the multiply to
+    decimal(38,0)/HUGEINT — same construction, wider lanes."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    t = F.least(
+        F.lit(_RES).cast("long"),
+        F.expr(f"({k}L * {weight_col} * {_RES}L) div {w_total_col}"),
+    )
+    u = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+    )
+    return (t >= _RES) | (u < F.format_string("%08x", t))
+
+
+def pps_sample_stats(
+    docs: DataFrame,
+    k: int,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum audit of a weighted (PPS Poisson) sample of expected
+    size ``k``: heavy documents are proportionally more likely to be kept
+    — the standard move when a token budget, not a document budget, is
+    the constraint. One extra pass computes W; the audit itself is one
+    map-side-combinable aggregation. ``expected_n`` is the exact sum of
+    quantized inclusion probabilities (an integer sum scaled once at the
+    end), so it hash-compares across engines."""
+    w_total = docs.agg(
+        F.sum(F.col(weight_col).cast("long")).alias("w_total")
+    )
+    keep = pps_keep_expr(k, weight_col, id_col, "w_total", salt).cast("long")
+    t = F.least(
+        F.lit(_RES).cast("long"),
+        F.expr(f"({k}L * {weight_col} * {_RES}L) div w_total"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(w_total))
+        .groupBy(stratum_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(keep).alias("n_sampled"),
+            F.sum(F.col(id_col) * keep).alias("sampled_id_sum"),
+            F.sum(F.col(weight_col).cast("long") * keep).alias(
+                "sampled_w_sum"
+            ),
+            F.round(F.sum(t) / F.lit(float(_RES)), 4).alias("expected_n"),
+        )
+    )
+
+
 def stratified_sample_stats(
     docs: DataFrame,
     rates: dict[str, float],
