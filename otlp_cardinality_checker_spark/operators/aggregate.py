@@ -46,10 +46,15 @@ def exploded_attrs(
     ``cols`` rather than re-implementing the explode, so the attribute
     long-form shape can only ever change in one place.
     """
+    # explode_outer + key guard: inner explode gets an inferred
+    # `size(attrs) > 0` pre-filter that re-evaluates the 26-expression
+    # attrs map a second time per row (see dedup._capped_inverted_index;
+    # measured ~30% off this exploded scan at sf0.1). Map keys are never
+    # null, so the guard exactly restores inner-explode semantics.
     return routed.select(
         *cols,
-        F.explode("attrs").alias("key", "value"),
-    )
+        F.explode_outer("attrs").alias("key", "value"),
+    ).where(F.col("key").isNotNull())
 
 
 def _samples_expr(value: str = "value") -> F.Column:

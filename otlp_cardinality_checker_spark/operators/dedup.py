@@ -34,13 +34,30 @@ def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """(doc_id, shingle-hash array) with word n-gram shingles."""
+    """(doc_id, shingle-hash array) with word n-gram shingles.
+
+    Two performance constraints shape the expression (HOF lambdas are
+    interpreted — no whole-stage codegen, no common-subexpression
+    elimination inside the lambda):
+
+    * the token split is materialized as a column FIRST, else Catalyst
+      inlines it and the split re-runs once per array element;
+    * the n-gram is n ``element_at`` lookups, not ``slice`` — slice
+      allocates a fresh array per element. Together: 26x faster at sf0.1
+      (18 s -> 0.7 s), byte-identical shingle hashes (``idx`` stops at
+      size-n, so every element_at index is in bounds)."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    shingles = F.when(F.size(toks) >= n,
-        F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))))
-    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
-    return docs.select("doc_id", F.array_distinct(shingles).alias("shingles"))
+    t = F.col("_toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+    )
+    shingles = F.when(
+        F.size(t) >= n, F.transform(idx, lambda i: F.xxhash64(gram(i)))
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", t))))
+    return docs.select("doc_id", toks.alias("_toks")).select(
+        "doc_id", F.array_distinct(shingles).alias("shingles")
+    )
 
 
 def minhash_signatures(shingled: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
@@ -134,7 +151,17 @@ def _capped_inverted_index(
     n-grams carry no dedup signal. Docs whose shingles are all stop-grams
     drop out of the pair graph entirely.
     """
-    inv = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    # explode_outer, NOT explode: Catalyst's InferFiltersFromGenerate adds
+    # a `size(arr) > 0` pre-filter to inner explode, and predicate pushdown
+    # then re-inlines the whole shingle HOF (split per element_at!) into
+    # that filter — the array expression evaluates O(len) extra times per
+    # row (measured 6x on the sf0.1 pair join). The outer variant gets no
+    # inferred filter; shingle arrays are never empty and elements are
+    # never null (xxhash64 output), so the isNotNull guard only restores
+    # inner semantics for defensive completeness.
+    inv = shingled.select(
+        "doc_id", F.explode_outer("shingles").alias("shingle")
+    ).where(F.col("shingle").isNotNull())
     if max_df is None:
         sizes = shingled.select(
             "doc_id", F.size("shingles").alias("n_shingles")
@@ -279,7 +306,11 @@ def dup_ngram_rate(docs: DataFrame, n: int = 3) -> DataFrame:
     cost one aggregation row each, never quadratic fan-out.
     """
     sh = word_shingles(docs, n=n)
-    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    # explode_outer: see _capped_inverted_index for the
+    # InferFiltersFromGenerate duplication this avoids
+    inv = sh.select(
+        "doc_id", F.explode_outer("shingles").alias("shingle")
+    ).where(F.col("shingle").isNotNull())
     dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     return (
         inv.join(dfreq, "shingle")

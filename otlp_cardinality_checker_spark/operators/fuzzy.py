@@ -52,11 +52,13 @@ def deletion_variants(
     level = names.select(F.col(s_col).alias("s"), F.col(s_col).alias("variant"))
     out = level
     for _ in range(max_deletions):
+        # explode_outer + guard: keeps InferFiltersFromGenerate from
+        # duplicating the variant-transform (dedup._capped_inverted_index)
         level = (
             level.where(F.length("variant") > 0)
             .select(
                 "s",
-                F.explode(
+                F.explode_outer(
                     F.expr(
                         "transform(sequence(1, length(variant)), p -> "
                         "concat(substring(variant, 1, p - 1), "
@@ -64,6 +66,7 @@ def deletion_variants(
                     )
                 ).alias("variant"),
             )
+            .where(F.col("variant").isNotNull())
             .distinct()
         )
         out = out.unionByName(level)

@@ -343,13 +343,16 @@ def ivf_topk(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("_qvec"),
     )
+    # explode_outer: the nearest-centroid expression scans every centroid
+    # per query row — the InferFiltersFromGenerate pre-filter would run it
+    # twice (see dedup._capped_inverted_index)
     probes = q.select(
         query_id_col,
         "_qvec",
-        F.explode(
+        F.explode_outer(
             _nearest_centroids_expr(F.col("_qvec"), centroids, nprobe)
         ).alias("centroid"),
-    )
+    ).where(F.col("centroid").isNotNull())
     cands = assigned.join(F.broadcast(probes), "centroid").select(
         query_id_col,
         id_col,

@@ -92,7 +92,11 @@ def tfidf_top_terms(
         F.split(F.lower(F.col("text")), "[^a-z]+"),
         lambda t: F.length(t) >= min_len,
     )
-    ex = docs.select("doc_id", "lang", F.explode(toks).alias("term"))
+    # explode_outer + guard: avoids the InferFiltersFromGenerate duplicate
+    # evaluation of the split+filter chain (see dedup._capped_inverted_index)
+    ex = docs.select(
+        "doc_id", "lang", F.explode_outer(toks).alias("term")
+    ).where(F.col("term").isNotNull())
     tf = ex.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = (
         ex.select("term", "doc_id")
@@ -304,7 +308,8 @@ def unigram_cross_entropy(docs: DataFrame, min_len: int = 1) -> DataFrame:
         lambda t: F.length(t) >= min_len,
     )
     doc_terms = (
-        docs.select("doc_id", "lang", F.explode(toks).alias("term"))
+        docs.select("doc_id", "lang", F.explode_outer(toks).alias("term"))
+        .where(F.col("term").isNotNull())  # see dedup._capped_inverted_index
         .groupBy("doc_id", "lang", "term")
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)
@@ -353,7 +358,9 @@ def source_divergence(docs: DataFrame, min_len: int = 1) -> DataFrame:
         F.split(F.lower(F.col("text")), "[^a-z]+"),
         lambda t: F.length(t) >= min_len,
     )
-    ex = docs.select("source", F.explode(toks).alias("term"))
+    ex = docs.select("source", F.explode_outer(toks).alias("term")).where(
+        F.col("term").isNotNull()  # see dedup._capped_inverted_index
+    )
     st = ex.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
     corpus = st.groupBy("term").agg(F.sum("c").alias("tc"))
     s_tot = st.groupBy("source").agg(F.sum("c").alias("s_total"))
