@@ -112,8 +112,10 @@ def salted_top_k(
     keep_rank: bool = False,
 ) -> DataFrame:
     """Two-stage top-k per group with bounded reducers (the shared shape
-    behind watched_values, key_skew, graph.survivor_by_score, and
-    similarity.label_outliers): rank within (group, salt) first — any
+    behind watched_values, key_skew, and similarity.label_outliers — use
+    it for top-k with k > 1 or when rank is needed; a pure per-group
+    argmax is cheaper as one max_by hash agg, see
+    graph.survivor_by_score): rank within (group, salt) first — any
     global top-k row is in its salt's top-k — so the final window sorts at
     most n_salt * k rows per group instead of the group's full partition.
     Helper columns are dropped (``keep_rank=True`` keeps the final rank as
