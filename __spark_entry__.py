@@ -826,6 +826,40 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile sketch (§2.10 x the mergeable-sketch family):
+    three doc_id-range micro-batches each write one (lang, bucket_hi,
+    cnt) partial; the merged state is BIT-IDENTICAL to the batch sketch
+    over the full table (union+sum merge, deterministic integer
+    bucketing), so the oracle is the SAME batch SQL as quantile_sketch —
+    a hash-exact streaming/batch equivalence, not an approximation."""
+    import tempfile
+    from pathlib import Path
+
+    from otlp_cardinality_checker_spark.streaming.stream import (
+        current_quantiles,
+        quantile_stream,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+    pdf = docs.toPandas()
+    n = len(pdf)
+    tmp = Path(tempfile.mkdtemp(prefix="quantstream_"))
+    src = tmp / "src"
+    _write_microbatch_sources(
+        src,
+        [pdf.iloc[: n // 3], pdf.iloc[n // 3 : 2 * n // 3],
+         pdf.iloc[2 * n // 3 :]],
+        ts_cols=(),
+    )
+    quantile_stream(spark, str(src), str(tmp / "out"), str(tmp / "ckpt"))
+    return current_quantiles(spark, str(tmp / "out"))
+
+
 def q_conv_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 custom stateful streaming operator, driver-verified: per-
     conversation session-gap splitting via applyInPandasWithState
@@ -1866,9 +1900,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": q_quantile_sketch,
         "attribution_join_stream": q_attribution_join_stream,
         "bpe_tokens": q_bpe_tokens,
-        # --- 2 round-5 additions, first driver recording ----------------
+        # --- 3 round-5 additions, first driver recording ----------------
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "pps_sample": q_pps_sample,
+        "quantile_stream": q_quantile_stream,
         # --- 15 pipeline sentinels (driver-green every prior round) -----
         "route_counts": q_route_counts,
         "routed_fingerprint": q_routed_fingerprint,
@@ -3707,6 +3742,10 @@ SELECT lang, q, CAST(min(bucket_hi) AS BIGINT) AS estimate,
 FROM cum, qs WHERE cum >= ceil(q * n)
 GROUP BY lang, q
 """
+    # streaming/batch hash-exact equivalence: the streamed partials merge
+    # (union + sum over deterministic integer buckets) reproduces the
+    # batch sketch bit-for-bit, so the SAME batch oracle applies verbatim
+    oracles["quantile_stream"] = oracles["quantile_sketch"]
     # stream-stream join exact batch-equivalence (see
     # q_attribution_join_stream's eviction-safety argument)
     oracles["attribution_join_stream"] = """

@@ -738,3 +738,82 @@ def run_stream_stream_join(
         q.awaitTermination(300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def quantile_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "n_chars",
+    group_col: str = "lang",
+    max_files_per_trigger: int = 1,
+) -> int:
+    """Streaming quantiles via the mergeable octave-quarter sketch
+    (operators/quantiles.py): each micro-batch contributes ONE partial —
+    its (group, bucket_hi, cnt) histogram rows — written partitioned by
+    batch_id with dynamic overwrite, so a checkpoint replay of a batch
+    overwrites its own partial instead of double-counting (the same
+    replay-safety contract as dedup_stream's digest state and the
+    key-stats snapshots; on a real cluster: MERGE INTO an Iceberg state
+    table keyed by batch_id).
+
+    Because the sketch merge is union + sum and the bucketing is
+    deterministic integer arithmetic, the merged streaming state is
+    BIT-IDENTICAL to the batch sketch over the same rows — the estimates
+    are therefore hash-oracle-checkable against the batch SQL oracle, a
+    stronger guarantee than the usual "approximately agrees" streaming
+    sketch story.
+
+    Scale shape: per batch, one map-side-combined hash-agg collapses the
+    micro-batch to <= (#groups x ~4*64 buckets) rows; the state table
+    grows by that bounded amount per batch and compacts by re-aggregation
+    (current_quantiles merges on read). Raw values never enter state.
+
+    Returns the number of micro-batches executed.
+    """
+    from ..operators.quantiles import quantile_partials
+
+    partials_dir = Path(out_dir) / "quantile_partials"
+    executed = {"n": 0}
+
+    def on_batch(df: DataFrame, batch_id: int) -> None:
+        (
+            quantile_partials(df, value_col, group_col)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(str(partials_dir))
+        )
+        executed["n"] += 1
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return executed["n"]
+
+
+def current_quantiles(
+    spark: SparkSession,
+    out_dir: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    group_col: str = "lang",
+) -> DataFrame:
+    """Merge all streamed partials (union + re-aggregate — the sketch's
+    additive merge) and fold to per-group quantile estimates."""
+    from ..operators.quantiles import merge_partials, quantile_estimates
+
+    partials = spark.read.parquet(
+        str(Path(out_dir) / "quantile_partials")
+    ).select(group_col, "bucket_hi", "cnt")
+    return quantile_estimates(merge_partials(partials), qs, group_col)

@@ -90,3 +90,60 @@ def test_partials_plan_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_quantile_stream_equals_batch_and_replay_safe(spark, tmp_path):
+    """Streamed partials merged over micro-batches == the batch sketch
+    bit-for-bit, and a full checkpoint-wiped replay (same batch splits,
+    repeated batch ids) leaves the merged state unchanged — dynamic
+    partition overwrite makes each batch's partial idempotent."""
+    from otlp_cardinality_checker_spark.operators.quantiles import (
+        quantile_sketch,
+    )
+    from otlp_cardinality_checker_spark.streaming.stream import (
+        current_quantiles,
+        quantile_stream,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+    pdf = docs.toPandas()
+    n = len(pdf)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, lo in enumerate(range(0, n, n // 3 + 1)):
+        pdf.iloc[lo : lo + n // 3 + 1].to_parquet(
+            src / f"part{i}.parquet", index=False
+        )
+
+    n_batches = quantile_stream(
+        spark, str(src), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    assert n_batches >= 2  # actually exercised the merge across batches
+    streamed = sorted(
+        tuple(r)
+        for r in current_quantiles(spark, str(tmp_path / "out")).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in quantile_sketch(
+            docs, "n_chars", (0.5, 0.9, 0.99), "lang"
+        ).collect()
+    )
+    assert streamed == batch
+
+    # replay: wipe the checkpoint so every batch re-runs with the same ids
+    import shutil
+
+    shutil.rmtree(tmp_path / "ckpt")
+    quantile_stream(
+        spark, str(src), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    replayed = sorted(
+        tuple(r)
+        for r in current_quantiles(spark, str(tmp_path / "out")).collect()
+    )
+    assert replayed == batch
