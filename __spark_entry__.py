@@ -826,6 +826,52 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch over events.user_id: two ts-range
+    micro-batches each write a (depth, bucket, count) partial; cell-wise
+    addition makes the merged state bit-identical to the batch sketch, so
+    point estimates vs exact counts hash-match a batch DuckDB oracle —
+    the second hash-exact streaming/batch sketch equivalence (with
+    quantile_stream)."""
+    import tempfile
+    from pathlib import Path
+
+    from otlp_cardinality_checker_spark.operators.checksum import (
+        NULL_SENTINEL,
+    )
+    from otlp_cardinality_checker_spark.operators.cms import cms_estimate
+    from otlp_cardinality_checker_spark.streaming.stream import (
+        cms_stream,
+        current_cms,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    cutoff = ev.agg(
+        F.expr("percentile_approx(ts, 0.5)").alias("c")
+    ).collect()[0]["c"]
+    tmp = Path(tempfile.mkdtemp(prefix="cmsstream_"))
+    src = tmp / "src"
+    _write_microbatch_sources(
+        src,
+        [ev.where(F.col("ts") < F.lit(cutoff)),
+         ev.where(F.col("ts") >= F.lit(cutoff))],
+    )
+    cms_stream(spark, str(src), str(tmp / "out"), str(tmp / "ckpt"),
+               value_col="user_id")
+    sketch = current_cms(spark, str(tmp / "out"))
+    vals = ev.select(
+        F.coalesce(F.col("user_id").cast("string"),
+                   F.lit(NULL_SENTINEL)).alias("value")
+    )
+    exact = vals.groupBy("value").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = cms_estimate(sketch, exact.select("value"))
+    return est.join(exact, "value").select(
+        "value", "est_count", "exact_count"
+    )
+
+
 def q_quantile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming quantile sketch (§2.10 x the mergeable-sketch family):
     three doc_id-range micro-batches each write one (lang, bucket_hi,
@@ -1904,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "pps_sample": q_pps_sample,
         "quantile_stream": q_quantile_stream,
+        "cms_events_stream": q_cms_events_stream,
         # --- 15 pipeline sentinels (driver-green every prior round) -----
         "route_counts": q_route_counts,
         "routed_fingerprint": q_routed_fingerprint,
@@ -3746,6 +3793,35 @@ GROUP BY lang, q
     # (union + sum over deterministic integer buckets) reproduces the
     # batch sketch bit-for-bit, so the SAME batch oracle applies verbatim
     oracles["quantile_stream"] = oracles["quantile_sketch"]
+    # CMS merge is cell-wise addition, so the streamed sketch == the batch
+    # sketch — the oracle rebuilds the identical counter table over the
+    # whole events table (micro-batch split is irrelevant to the sum)
+    oracles["cms_events_stream"] = """
+WITH vals AS (
+  SELECT coalesce(CAST(user_id AS VARCHAR), chr(0) || '<NULL>') AS "value"
+  FROM events
+),
+exact AS (SELECT "value", count(*) AS exact_count FROM vals GROUP BY 1),
+dd AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(d)),
+cells AS (
+  SELECT dd.d AS depth,
+         ('0x' || substr(md5("value" || '#' || dd.d), 1, 8))::BIGINT % 256
+           AS bucket,
+         count(*) AS cnt
+  FROM vals CROSS JOIN dd
+  GROUP BY 1, 2
+), est AS (
+  SELECT e."value", min(coalesce(c.cnt, 0)) AS est_count
+  FROM exact e CROSS JOIN dd
+  LEFT JOIN cells c
+    ON c.depth = dd.d
+   AND c.bucket =
+       ('0x' || substr(md5(e."value" || '#' || dd.d), 1, 8))::BIGINT % 256
+  GROUP BY 1
+)
+SELECT e."value", est_count, exact_count
+FROM est JOIN exact e USING ("value")
+"""
     # stream-stream join exact batch-equivalence (see
     # q_attribution_join_stream's eviction-safety argument)
     oracles["attribution_join_stream"] = """

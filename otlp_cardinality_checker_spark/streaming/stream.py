@@ -817,3 +817,65 @@ def current_quantiles(
         str(Path(out_dir) / "quantile_partials")
     ).select(group_col, "bucket_hi", "cnt")
     return quantile_estimates(merge_partials(partials), qs, group_col)
+
+
+def cms_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "user_id",
+    max_files_per_trigger: int = 1,
+) -> int:
+    """Streaming count-min sketch: each micro-batch contributes its
+    (depth, bucket, count) counter table (operators/cms.py), written
+    partitioned by batch_id with dynamic overwrite — the identical
+    replay-safety + hash-exactness story as quantile_stream: CMS merge is
+    cell-wise addition, so the merged streaming state is BIT-IDENTICAL to
+    the batch sketch, and estimates hash-match a batch SQL oracle.
+
+    Scale shape: state grows by <= depth*width (4x256) rows per batch and
+    compacts by re-aggregation on read; raw values never enter state.
+    Returns the number of micro-batches executed.
+    """
+    from ..operators.cms import cms_build
+
+    partials_dir = Path(out_dir) / "cms_partials"
+    executed = {"n": 0}
+
+    def on_batch(df: DataFrame, batch_id: int) -> None:
+        (
+            cms_build(df, value_col)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(str(partials_dir))
+        )
+        executed["n"] += 1
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return executed["n"]
+
+
+def current_cms(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merge all streamed CMS partials (cell-wise addition) into the
+    current counter table."""
+    from ..operators.cms import cms_merge
+
+    return cms_merge(
+        spark.read.parquet(str(Path(out_dir) / "cms_partials")).select(
+            "depth", "bucket", "count"
+        )
+    )

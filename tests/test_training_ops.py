@@ -787,3 +787,46 @@ def test_cms_null_values_consistent(spark):
         ).collect()
     }
     assert est[None] >= 2 and est["a"] >= 1 and est["b"] >= 1
+
+
+def test_cms_stream_equals_batch_and_replay_safe(spark, tmp_path):
+    """Streamed CMS partials summed over micro-batches == the batch
+    sketch cell-for-cell (additive merge), and a checkpoint-wiped replay
+    leaves the merged state unchanged (batch-id dynamic overwrite)."""
+    import shutil
+
+    from otlp_cardinality_checker_spark.operators.cms import cms_build
+    from otlp_cardinality_checker_spark.streaming.stream import (
+        cms_stream,
+        current_cms,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    pdf = ev.toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    n = len(pdf)
+    pdf.iloc[: n // 2].to_parquet(src / "part0.parquet", index=False)
+    pdf.iloc[n // 2 :].to_parquet(src / "part1.parquet", index=False)
+
+    n_batches = cms_stream(
+        spark, str(src), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    assert n_batches >= 2
+    streamed = sorted(
+        tuple(r) for r in current_cms(spark, str(tmp_path / "out")).collect()
+    )
+    batch = sorted(
+        tuple(r) for r in cms_build(ev, "user_id").collect()
+    )
+    assert streamed == batch
+
+    shutil.rmtree(tmp_path / "ckpt")
+    cms_stream(spark, str(src), str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    replayed = sorted(
+        tuple(r) for r in current_cms(spark, str(tmp_path / "out")).collect()
+    )
+    assert replayed == batch
