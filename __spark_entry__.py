@@ -1923,10 +1923,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries only.  Rounds 1-3 recorded the pipeline/session/endpoint
     # family; round 4 rotated the dedup/ANN/text/PII/streaming families in.
     # Round 5 rotates the 17 round-4 additions (never driver-recorded)
-    # into positions 1-17, keeps 15 pipeline sentinels, and fills the rest
-    # of the window with the oldest-green r2/r3 history so every registry
-    # entry has a driver-green CORRECTNESS row in some round.  Entries past
-    # position 50 remain runnable via scripts/check_oracle.py.
+    # into positions 1-17, follows with the 4 brand-new round-5 queries
+    # (18-21), keeps 15 pipeline sentinels, and fills the rest of the
+    # window with the oldest-green r2/r3 history so every registry entry
+    # has a driver-green CORRECTNESS row in some round.  Entries past
+    # position 50 remain runnable via scripts/check_oracle.py (and the
+    # round-5 full sf0.1 sweep ran ALL of them — see BENCH.md).
     return {
         # --- 17 round-4 queries, first driver recording (round 5) -------
         "constraint_audit": q_constraint_audit,
