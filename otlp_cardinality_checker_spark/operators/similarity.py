@@ -303,30 +303,62 @@ def ivf_fit(
     return assigned, centroids
 
 
-def _nearest_centroids_expr(vec, centroids: list[list[float]], nprobe: int):
-    """Array of the nprobe centroid ids nearest to `vec` by SQUARED
-    EUCLIDEAN distance — the SAME metric KMeans.transform used to assign
-    corpus vectors to lists. Probing must match the assignment metric:
-    probing by cosine instead loses almost nothing at low dims (well-
-    separated centroids rank the same under both), but at realistic
-    embedding dims KMeans centroids crowd the mean and the two rankings
-    decorrelate — measured recall@10 collapsed to ~nprobe/nlist (0.2) at
-    dim=384 until this was aligned, and is 1.0 with the matched metric.
-    ||q||^2 is rank-constant, so d = ||c||^2 - 2<q,c> (the ||c||^2 term
-    precomputed driver-side; one zip_with dot product per centroid)."""
-    scored = F.array(
-        *[
-            F.struct(
-                (
-                    F.lit(sum(x * x for x in c))
-                    - 2.0 * _dot(vec, F.array(*[F.lit(x) for x in c]))
-                ).alias("d"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+def probe_lists(
+    centroids: list[list[float]],
+    queries: DataFrame,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, _qvec, centroid) — each query's ``nprobe`` probe lists.
+
+    Centroids ship as ONE broadcast array<array<double>> column (the same
+    plan-size fix as the LSH hyperplanes): embedding them as per-centroid
+    literal arrays put nlist x dim literal nodes in the probe projection —
+    ~25k nodes at nlist=64/dim=384, with analysis+codegen overhead alone
+    rivaling the query's execution. The distance fold is fused:
+    ||c||^2 - 2<q,c> = sum x(x-2y), one zip_with pass per centroid, plan
+    size O(1) in nlist and dim.
+
+    SQUARED EUCLIDEAN, not cosine, because probing must use the SAME
+    metric KMeans.transform used to assign corpus vectors to lists: the
+    two rankings agree at low dims but decorrelate at realistic embedding
+    dims where KMeans centroids crowd the mean — measured recall@10
+    collapsed to ~nprobe/nlist (0.2) at dim=384 under cosine probing, 1.0
+    with the matched metric (||q||^2 is rank-constant)."""
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("_qvec"),
     )
-    return F.slice(F.array_sort(scored), 1, nprobe).getField("cid")
+    spark = queries.sparkSession
+    cents = spark.createDataFrame(
+        [(centroids,)], "cents array<array<double>>"
+    )
+    scored = F.transform(
+        F.col("cents"),
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(c, F.col("_qvec"), lambda x, y: x * (x - 2.0 * y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            i.alias("cid"),
+        ),
+    )
+    # explode_outer: the nearest-centroid expression scans every centroid
+    # per query row — the InferFiltersFromGenerate pre-filter would run it
+    # twice (see dedup._capped_inverted_index)
+    return (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            query_id_col,
+            "_qvec",
+            F.explode_outer(
+                F.slice(F.array_sort(scored), 1, nprobe).getField("cid")
+            ).alias("centroid"),
+        )
+        .where(F.col("centroid").isNotNull())
+    )
 
 
 def ivf_topk(
@@ -347,20 +379,13 @@ def ivf_topk(
     only — the join IS the inverted-index lookup. Final exact cosine +
     two-stage top-k within candidates.
     """
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).cast("array<double>").alias("_qvec"),
+    probes = probe_lists(
+        centroids,
+        queries,
+        nprobe=nprobe,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
     )
-    # explode_outer: the nearest-centroid expression scans every centroid
-    # per query row — the InferFiltersFromGenerate pre-filter would run it
-    # twice (see dedup._capped_inverted_index)
-    probes = q.select(
-        query_id_col,
-        "_qvec",
-        F.explode_outer(
-            _nearest_centroids_expr(F.col("_qvec"), centroids, nprobe)
-        ).alias("centroid"),
-    ).where(F.col("centroid").isNotNull())
     cands = assigned.join(F.broadcast(probes), "centroid").select(
         query_id_col,
         id_col,

@@ -108,16 +108,45 @@ def main() -> None:
     out["lsh_recall_at_10"] = round(len(lsh & exact) / len(exact), 4)
 
     if not args.skip_ivf:
+        # index build (one-time, amortizes over every future query batch)
+        # timed separately from the per-batch query cost
         t0 = time.time()
         assigned, centroids = ivf_fit(corpus, nlist=64)
+        assigned = assigned.persist()
+        assigned.count()
+        out["ivf_fit_sec"] = round(time.time() - t0, 1)
+        t0 = time.time()
         ivf = {
             (r["query_id"], r["vec_id"])
             for r in ivf_topk(
                 assigned, centroids, queries, k=10, nprobe=8
             ).collect()
         }
-        out["ivf_sec"] = round(time.time() - t0, 1)
+        out["ivf_query_sec"] = round(time.time() - t0, 1)
         out["ivf_recall_at_10"] = round(len(ivf & exact) / len(exact), 4)
+        # honesty metric: fraction of the corpus the probed lists actually
+        # cover, averaged over queries — IVF only beats brute force when
+        # this is << 1, which requires CLUSTERABLE data (at high dim this
+        # synthetic corpus is near-random directions, so KMeans cells
+        # degenerate and the fraction approaches 1: the soak then shows
+        # IVF ~= brute force, and LSH is the right index for such data)
+        sizes = {
+            r["centroid"]: r["n"]
+            for r in assigned.groupBy("centroid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        from otlp_cardinality_checker_spark.operators.similarity import (
+            probe_lists,
+        )
+        probed = probe_lists(centroids, queries, nprobe=8).collect()
+        per_q: dict = {}
+        for r in probed:
+            per_q.setdefault(r["query_id"], 0)
+            per_q[r["query_id"]] += sizes.get(r["centroid"], 0)
+        out["ivf_scanned_frac"] = round(
+            sum(per_q.values()) / (len(per_q) * args.n), 4
+        )
 
     print(json.dumps(out))
     spark.stop()
