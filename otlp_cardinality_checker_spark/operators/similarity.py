@@ -86,12 +86,80 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    engine: str = "sql",
 ) -> DataFrame:
-    """Exact cosine top-k per query (broadcast nested-loop + 2-stage topk)."""
+    """Exact cosine top-k per query.
+
+    engine="sql" (default): broadcast nested-loop + two-stage top-k, all
+    Catalyst — bit-reproducible in DuckDB, so it backs the hash-oracled
+    driver query. engine="arrow": the vectorized twin — per-partition
+    numpy GEMM against the broadcast query matrix inside mapInArrow,
+    keeping only each partition's local top-k per query (bounded output:
+    n_partitions x n_queries x k rows), then the same exact SQL top-k
+    fold over those candidates. Same top-k SETS (any partition's global
+    top-k member is in that partition's local top-k); cosine floats can
+    differ in the last ulp (BLAS pairwise summation vs the JVM fold), so
+    the Arrow engine is for soaks/baselines, the SQL engine for oracle
+    parity. At 2M candidate pairs x dim=384 the GEMM engine is the
+    difference between seconds and minutes — the standard "vectorized
+    Pandas UDF where the built-in is the slow path" escape hatch."""
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("_qvec"),
     )
+    if engine == "arrow":
+        import numpy as np
+        import pyarrow as pa
+
+        qrows = q.collect()  # bounded: a query BATCH, not a table
+        qids = np.array([r[query_id_col] for r in qrows])
+        qmat = np.array([r["_qvec"] for r in qrows], dtype=np.float64)
+        qnorm = np.linalg.norm(qmat, axis=1)
+        qnorm[qnorm == 0.0] = 1.0
+        out_schema = (
+            f"{query_id_col} long, {id_col} long, cosine double"
+        )
+
+        def gemm_topk(batches):
+            for batch in batches:
+                ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+                col = batch.column("_cvec")
+                if len(col) == 0:
+                    continue
+                # zero-copy: flatten() respects slice offsets; the rows
+                # are fixed-dim so the flat child reshapes directly
+                # (to_pylist() here costs more than the GEMM itself)
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                mat = flat.reshape(len(col), flat.size // len(col))
+                if mat.size == 0:
+                    continue
+                cnorm = np.linalg.norm(mat, axis=1)
+                cnorm[cnorm == 0.0] = 1.0
+                cos = (mat @ qmat.T) / np.outer(cnorm, qnorm)
+                kk = min(k, cos.shape[0])
+                # local top-k per query: argpartition then exact sort
+                part = np.argpartition(-cos, kk - 1, axis=0)[:kk]
+                rows_q, rows_i, rows_c = [], [], []
+                for j in range(cos.shape[1]):
+                    sel = part[:, j]
+                    rows_q.extend([qids[j]] * len(sel))
+                    rows_i.extend(ids[sel])
+                    rows_c.extend(cos[sel, j])
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        query_id_col: np.asarray(rows_q, dtype=np.int64),
+                        id_col: np.asarray(rows_i, dtype=np.int64),
+                        "cosine": np.round(
+                            np.asarray(rows_c, dtype=np.float64), 6
+                        ),
+                    }
+                )
+
+        cands = corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cvec")
+        ).mapInArrow(gemm_topk, out_schema)
+        return _topk_per_query(cands, k, query_id_col, id_col)
+
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cvec")
     )

@@ -95,6 +95,17 @@ def main() -> None:
     }
     out["brute_force_sec"] = round(time.time() - t0, 1)
 
+    # the vectorized (mapInArrow GEMM) twin: same top-k sets, numpy speed
+    t0 = time.time()
+    arrow = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(
+            corpus, queries, k=10, engine="arrow"
+        ).collect()
+    }
+    out["brute_force_arrow_sec"] = round(time.time() - t0, 1)
+    out["brute_engines_agree"] = arrow == exact
+
     # plan-build cost isolated from execution: at dim=384 the pre-round-5
     # literal-per-component formulation spent seconds in analysis alone
     t0 = time.time()

@@ -146,6 +146,33 @@ def test_brute_force_topk(spark, emb):
         assert grp.sort_values("rank")["cosine"].is_monotonic_decreasing
 
 
+def test_brute_force_arrow_engine_matches_sql(spark, emb):
+    """The GEMM (mapInArrow) engine returns the same top-k SETS as the
+    Catalyst engine — per partition it keeps a superset of any global
+    winner, and the final fold is the same exact SQL top-k. Run against
+    a repartitioned corpus so the per-partition local-top-k path is
+    actually exercised across multiple batches."""
+    from otlp_cardinality_checker_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    corpus = emb.repartition(7)
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(corpus, queries, k=8).collect()
+    }
+    b = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(
+            corpus, queries, k=8, engine="arrow"
+        ).collect()
+    }
+    assert a == b and len(a) == 5 * 8
+
+
 def test_lsh_topk_recall_planted_clusters(spark):
     """ANN recall measured where it is meaningful: planted angular clusters
     (uniform random vectors have pairwise cosine ~0, so 'nearest' is noise)."""
