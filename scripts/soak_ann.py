@@ -118,6 +118,17 @@ def main() -> None:
     out["lsh_sec"] = round(time.time() - t0, 1)
     out["lsh_recall_at_10"] = round(len(lsh & exact) / len(exact), 4)
 
+    # GEMM bucket-assignment twin (index build is the dominant LSH cost)
+    t0 = time.time()
+    lsh_a = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_topk(
+            corpus, queries, dim=args.dim, k=10, engine="arrow"
+        ).collect()
+    }
+    out["lsh_arrow_sec"] = round(time.time() - t0, 1)
+    out["lsh_engines_agree"] = lsh_a == lsh
+
     if not args.skip_ivf:
         # index build (one-time, amortizes over every future query batch)
         # timed separately from the per-batch query cost

@@ -173,6 +173,61 @@ def test_brute_force_arrow_engine_matches_sql(spark, emb):
     assert a == b and len(a) == 5 * 8
 
 
+def test_lsh_arrow_engine_matches_sql(spark, emb):
+    """The GEMM bucket-assignment engine produces the same (id, table,
+    bucket) set as the Catalyst HOF fold — sign flips would need a
+    projection within float-rounding distance of zero — and therefore the
+    same lsh_topk results."""
+    from otlp_cardinality_checker_spark.operators.similarity import (
+        N_BITS,
+        N_TABLES,
+        _bucket_rows_arrow,
+        _buckets_from_planes,
+        _planes_df,
+        lsh_topk,
+    )
+
+    dim = len(emb.select("embedding").first()[0])
+    c = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_cvec")
+    ).repartition(5)
+    planes = F.broadcast(
+        _planes_df(spark, dim, list(range(N_TABLES)), N_BITS)
+    )
+    sql_b = {
+        tuple(r)
+        for r in c.crossJoin(planes)
+        .select(
+            "vec_id",
+            F.posexplode(
+                _buckets_from_planes(F.col("_cvec"), F.col("_planes"), N_BITS)
+            ).alias("tbl", "bucket"),
+        )
+        .collect()
+    }
+    ar_b = {
+        tuple(r)
+        for r in _bucket_rows_arrow(c, dim, N_TABLES, N_BITS, "vec_id")
+        .select("vec_id", "tbl", "bucket")
+        .collect()
+    }
+    assert ar_b == sql_b
+    queries = emb.limit(4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_topk(emb, queries, dim=dim, k=5).collect()
+    }
+    b = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_topk(
+            emb, queries, dim=dim, k=5, engine="arrow"
+        ).collect()
+    }
+    assert a == b
+
+
 def test_lsh_topk_recall_planted_clusters(spark):
     """ANN recall measured where it is meaningful: planted angular clusters
     (uniform random vectors have pairwise cosine ~0, so 'nearest' is noise)."""
