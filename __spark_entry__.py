@@ -1017,6 +1017,20 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(docs, min_jaccard=0.5)
 
 
+def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manku-style block-partitioned SimHash Hamming search (<= 3 bits):
+    complete by the pigeonhole argument, equi-join on 16-bit blocks +
+    XOR/popcount verify. Rows-only (signatures are xxhash64-based, not
+    reproducible in DuckDB); pinned against an in-test brute-force
+    all-pairs Hamming scan instead."""
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_hamming_pairs(docs, 3)
+
+
 def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otlp_cardinality_checker_spark.operators.dedup import (
         simhash_signatures,
@@ -1953,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pps_sample": q_pps_sample,
         "quantile_stream": q_quantile_stream,
         "cms_events_stream": q_cms_events_stream,
+        "simhash_hamming": q_simhash_hamming,
         # --- 15 pipeline sentinels (driver-green every prior round) -----
         "route_counts": q_route_counts,
         "routed_fingerprint": q_routed_fingerprint,

@@ -531,3 +531,84 @@ def simhash_near_dups(docs: DataFrame) -> DataFrame:
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame, max_hamming: int = 3, max_block_df: int | None = 100_000
+) -> DataFrame:
+    """All doc pairs within Hamming distance ``max_hamming`` of each
+    other's 64-bit SimHash — the Manku/Jain/Das Sarma web-dedup algorithm
+    (WWW'07, public literature), COMPLETE by the pigeonhole argument:
+    split the signature into ``max_hamming + 1`` blocks; two signatures
+    differing in <= max_hamming bits must agree EXACTLY on at least one
+    block (the differing bits occupy at most max_hamming blocks). So
+
+        candidates = equi-join on (block index, block value)
+        result     = candidates where bit_count(a XOR b) <= max_hamming
+
+    never misses a true pair, and the verify filter (one XOR + popcount,
+    whole-stage codegen) removes the false candidates.
+
+    Scale shape: the join is a plain equi-join on a 64/(d+1)-bit block
+    value — bucket sizes are block-collision counts, not corpus size.
+    A degenerate block (e.g. bit positions that are constant across the
+    corpus because every document shares boilerplate tokens) would make
+    one bucket the whole corpus, so ``max_block_df`` drops blocks whose
+    value-frequency exceeds the cap, exactly like the stop-gram df cap in
+    the inverted-index join — with the same documented semantics: pairs
+    agreeing ONLY on dropped blocks are missed (at the default cap this
+    needs 100k+ signatures sharing a 16-bit block value). Pass
+    ``max_block_df=None`` for the uncapped, strictly-complete form.
+
+    Output: doc_a, doc_b (doc_a < doc_b), hamming.
+    """
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    sigs = simhash_signatures(docs).select("doc_id", "simhash")
+    blocks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        # shiftrightunsigned: the sign bit is data here
+                        F.expr(
+                            f"shiftrightunsigned(simhash, {b * width}) & "
+                            f"{(1 << width) - 1}"
+                        ).alias("val"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.blk").alias("blk"),
+             F.col("bb.val").alias("val"))
+    if max_block_df is not None:
+        hot = (
+            blocks.groupBy("blk", "val")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_block_df)
+            .select("blk", "val")
+        )
+        blocks = blocks.join(F.broadcast(hot), ["blk", "val"], "left_anti")
+    cand = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), ["blk", "val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("_sa"),
+            F.col("b.simhash").alias("_sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.expr("_sa ^ _sb"))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -146,6 +146,53 @@ def test_brute_force_topk(spark, emb):
         assert grp.sort_values("rank")["cosine"].is_monotonic_decreasing
 
 
+def test_simhash_hamming_pairs_complete_vs_brute_force(spark):
+    """Block-partitioned Hamming search == brute-force all-pairs scan
+    (pigeonhole completeness + XOR/popcount verify), at several d."""
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        simhash_hamming_pairs,
+        simhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = {
+        r["doc_id"]: r["simhash"] & ((1 << 64) - 1)
+        for r in simhash_signatures(docs).collect()
+    }
+    ids = sorted(sigs)
+    for d in (1, 3):
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_hamming_pairs(docs, d).collect()
+        }
+        brute = {
+            (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(sigs[a] ^ sigs[b]).count("1") <= d
+        }
+        assert got == brute, d
+
+
+def test_simhash_hamming_block_cap_semantics(spark):
+    """max_block_df=0 drops every block (no candidates at all);
+    max_block_df=None equals the generous default on this corpus."""
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert simhash_hamming_pairs(docs, 3, max_block_df=0).count() == 0
+    a = sorted(
+        tuple(r)
+        for r in simhash_hamming_pairs(docs, 3, max_block_df=None).collect()
+    )
+    b = sorted(
+        tuple(r) for r in simhash_hamming_pairs(docs, 3).collect()
+    )
+    assert a == b and a
+
+
 def test_brute_force_arrow_engine_matches_sql(spark, emb):
     """The GEMM (mapInArrow) engine returns the same top-k SETS as the
     Catalyst engine — per partition it keeps a superset of any global
