@@ -1017,6 +1017,18 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(docs, min_jaccard=0.5)
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call curation summary (volume / lang mix / length quantiles /
+    quality pass rate / exact-dup rate / token budget) in a stable
+    long-form (section, metric, value) schema — every number composed
+    from the package's existing primitives and reproduced exactly by one
+    DuckDB oracle."""
+    from otlp_cardinality_checker_spark.operators.card import dataset_card
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dataset_card(docs)
+
+
 def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manku-style block-partitioned SimHash Hamming search (<= 3 bits):
     complete by the pigeonhole argument, equi-join on 16-bit blocks +
@@ -1968,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_stream": q_quantile_stream,
         "cms_events_stream": q_cms_events_stream,
         "simhash_hamming": q_simhash_hamming,
+        "dataset_card": q_dataset_card,
         # --- 15 pipeline sentinels (driver-green every prior round) -----
         "route_counts": q_route_counts,
         "routed_fingerprint": q_routed_fingerprint,
@@ -3263,6 +3276,7 @@ GROUP BY doc_id
 """,
         "curation_pipeline": _curation_pipeline_sql(),
         "stratified_sample": _stratified_sample_sql(),
+        "dataset_card": _dataset_card_sql(),
         # Deliberately NOT the FastSS algorithm: the brute-force distinct-
         # name cross join is the semantic spec the bucketed Spark plan
         # must equal (operators/fuzzy.py docstring).
@@ -3951,6 +3965,56 @@ WITH f AS (
 n AS (SELECT count(*) AS n_total FROM documents)
 SELECT stage, n_docs, round(n_docs / n_total, 4) AS share
 FROM c CROSS JOIN n
+"""
+
+
+def _dataset_card_sql() -> str:
+    """Card oracle: every number recomputed from the same definitions the
+    dedicated operators use (token count, kept predicate incl. the marker
+    table, md5 digest grain, quantile_cont pairing)."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        LANG_MARKERS,
+    )
+
+    lang_sums = []
+    for markers in LANG_MARKERS.values():
+        terms = " + ".join(
+            f"(length(t) - length(replace(t, '{m}', '')))" for m in markers
+        )
+        lang_sums.append(f"({terms})")
+    best = "greatest(" + ", ".join(lang_sums) + ")"
+    return f"""
+WITH base AS (SELECT *, ' ' || lower(text) || ' ' AS t FROM documents),
+a AS (
+  SELECT count(*) AS n,
+    CAST(sum(n_chars) AS BIGINT) AS chars,
+    CAST(sum(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)
+      AS BIGINT) AS toks,
+    CAST(sum(CASE WHEN
+        length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 >= 16
+        AND round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       AS DOUBLE) / greatest(length(text), 1), 4) >= 0.81
+        AND {best} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+    count(DISTINCT md5(text)) AS digests,
+    quantile_cont(CAST(n_chars AS DOUBLE), [0.5, 0.9, 0.99]) AS p
+  FROM base
+)
+SELECT 'volume' AS section, 'n_docs' AS metric,
+       round(CAST(n AS DOUBLE), 6) AS value FROM a
+UNION ALL SELECT 'volume', 'total_chars', round(CAST(chars AS DOUBLE), 6) FROM a
+UNION ALL SELECT 'volume', 'avg_chars', round(CAST(chars AS DOUBLE) / n, 6) FROM a
+UNION ALL SELECT 'tokens', 'avg_tokens', round(CAST(toks AS DOUBLE) / n, 6) FROM a
+UNION ALL SELECT 'tokens', 'total_tokens', round(CAST(toks AS DOUBLE), 6) FROM a
+UNION ALL SELECT 'quality', 'pass_rate', round(CAST(kept AS DOUBLE) / n, 6) FROM a
+UNION ALL SELECT 'dedup', 'exact_dup_rate',
+       round(1.0 - CAST(digests AS DOUBLE) / n, 6) FROM a
+UNION ALL SELECT 'lang', lang,
+       round(CAST(count(*) AS DOUBLE) /
+             (SELECT count(*) FROM documents), 6)
+  FROM documents GROUP BY lang
+UNION ALL SELECT 'length', 'p50', round(p[1], 6) FROM a
+UNION ALL SELECT 'length', 'p90', round(p[2], 6) FROM a
+UNION ALL SELECT 'length', 'p99', round(p[3], 6) FROM a
 """
 
 

@@ -133,3 +133,38 @@ def test_intra_doc_repetition_plan_has_no_exchange(spark):
     plan = intra_doc_repetition(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Scan parquet" in plan
+
+
+def test_dataset_card_consistent_with_component_operators(spark):
+    """Every card number equals the dedicated operator's answer: pass_rate
+    == filter_funnel's kept share, exact_dup_rate == 1 - digest ratio,
+    lang shares sum to 1, schema is the stable long form."""
+    from otlp_cardinality_checker_spark.operators.card import dataset_card
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        filter_funnel,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    card = {
+        (r["section"], r["metric"]): r["value"]
+        for r in dataset_card(docs).collect()
+    }
+    assert dataset_card(docs).columns == ["section", "metric", "value"]
+
+    kept = {
+        r["stage"]: r["share"] for r in filter_funnel(docs).collect()
+    }.get("4_kept", 0.0)
+    assert abs(card[("quality", "pass_rate")] - kept) < 1e-3  # share rounds 4
+
+    n = docs.count()
+    digests = docs.select(F.md5("text")).distinct().count()
+    assert abs(card[("dedup", "exact_dup_rate")] - (1 - digests / n)) < 1e-6
+
+    langs = [v for (s, _), v in card.items() if s == "lang"]
+    assert abs(sum(langs) - 1.0) < 1e-4
+    assert card[("volume", "n_docs")] == n
+    assert (
+        card[("length", "p50")]
+        <= card[("length", "p90")]
+        <= card[("length", "p99")]
+    )
