@@ -1029,6 +1029,20 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_card(docs)
 
 
+def q_card_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-snapshot regression check: full-outer diff of the dataset
+    cards of two halves of the documents table (even vs odd doc_id) —
+    shifted language mix, dup-rate spikes, moved length quantiles all
+    surface as delta rows."""
+    from otlp_cardinality_checker_spark.operators.card import card_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return card_diff(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    )
+
+
 def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manku-style block-partitioned SimHash Hamming search (<= 3 bits):
     complete by the pigeonhole argument, equi-join on 16-bit blocks +
@@ -1981,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_events_stream": q_cms_events_stream,
         "simhash_hamming": q_simhash_hamming,
         "dataset_card": q_dataset_card,
+        "card_diff": q_card_diff,
         # --- 15 pipeline sentinels (driver-green every prior round) -----
         "route_counts": q_route_counts,
         "routed_fingerprint": q_routed_fingerprint,
@@ -3277,6 +3292,18 @@ GROUP BY doc_id
         "curation_pipeline": _curation_pipeline_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "dataset_card": _dataset_card_sql(),
+        "card_diff": f"""
+WITH card_a AS ({_dataset_card_sql(
+    "(SELECT * FROM documents WHERE doc_id % 2 = 0)")}),
+card_b AS ({_dataset_card_sql(
+    "(SELECT * FROM documents WHERE doc_id % 2 = 1)")})
+SELECT coalesce(a.section, b.section) AS section,
+       coalesce(a.metric, b.metric) AS metric,
+       a.value AS value_a, b.value AS value_b,
+       round(b.value - a.value, 6) AS delta
+FROM card_a a FULL OUTER JOIN card_b b
+  ON a.section = b.section AND a.metric = b.metric
+""",
         # Deliberately NOT the FastSS algorithm: the brute-force distinct-
         # name cross join is the semantic spec the bucketed Spark plan
         # must equal (operators/fuzzy.py docstring).
@@ -3968,10 +3995,11 @@ FROM c CROSS JOIN n
 """
 
 
-def _dataset_card_sql() -> str:
+def _dataset_card_sql(rel: str = "documents") -> str:
     """Card oracle: every number recomputed from the same definitions the
     dedicated operators use (token count, kept predicate incl. the marker
-    table, md5 digest grain, quantile_cont pairing)."""
+    table, md5 digest grain, quantile_cont pairing). ``rel`` is any
+    relation expression (card_diff runs it once per side)."""
     from otlp_cardinality_checker_spark.operators.text_analysis import (
         LANG_MARKERS,
     )
@@ -3984,7 +4012,7 @@ def _dataset_card_sql() -> str:
         lang_sums.append(f"({terms})")
     best = "greatest(" + ", ".join(lang_sums) + ")"
     return f"""
-WITH base AS (SELECT *, ' ' || lower(text) || ' ' AS t FROM documents),
+WITH base AS (SELECT *, ' ' || lower(text) || ' ' AS t FROM {rel}),
 a AS (
   SELECT count(*) AS n,
     CAST(sum(n_chars) AS BIGINT) AS chars,
@@ -4010,8 +4038,8 @@ UNION ALL SELECT 'dedup', 'exact_dup_rate',
        round(1.0 - CAST(digests AS DOUBLE) / n, 6) FROM a
 UNION ALL SELECT 'lang', lang,
        round(CAST(count(*) AS DOUBLE) /
-             (SELECT count(*) FROM documents), 6)
-  FROM documents GROUP BY lang
+             (SELECT count(*) FROM {rel}), 6)
+  FROM {rel} GROUP BY lang
 UNION ALL SELECT 'length', 'p50', round(p[1], 6) FROM a
 UNION ALL SELECT 'length', 'p90', round(p[2], 6) FROM a
 UNION ALL SELECT 'length', 'p99', round(p[3], 6) FROM a

@@ -114,3 +114,25 @@ def dataset_card(docs: DataFrame) -> DataFrame:
     ).select("r.section", "r.metric", "r.value")
 
     return scalars.unionByName(lang).unionByName(length)
+
+
+def card_diff(docs_a: DataFrame, docs_b: DataFrame) -> DataFrame:
+    """Full-outer diff of two corpus cards — the snapshot-regression check
+    a curation pipeline runs between ingests (did the language mix shift?
+    did dup rate spike? did p99 length move?).
+
+    Columns: section, metric, value_a, value_b, delta (b - a; NULL when a
+    metric exists on one side only, e.g. a language present in only one
+    corpus — deliberately NOT coalesced to 0, absence and zero differ).
+    Both sides are full dataset_card computations; the join key space is
+    the card's bounded (section, metric) grain, so the diff itself is a
+    broadcast-sized join no matter how large the corpora are."""
+    a = dataset_card(docs_a).withColumnRenamed("value", "value_a")
+    b = dataset_card(docs_b).withColumnRenamed("value", "value_b")
+    return a.join(b, ["section", "metric"], "full_outer").select(
+        "section",
+        "metric",
+        "value_a",
+        "value_b",
+        F.round(F.col("value_b") - F.col("value_a"), 6).alias("delta"),
+    )
