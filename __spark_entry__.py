@@ -1043,6 +1043,17 @@ def q_card_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-5 documents for each of 4 fixed keyword queries —
+    the corpus-audit / retrieval-decontamination lookup. One corpus
+    tokenization; query terms broadcast; df from matched postings only;
+    scores rounded to 4dp before ranking (cross-engine tie stability)."""
+    from otlp_cardinality_checker_spark.operators.search import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(docs, k=5)
+
+
 def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manku-style block-partitioned SimHash Hamming search (<= 3 bits):
     complete by the pigeonhole argument, equi-join on 16-bit blocks +
@@ -1963,8 +1974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries only.  Rounds 1-3 recorded the pipeline/session/endpoint
     # family; round 4 rotated the dedup/ANN/text/PII/streaming families in.
     # Round 5 rotates the 17 round-4 additions (never driver-recorded)
-    # into positions 1-17, follows with the 4 brand-new round-5 queries
-    # (18-21), keeps 15 pipeline sentinels, and fills the rest of the
+    # into positions 1-17, follows with the brand-new round-5 queries,
+    # keeps 15 pipeline sentinels, and fills the rest of the
     # window with the oldest-green r2/r3 history so every registry entry
     # has a driver-green CORRECTNESS row in some round.  Entries past
     # position 50 remain runnable via scripts/check_oracle.py (and the
@@ -1996,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming": q_simhash_hamming,
         "dataset_card": q_dataset_card,
         "card_diff": q_card_diff,
+        "bm25_search": q_bm25_search,
         # --- 15 pipeline sentinels (driver-green every prior round) -----
         "route_counts": q_route_counts,
         "routed_fingerprint": q_routed_fingerprint,
@@ -3303,6 +3315,50 @@ SELECT coalesce(a.section, b.section) AS section,
        round(b.value - a.value, 6) AS delta
 FROM card_a a FULL OUTER JOIN card_b b
   ON a.section = b.section AND a.metric = b.metric
+""",
+        # Okapi BM25 (operators/search.py): constants mirror the Spark
+        # expression after Python folding — (1.0 - b) folds to 0.25
+        # BEFORE entering the Column tree, so the SQL writes 0.25, not
+        # (1 - 0.75); sum-over-terms is <= 3 doubles, absorbed by the
+        # 4dp pre-rank rounding.
+        "bm25_search": """
+WITH q(query_id, term) AS (
+  VALUES (1,'hash'),(1,'join'),(1,'merge'),
+         (2,'fast'),(2,'scan'),(2,'filter'),
+         (3,'stream'),(3,'window'),(3,'agg'),
+         (4,'customer'),(4,'query'),(4,'table')
+),
+ex AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t
+    FROM documents
+  ) WHERE length(t) >= 2
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM ex GROUP BY 1),
+s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM ex
+  WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY 1, 2
+),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         count(*) AS n_terms_matched,
+         round(sum(
+           ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
+           * (tf / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl)))
+         ), 4) AS score
+  FROM tf JOIN q USING (term) JOIN dfr USING (term)
+       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN s
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, n_terms_matched, score, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
 """,
         # Deliberately NOT the FastSS algorithm: the brute-force distinct-
         # name cross join is the semantic spec the bucketed Spark plan
