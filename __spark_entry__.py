@@ -1473,6 +1473,19 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram cross-entropy per document — the order-2 perplexity
+    filter (catches common-unigram token salad the unigram filter
+    misses). Docs with < 2 tokens drop out by inner semantics."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        bigram_cross_entropy,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_cross_entropy(docs)
+
+
+
 def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source KL divergence vs the corpus token distribution."""
     from otlp_cardinality_checker_spark.operators.text_analysis import (
@@ -2008,6 +2021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card": q_dataset_card,
         "card_diff": q_card_diff,
         "bm25_search": q_bm25_search,
+        "bigram_perplexity": q_bigram_perplexity,
         # --- 15 pipeline sentinels (driver-green every prior round) -----
         "route_counts": q_route_counts,
         "routed_fingerprint": q_routed_fingerprint,
@@ -3315,6 +3329,35 @@ SELECT coalesce(a.section, b.section) AS section,
        round(b.value - a.value, 6) AS delta
 FROM card_a a FULL OUTER JOIN card_b b
   ON a.section = b.section AND a.metric = b.metric
+""",
+        # Bigram LM cross-entropy (text_analysis.bigram_cross_entropy):
+        # bigrams via generate_series over the filtered token list (order
+        # preserved by both engines' split+filter); V = distinct contexts,
+        # derived from the LM frame exactly as the Spark plan does.
+        "bigram_perplexity": """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> length(x) >= 1) AS t
+  FROM documents
+), idx AS (
+  SELECT doc_id, lang, t,
+         unnest(generate_series(1, length(t) - 1)) AS i
+  FROM toks
+), ex AS (
+  SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2 FROM idx
+), dt AS (
+  SELECT doc_id, lang, w1, w2, count(*) AS c FROM ex GROUP BY 1, 2, 3, 4
+), lm AS (
+  SELECT w1, w2, CAST(sum(c) AS BIGINT) AS bc FROM dt GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, CAST(sum(bc) AS BIGINT) AS cc FROM lm GROUP BY 1
+), s AS (SELECT count(*) AS v FROM ctx)
+SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       round(sum(c * -ln((bc + 1) / CAST(cc + v AS DOUBLE))) / sum(c), 4)
+         AS cross_entropy
+FROM dt JOIN lm USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN s
+GROUP BY 1, 2
 """,
         # Okapi BM25 (operators/search.py): constants mirror the Spark
         # expression after Python folding — (1.0 - b) folds to 0.25

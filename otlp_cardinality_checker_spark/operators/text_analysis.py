@@ -341,6 +341,72 @@ def unigram_cross_entropy(docs: DataFrame, min_len: int = 1) -> DataFrame:
     )
 
 
+def bigram_cross_entropy(docs: DataFrame, min_len: int = 1) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own BIGRAM LM — the
+    order-2 upgrade of :func:`unigram_cross_entropy` (CCNet filters with a
+    KenLM n-gram model; this is the distributed, self-trained analogue).
+    score(doc) = avg over bigrams of -ln p(w2|w1), add-one smoothed:
+    p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V) with V = number of distinct
+    context tokens (so the denominator is derivable from the LM frame
+    without a second corpus pass). Repetitive/templated text scores LOW
+    (its bigrams dominate the corpus LM); token-salad scores HIGH even
+    when its unigrams are common — the case the unigram filter misses.
+
+    Docs with fewer than 2 tokens have no bigrams and drop out (inner
+    semantics, mirrored by the oracle).
+
+    Scale shape: ONE tokenization; bigrams built row-locally by zipping
+    the token array against its own shift (the split is materialized as a
+    column FIRST — HOF lambdas are interpreted, so the shared
+    subexpression must not be re-evaluated per element); exploded ONCE
+    into a (doc, w1, w2, count) frame (localCheckpoint — two plan
+    branches, ReuseExchange does not bridge them); the LM, context
+    counts, and V all derive from that bigram-vocabulary-sized frame;
+    scoring is an equi-join on (w1, w2) + one on w1, never a corpus
+    re-scan. Nothing driver-side.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"),
+        lambda t: F.length(t) >= min_len,
+    )
+    with_t = docs.select("doc_id", "lang", toks.alias("t"))
+    n_pairs = F.greatest(F.size("t") - 1, F.lit(0))
+    bigs = F.zip_with(
+        F.slice("t", 1, n_pairs),
+        F.slice(F.col("t"), 2, n_pairs),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    doc_bigrams = (
+        with_t.select(
+            "doc_id", "lang", F.explode_outer(bigs).alias("bg")
+        )
+        .where(F.col("bg").isNotNull())  # see dedup._capped_inverted_index
+        .select("doc_id", "lang", F.col("bg.w1").alias("w1"),
+                F.col("bg.w2").alias("w2"))
+        .groupBy("doc_id", "lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    lm = doc_bigrams.groupBy("w1", "w2").agg(F.sum("c").alias("bc"))
+    ctx = lm.groupBy("w1").agg(F.sum("bc").alias("cc"))
+    scalars = ctx.agg(F.count(F.lit(1)).alias("v"))
+    nll = -F.log(
+        (F.col("bc") + 1) / (F.col("cc") + F.col("v")).cast("double")
+    )
+    return (
+        doc_bigrams.join(lm, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.round(F.sum(F.col("c") * nll) / F.sum("c"), 4).alias(
+                "cross_entropy"
+            ),
+        )
+    )
+
+
 def source_divergence(docs: DataFrame, min_len: int = 1) -> DataFrame:
     """Per-source KL divergence of the token distribution against the
     whole corpus — the mixture-drift audit: a source whose vocabulary

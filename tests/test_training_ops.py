@@ -575,6 +575,54 @@ def test_unigram_cross_entropy_ranks_rarity(spark):
     assert got[100] > got[0]
 
 
+def test_bigram_cross_entropy_hand_computed(spark):
+    """2-doc corpus checked against a by-hand add-one-smoothed bigram LM,
+    plus the short-doc drop-out rule."""
+    import math
+
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        bigram_cross_entropy,
+    )
+
+    rows = [
+        (1, "en", "a b a b"),   # bigrams: (a,b) x2, (b,a) x1
+        (2, "en", "a b c"),     # bigrams: (a,b), (b,c)
+        (3, "en", "solo"),      # 1 token -> no bigrams -> dropped
+        (4, "en", ""),          # empty -> dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r for r in bigram_cross_entropy(docs).collect()}
+    assert set(got) == {1, 2}
+    # LM: c(a,b)=3, c(b,a)=1, c(b,c)=1; contexts: c(a)=3, c(b)=2; V=2
+    p_ab = (3 + 1) / (3 + 2)
+    p_ba = (1 + 1) / (2 + 2)
+    p_bc = (1 + 1) / (2 + 2)
+    exp1 = round((2 * -math.log(p_ab) + 1 * -math.log(p_ba)) / 3, 4)
+    exp2 = round((-math.log(p_ab) - math.log(p_bc)) / 2, 4)
+    assert got[1]["n_bigrams"] == 3 and got[2]["n_bigrams"] == 2
+    assert abs(got[1]["cross_entropy"] - exp1) < 1e-9
+    assert abs(got[2]["cross_entropy"] - exp2) < 1e-9
+
+
+def test_bigram_cross_entropy_catches_common_unigram_salad(spark):
+    """Shuffled-word salad built from corpus-common words must score
+    HIGHER than the templated docs it was shuffled from — the case the
+    unigram filter cannot see (same unigram counts, alien bigrams)."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        bigram_cross_entropy,
+        unigram_cross_entropy,
+    )
+
+    template = "the quick brown fox jumps over the lazy dog"
+    salad = "dog the over quick lazy jumps fox brown the"  # same multiset
+    rows = [(i, "en", template) for i in range(9)] + [(100, "en", salad)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    bg = {r["doc_id"]: r["cross_entropy"] for r in bigram_cross_entropy(docs).collect()}
+    ug = {r["doc_id"]: r["cross_entropy"] for r in unigram_cross_entropy(docs).collect()}
+    assert bg[100] > bg[0]          # bigram LM flags the salad
+    assert abs(ug[100] - ug[0]) < 1e-9  # unigram LM is blind to it
+
+
 def test_source_divergence_flags_outlier_source(spark):
     """A source with an alien vocabulary must show the highest KL; a
     source sampled from the corpus-dominant distribution stays near 0."""
@@ -639,6 +687,7 @@ def test_new_ops_handle_empty_input(spark):
         stratified_sample_stats,
     )
     from otlp_cardinality_checker_spark.operators.text_analysis import (
+        bigram_cross_entropy,
         filter_funnel,
         source_divergence,
         tfidf_top_terms,
@@ -660,6 +709,7 @@ def test_new_ops_handle_empty_input(spark):
     assert stratified_sample_stats(docs, {"en": 0.5}).count() == 0
     assert tfidf_top_terms(docs).count() == 0
     assert unigram_cross_entropy(docs).count() == 0
+    assert bigram_cross_entropy(docs).count() == 0
     assert source_divergence(docs).count() == 0
     assert dup_ngram_rate(docs).count() == 0
     assert exact_jaccard(word_shingles(docs), max_df=2).count() == 0
