@@ -1486,6 +1486,19 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing accounting: per-(shard,
+    chunk) doc counts, carryover splits, and token fill at budget=256 over
+    8 id-mod shards. Pure integer span arithmetic — bit-identical oracle."""
+    from otlp_cardinality_checker_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, budget=256, n_shards=8)
+
+
+
 def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source KL divergence vs the corpus token distribution."""
     from otlp_cardinality_checker_spark.operators.text_analysis import (
@@ -2022,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "card_diff": q_card_diff,
         "bm25_search": q_bm25_search,
         "bigram_perplexity": q_bigram_perplexity,
+        "pack_sequences": q_pack_sequences,
         # --- 15 pipeline sentinels (driver-green every prior round) -----
         "route_counts": q_route_counts,
         "routed_fingerprint": q_routed_fingerprint,
@@ -3329,6 +3343,38 @@ SELECT coalesce(a.section, b.section) AS section,
        round(b.value - a.value, 6) AS delta
 FROM card_a a FULL OUTER JOIN card_b b
   ON a.section = b.section AND a.metric = b.metric
+""",
+        # Sequence packing (operators/packing.py): pure integer span
+        # arithmetic; `//` on nonnegative BIGINTs == Spark `div`.
+        "pack_sequences": """
+WITH n AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         length(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                            x -> length(x) >= 1)) AS n
+  FROM documents
+), spans AS (
+  SELECT shard,
+         CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end,
+         CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n AS BIGINT)
+           AS cum_before
+  FROM n WHERE n > 0
+), ex AS (
+  SELECT shard, cum_before, cum_end,
+         unnest(generate_series(cum_before // 256,
+                                (cum_end - 1) // 256)) AS chunk
+  FROM spans
+)
+SELECT shard, chunk,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN cum_before < chunk * 256 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_carryover,
+       CAST(sum(least((chunk + 1) * 256, cum_end)
+                - greatest(chunk * 256, cum_before)) AS BIGINT) AS n_tokens,
+       CAST(sum(least((chunk + 1) * 256, cum_end)
+                - greatest(chunk * 256, cum_before)) AS BIGINT) = 256 AS full
+FROM ex GROUP BY 1, 2
 """,
         # Bigram LM cross-entropy (text_analysis.bigram_cross_entropy):
         # bigrams via generate_series over the filtered token list (order

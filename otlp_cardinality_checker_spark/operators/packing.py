@@ -1,0 +1,110 @@
+"""Sequence packing: concat-and-chunk documents into fixed token-budget
+training sequences (the GPT-pretraining data layout).
+
+Documents are concatenated in a deterministic order and cut into
+``budget``-token chunks; a document that straddles a cut contributes its
+tail to the next chunk (n_carryover tracks that). The operator reports the
+per-chunk packing accounting — docs per chunk, token fill, carryover — the
+numbers a training-data pipeline checks before writing packed shards
+(fill factor, boundary waste, pathological short-doc chunks).
+
+Packing is *embarrassingly shardable*: the concat order only needs to be
+deterministic, not global, so docs are sharded first and each shard packs
+independently. Chunk arithmetic is pure integers — cumulative token spans
+``[cum_before, cum_end)`` against chunk boundaries — so the result is
+bit-identical on any engine (the DuckDB oracle reproduces every row).
+
+Scale shape: ONE scan computes token counts; the only shuffle is the
+cumulative-sum window PARTITIONED BY shard (each partition holds
+corpus/n_shards rows — raise ``n_shards`` with corpus size to bound the
+per-partition sort; the default id-mod shard is uniform for dense ids, swap
+in ``pmod(xxhash64(id), n)`` for adversarial id spaces — same algebra, not
+DuckDB-reproducible). The chunk-span explode emits n/budget rows per doc
+(bounded by document length), and the final per-(shard, chunk) hash-agg is
+map-side combinable. Nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 256,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-(shard, chunk) packing accounting.
+
+    Returns (shard, chunk, n_docs, n_carryover, n_tokens, full) where
+    ``chunk`` is the 0-based sequence index within the shard, ``n_docs``
+    counts documents contributing >=1 token to the chunk, ``n_carryover``
+    counts those that started in an earlier chunk (split docs), and
+    ``full`` marks exactly-``budget``-token chunks (every chunk except a
+    shard's last, by construction).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    b = F.lit(budget)
+    n_tok = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z]+"),
+            lambda t: F.length(t) >= 1,
+        )
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        docs.select(
+            F.col(id_col),
+            F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
+            n_tok.cast("long").alias("n"),
+        )
+        .where(F.col("n") > 0)  # empty docs occupy no tokens
+        .withColumn("cum_end", F.sum("n").over(w))
+        .withColumn("cum_before", F.col("cum_end") - F.col("n"))
+    )
+    # a doc spans chunks floor(cum_before/B) .. floor((cum_end-1)/B);
+    # all-nonnegative longs, so `div` IS floor division on both engines
+    exploded = spans.select(
+        "shard",
+        "cum_before",
+        "cum_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"cum_before div {budget}"),
+                F.expr(f"(cum_end - 1) div {budget}"),
+            )
+        ).alias("chunk"),
+    )
+    overlap = F.least(
+        (F.col("chunk") + 1) * b, F.col("cum_end")
+    ) - F.greatest(F.col("chunk") * b, F.col("cum_before"))
+    carry = (F.col("cum_before") < F.col("chunk") * b).cast("long")
+    return (
+        exploded.groupBy("shard", "chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(carry).alias("n_carryover"),
+            F.sum(overlap).alias("n_tokens"),
+        )
+        .withColumn("full", F.col("n_tokens") == b)
+    )
+
+
+def packing_summary(packed: DataFrame, budget: int = 256) -> DataFrame:
+    """One-row fill-factor rollup of :func:`pack_sequences` output."""
+    return packed.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(F.col("full").cast("long")).alias("n_full"),
+        F.round(
+            F.sum("n_tokens") / (F.count(F.lit(1)) * F.lit(budget)), 4
+        ).alias("fill_factor"),
+        F.sum("n_carryover").alias("n_split_docs"),
+    )

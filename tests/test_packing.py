@@ -1,0 +1,85 @@
+"""Sequence-packing tests: hand-computed chunk layout, token conservation,
+and the every-chunk-full-except-shard-last invariant."""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pack_hand_computed_single_shard(spark):
+    """One shard, budget 5: doc token spans laid out by hand.
+
+    docs (doc_id, tokens): (0, 3) (8, 4) (16, 7) -> concat length 14
+    chunks: [0,5) [5,10) [10,14)
+      doc 0 spans [0,3)   -> chunk 0
+      doc 8 spans [3,7)   -> chunks 0,1 (split)
+      doc 16 spans [7,14) -> chunks 1,2 (split)
+    """
+    from otlp_cardinality_checker_spark.operators.packing import (
+        pack_sequences,
+        packing_summary,
+    )
+
+    rows = [
+        (0, "a b c"),
+        (8, "d e f g"),
+        (16, "h i j k l m n"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["shard"], r["chunk"]): r
+        for r in pack_sequences(docs, budget=5, n_shards=8).collect()
+    }
+    assert set(got) == {(0, 0), (0, 1), (0, 2)}
+    c0, c1, c2 = got[(0, 0)], got[(0, 1)], got[(0, 2)]
+    assert (c0["n_docs"], c0["n_carryover"], c0["n_tokens"], c0["full"]) == (2, 0, 5, True)
+    assert (c1["n_docs"], c1["n_carryover"], c1["n_tokens"], c1["full"]) == (2, 1, 5, True)
+    assert (c2["n_docs"], c2["n_carryover"], c2["n_tokens"], c2["full"]) == (1, 1, 4, False)
+
+    s = packing_summary(
+        pack_sequences(docs, budget=5, n_shards=8), budget=5
+    ).collect()[0]
+    assert s["n_chunks"] == 3 and s["n_tokens"] == 14 and s["n_full"] == 2
+    assert s["fill_factor"] == round(14 / 15, 4)
+
+
+def test_pack_invariants_on_fixture(spark):
+    """Token conservation and chunk-fill invariants on the fixture corpus."""
+    import pyspark.sql.functions as F
+
+    from otlp_cardinality_checker_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    budget, n_shards = 64, 4
+    packed = pack_sequences(docs, budget=budget, n_shards=n_shards).cache()
+    pdf = packed.toPandas()
+
+    # token conservation: packed tokens == corpus token count
+    n_corpus = docs.select(
+        F.sum(
+            F.size(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z]+"),
+                    lambda t: F.length(t) >= 1,
+                )
+            )
+        ).alias("n")
+    ).collect()[0]["n"]
+    assert int(pdf["n_tokens"].sum()) == n_corpus
+
+    # every chunk holds <= budget tokens; within each shard every chunk
+    # except the last is exactly full, and chunk ids are contiguous from 0
+    assert (pdf["n_tokens"] <= budget).all()
+    for _, g in pdf.groupby("shard"):
+        g = g.sort_values("chunk")
+        assert list(g["chunk"]) == list(range(len(g)))
+        assert g["full"].iloc[:-1].all()
+    # a chunk is full iff n_tokens == budget (column consistency)
+    assert ((pdf["n_tokens"] == budget) == pdf["full"]).all()
+    # carryover never exceeds 1 per chunk start and never counts chunk 0
+    # of a shard whose first doc starts at offset 0
+    assert (pdf["n_carryover"] <= 1).all()
+    assert (pdf.loc[pdf["chunk"] == 0, "n_carryover"] == 0).all()
+    packed.unpersist()
