@@ -1486,6 +1486,23 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of an incoming corpus slice (doc_id % 5 >= 3)
+    against the fingerprint store built from the prior slice — per-(lang,
+    status) counts where status is dup_store / dup_batch / kept. The
+    store-composition invariant is pinned in tests/test_dedup.py."""
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        fingerprint_store,
+        incremental_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seen = docs.where(F.col("doc_id") % 5 < 3)
+    incoming = docs.where(F.col("doc_id") % 5 >= 3)
+    return incremental_dedup(incoming, fingerprint_store(seen))
+
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing accounting: per-(shard,
     chunk) doc counts, carryover splits, and token fill at budget=256 over
@@ -2036,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "bigram_perplexity": q_bigram_perplexity,
         "pack_sequences": q_pack_sequences,
+        "dedup_incremental": q_dedup_incremental,
         # --- 15 pipeline sentinels (driver-green every prior round) -----
         "route_counts": q_route_counts,
         "routed_fingerprint": q_routed_fingerprint,
@@ -3343,6 +3361,31 @@ SELECT coalesce(a.section, b.section) AS section,
        round(b.value - a.value, 6) AS delta
 FROM card_a a FULL OUTER JOIN card_b b
   ON a.section = b.section AND a.metric = b.metric
+""",
+        # Incremental dedup vs fingerprint store (operators/dedup.py:
+        # fingerprint_store/incremental_dedup): same canonical md5 as
+        # doc_fingerprints; status precedence dup_store > dup_batch.
+        "dedup_incremental": """
+WITH fp AS (
+  SELECT doc_id, lang,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+           AS fingerprint,
+         doc_id % 5 >= 3 AS incoming
+  FROM documents
+), store AS (
+  SELECT DISTINCT fingerprint FROM fp WHERE NOT incoming
+), inc AS (SELECT * FROM fp WHERE incoming),
+first AS (
+  SELECT fingerprint, min(doc_id) AS first_id FROM inc GROUP BY 1
+)
+SELECT lang,
+       CASE WHEN fingerprint IN (SELECT fingerprint FROM store)
+              THEN 'dup_store'
+            WHEN doc_id != first_id THEN 'dup_batch'
+            ELSE 'kept' END AS status,
+       count(*) AS n_docs
+FROM inc JOIN first USING (fingerprint)
+GROUP BY 1, 2
 """,
         # Sequence packing (operators/packing.py): pure integer span
         # arithmetic; `//` on nonnegative BIGINTs == Spark `div`.

@@ -33,6 +33,59 @@ def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def fingerprint_store(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct canonical fingerprints of a corpus slice — the persisted
+    dedup state an incremental curation pipeline carries between runs.
+    One row per fingerprint (md5 of whitespace-collapsed lowercase) with
+    the surviving doc id. Write with ``.write.parquet(path)``; the store
+    grows by distinct-new-content only, never by corpus size."""
+    canon = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return docs.groupBy(F.md5(canon).alias("fingerprint")).agg(
+        F.min("doc_id").alias("keep_doc_id")
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame, store: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Classify an incoming batch against the persisted fingerprint store:
+    each incoming doc is ``dup_store`` (content already seen in a prior
+    run), ``dup_batch`` (first seen earlier IN this batch), or ``kept``
+    (genuinely new — its fingerprint joins the store for the next run).
+
+    Returns per-(lang, status) counts. The composition invariant — running
+    batch dedup over (seen + incoming) equals dedup(seen) followed by
+    incremental_dedup(incoming, store(seen)) — is pinned by test.
+
+    Scale shape: fingerprints are computed in ONE scan of the incoming
+    batch; the store probe is an equi-join ON THE DIGEST (never text) —
+    broadcastable while the store is small, degrading gracefully to a
+    shuffle join at web scale (both sides are digest-grain, i.e. already
+    deduplicated and as small as the problem allows); first-in-batch is a
+    digest-grain min + join-back, no window over raw rows.
+    """
+    canon = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    fp = new_docs.select(
+        "doc_id", "lang", F.md5(canon).alias("fingerprint")
+    )
+    first = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("_first_id")
+    )
+    seen = store.select("fingerprint").withColumn("_in_store", F.lit(True))
+    status = (
+        F.when(F.col("_in_store"), F.lit("dup_store"))
+        .when(F.col("doc_id") != F.col("_first_id"), F.lit("dup_batch"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        fp.join(first, "fingerprint")
+        .join(seen, "fingerprint", "left")
+        .fillna(False, ["_in_store"])
+        .groupBy("lang", status.alias("status"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """(doc_id, shingle-hash array) with word n-gram shingles.
 

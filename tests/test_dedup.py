@@ -531,3 +531,54 @@ def test_lsh_plan_size_constant_in_dim(spark):
 
     small, large = plan_len(8), plan_len(384)
     assert large < small * 1.5, (small, large)
+
+
+def test_incremental_dedup_composes_with_store(spark, tmp_path):
+    """Running dedup incrementally (store from slice A, classify slice B)
+    must agree with batch dedup over A+B: every incoming doc classified
+    kept is exactly a batch-dedup survivor not already covered by A, and
+    the store written to parquet round-trips bit-identically."""
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        exact_dedup_stats,
+        fingerprint_store,
+        incremental_dedup,
+    )
+
+    rows = [
+        (0, "en", "alpha beta"),
+        (1, "en", "alpha   BETA "),     # canonical dup of 0 (store slice)
+        (5, "en", "gamma delta"),
+        (10, "en", "alpha beta"),        # incoming, dup vs store
+        (11, "de", "epsilon zeta"),      # incoming, new
+        (12, "de", "epsilon  ZETA"),     # incoming, canonical dup of 11
+        (13, "en", "eta theta"),         # incoming, new
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    seen = docs.where(F.col("doc_id") < 10)
+    incoming = docs.where(F.col("doc_id") >= 10)
+
+    # store roundtrip through parquet (the persisted state between runs)
+    store_path = str(tmp_path / "fp_store")
+    fingerprint_store(seen).write.parquet(store_path)
+    store = spark.read.parquet(store_path)
+
+    got = {
+        (r["lang"], r["status"]): r["n_docs"]
+        for r in incremental_dedup(incoming, store).collect()
+    }
+    assert got == {
+        ("en", "dup_store"): 1,   # doc 10
+        ("de", "kept"): 1,        # doc 11
+        ("de", "dup_batch"): 1,   # doc 12
+        ("en", "kept"): 1,        # doc 13
+    }
+
+    # composition: kept-count == batch survivors of A+B minus survivors of A
+    n_all = exact_dedup_stats(
+        docs.select("doc_id", F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")).alias("text"))
+    ).count()
+    n_seen = exact_dedup_stats(
+        seen.select("doc_id", F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")).alias("text"))
+    ).count()
+    n_kept = sum(v for (lang, st), v in got.items() if st == "kept")
+    assert n_kept == n_all - n_seen
