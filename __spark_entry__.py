@@ -1486,6 +1486,26 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_template_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuck-agent loop detection: per-conversation runs of consecutive
+    same-TEMPLATE turns (raw text almost never repeats; the masked shape
+    does). Spark side masks live via template_expr; the oracle reads the
+    datagen truth templates — the same cross-implementation pinning as
+    template_stats."""
+    from otlp_cardinality_checker_spark.functions.masking import (
+        template_expr,
+    )
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        template_loops,
+    )
+
+    turns = _transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", template_expr(F.col("text")).alias("template")
+    )
+    return template_loops(turns)
+
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup of an incoming corpus slice (doc_id % 5 >= 3)
     against the fingerprint store built from the prior slice — per-(lang,
@@ -2054,6 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_perplexity": q_bigram_perplexity,
         "pack_sequences": q_pack_sequences,
         "dedup_incremental": q_dedup_incremental,
+        "template_loops": q_template_loops,
         # --- 15 pipeline sentinels (driver-green every prior round) -----
         "route_counts": q_route_counts,
         "routed_fingerprint": q_routed_fingerprint,
@@ -2303,6 +2324,32 @@ SELECT role, severity, template, count(*) AS count,
        round(count(*) * 100.0 /
              sum(count(*)) OVER (PARTITION BY role, severity), 4) AS pct
 FROM rtruth GROUP BY role, severity, template
+""",
+        # template_loops (operators/conversation.py): gaps-and-islands over
+        # the truth templates — the same cross-implementation pinning as
+        # template_stats (Spark masks live, DuckDB reads datagen truth).
+        "template_loops": pre
+        + """
+SELECT conv_id, CAST(sum(run_len) AS BIGINT) AS n_turns,
+       count(*) AS n_runs,
+       CAST(sum(run_len) - count(*) AS BIGINT) AS n_repeat_pairs,
+       CAST(max(run_len) AS BIGINT) AS max_run,
+       max(run_len) >= 3 AS flagged
+FROM (
+  SELECT conv_id, run_no, count(*) AS run_len FROM (
+    SELECT conv_id,
+           sum(new_run) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                              ROWS UNBOUNDED PRECEDING) AS run_no
+    FROM (
+      SELECT conv_id, turn_idx,
+             CASE WHEN template IS DISTINCT FROM
+                    lag(template) OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx)
+                  THEN 1 ELSE 0 END AS new_run
+      FROM rtruth
+    )
+  ) GROUP BY 1, 2
+) GROUP BY 1
 """,
         "attribute_catalog": pre
         + """

@@ -85,6 +85,60 @@ def role_transitions(turns: DataFrame) -> DataFrame:
     ).orderBy("prev_role", "role")
 
 
+def template_loops(turns: DataFrame, flag_run: int = 3) -> DataFrame:
+    """Stuck-agent loop detection: runs of consecutive turns with the SAME
+    masked template inside a conversation.
+
+    Raw turn text almost never repeats verbatim (parameters vary); a
+    looping agent repeats the *shape* of its turns — the masked template —
+    over and over. Gaps-and-islands over the per-conversation turn order:
+    a run starts whenever the template changes, run length = turns in the
+    island, and a conversation is ``flagged`` when its longest run reaches
+    ``flag_run``.
+
+    Expects a ``template`` column (functions.masking.template_expr output
+    or equivalent). Returns per-conversation
+    (conv_id, n_turns, n_runs, n_repeat_pairs, max_run, flagged) with
+    n_repeat_pairs = n_turns - n_runs (consecutive same-template pairs).
+
+    Scale shape: ONE exchange on conv_id for the two stacked windows
+    (lag + running run-counter share the partitioning); both follow-up
+    aggregations group on keys PREFIXED by conv_id, so the window's hash
+    partitioning already satisfies their distribution — no further
+    exchange (pinned in tests/test_plans.py-style by the conversation
+    module's existing plan audit).
+    """
+    w = _by_turn()
+    run_w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # IS DISTINCT FROM semantics: first row (lag NULL) starts a run, and
+    # NULL templates compare null-safely on both engines
+    new_run = F.when(
+        ~F.col("template").eqNullSafe(F.lag("template").over(w)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    runs = (
+        turns.select("conv_id", "turn_idx", "template")
+        .withColumn("_new", new_run)
+        .withColumn("_run", F.sum("_new").over(run_w))
+        .groupBy("conv_id", "_run")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy("conv_id")
+        .agg(
+            F.sum("run_len").alias("n_turns"),
+            F.count(F.lit(1)).alias("n_runs"),
+            (F.sum("run_len") - F.count(F.lit(1))).alias("n_repeat_pairs"),
+            F.max("run_len").alias("max_run"),
+        )
+        .withColumn("flagged", F.col("max_run") >= flag_run)
+    )
+
+
 def conv_depth_stats(turns: DataFrame) -> DataFrame:
     """Conversation-depth histogram: for each depth (turns per
     conversation), how many conversations have it, their share, and the

@@ -112,3 +112,47 @@ def test_partitioning_invariance(turns):
     a = sorted(map(tuple, tool_bigrams(turns.repartition(13)).collect()))
     b = sorted(map(tuple, tool_bigrams(turns.coalesce(1)).collect()))
     assert a == b
+
+
+def test_template_loops_runs_and_flag(spark):
+    """Crafted conversations: run lengths, repeat pairs, and the
+    flag_run threshold, including null-safe template comparison."""
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        template_loops,
+    )
+
+    rows = [
+        # conv a: A A A B  -> runs [3,1], 2 repeat pairs, flagged at 3
+        ("a", 1, "A"), ("a", 2, "A"), ("a", 3, "A"), ("a", 4, "B"),
+        # conv b: A B A B  -> runs [1,1,1,1], 0 repeat pairs
+        ("b", 1, "A"), ("b", 2, "B"), ("b", 3, "A"), ("b", 4, "B"),
+        # conv c: NULL NULL A -> nulls form one run (null-safe compare)
+        ("c", 1, None), ("c", 2, None), ("c", 3, "A"),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, template string"
+    )
+    got = {r["conv_id"]: r for r in template_loops(turns).collect()}
+    a, b, c = got["a"], got["b"], got["c"]
+    assert (a["n_turns"], a["n_runs"], a["n_repeat_pairs"], a["max_run"], a["flagged"]) == (4, 2, 2, 3, True)
+    assert (b["n_turns"], b["n_runs"], b["n_repeat_pairs"], b["max_run"], b["flagged"]) == (4, 4, 0, 1, False)
+    assert (c["n_turns"], c["n_runs"], c["n_repeat_pairs"], c["max_run"], c["flagged"]) == (3, 2, 1, 2, False)
+
+
+def test_template_loops_single_exchange(spark):
+    """The windows and both follow-up groupBys must share ONE
+    conv_id-prefixed hash partitioning: exactly one Exchange in the plan."""
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        template_loops,
+    )
+
+    turns = spark.createDataFrame(
+        [("a", 1, "A")], "conv_id string, turn_idx int, template string"
+    )
+    plan = (
+        template_loops(turns)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
