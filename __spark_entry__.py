@@ -1486,6 +1486,17 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_tool_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool error attribution (error = next turn in the conversation
+    is severity ERROR) ranked by the Wilson 95% lower bound."""
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        tool_error_attribution,
+    )
+
+    return tool_error_attribution(_routed(spark, sf_dir))
+
+
+
 def q_template_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stuck-agent loop detection: per-conversation runs of consecutive
     same-TEMPLATE turns (raw text almost never repeats; the masked shape
@@ -2075,6 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "dedup_incremental": q_dedup_incremental,
         "template_loops": q_template_loops,
+        "tool_errors": q_tool_errors,
         # --- 15 pipeline sentinels (driver-green every prior round) -----
         "route_counts": q_route_counts,
         "routed_fingerprint": q_routed_fingerprint,
@@ -2324,6 +2336,34 @@ SELECT role, severity, template, count(*) AS count,
        round(count(*) * 100.0 /
              sum(count(*)) OVER (PARTITION BY role, severity), 4) AS pct
 FROM rtruth GROUP BY role, severity, template
+""",
+        # tool_error_attribution (operators/conversation.py): next-turn
+        # severity attribution + Wilson LB; 1.96*1.96 written as the
+        # product so both engines fold the same IEEE double.
+        "tool_errors": pre
+        + """
+SELECT tool, n_calls, n_errors, error_rate, wilson_lb,
+       row_number() OVER (ORDER BY wilson_lb DESC, tool ASC) AS rank
+FROM (
+  SELECT tool, n_calls, n_errors,
+         round(p, 6) AS error_rate,
+         round((p + (1.96*1.96)/(2*n)
+                - 1.96 * sqrt((p*(1-p) + (1.96*1.96)/(4*n)) / n))
+               / (1 + (1.96*1.96)/n), 6) AS wilson_lb
+  FROM (
+    SELECT tool, count(*) AS n_calls,
+           CAST(sum(next_err) AS BIGINT) AS n_errors,
+           CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(next_err) AS BIGINT) / CAST(count(*) AS DOUBLE) AS p
+    FROM (
+      SELECT tool,
+             coalesce(CAST(lead(severity) OVER (PARTITION BY conv_id
+                        ORDER BY turn_idx) = 'ERROR' AS INT), 0)
+               AS next_err
+      FROM routed
+    ) WHERE tool IS NOT NULL GROUP BY tool
+  )
+)
 """,
         # template_loops (operators/conversation.py): gaps-and-islands over
         # the truth templates — the same cross-implementation pinning as

@@ -139,6 +139,62 @@ def template_loops(turns: DataFrame, flag_run: int = 3) -> DataFrame:
     )
 
 
+def tool_error_attribution(
+    routed: DataFrame, z: float = 1.96
+) -> DataFrame:
+    """Per-tool error attribution with a Wilson-score lower bound.
+
+    A tool call's outcome lands on the FOLLOWING turn (the agent reports
+    the result), so a call is attributed an error when the next turn in
+    its conversation carries severity ERROR. A raw error rate ranks a
+    1-call/1-error tool above a 1000-call/400-error one; the Wilson 95%
+    lower bound (the triage ranking every SRE dashboard uses) discounts
+    low-volume tools by their binomial uncertainty — the rank flip vs the
+    raw rate is pinned by test.
+
+    Returns (tool, n_calls, n_errors, error_rate, wilson_lb, rank) ranked
+    by wilson_lb desc (ties: tool asc). One conv_id window pass (the
+    module's standard skew-free exchange) + one hash-agg on `tool` (a
+    bounded dimension) + a window over the aggregated grain only.
+    """
+    seq = routed.select(
+        "tool",
+        F.coalesce(
+            (F.lead("severity").over(_by_turn()) == "ERROR").cast("long"),
+            F.lit(0),
+        ).alias("_next_err"),
+    )
+    agg = (
+        seq.where(F.col("tool").isNotNull())
+        .groupBy("tool")
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.sum("_next_err").alias("n_errors"),
+        )
+    )
+    n = F.col("n_calls").cast("double")
+    p = F.col("n_errors") / n
+    z2 = F.lit(z * z)
+    lb = (
+        p
+        + z2 / (2 * n)
+        - F.lit(z)
+        * F.sqrt((p * (1 - p) + z2 / (4 * n)) / n)
+    ) / (1 + z2 / n)
+    scored = agg.select(
+        "tool",
+        "n_calls",
+        "n_errors",
+        F.round(p, 6).alias("error_rate"),
+        F.round(lb, 6).alias("wilson_lb"),
+    )
+    w = Window.orderBy(F.desc("wilson_lb"), F.asc("tool"))
+    # orderBy-only window: runs over the aggregated per-tool grain
+    # (bounded by the tool dimension), same justification as
+    # aggregate.py's pagination windows
+    return scored.withColumn("rank", F.row_number().over(w))
+
+
 def conv_depth_stats(turns: DataFrame) -> DataFrame:
     """Conversation-depth histogram: for each depth (turns per
     conversation), how many conversations have it, their share, and the

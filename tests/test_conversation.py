@@ -156,3 +156,40 @@ def test_template_loops_single_exchange(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_tool_error_wilson_rank_flip(spark):
+    """A 1-call/1-error tool outranks a 200-call/80-error tool on RAW
+    rate but must rank BELOW it on the Wilson lower bound; attribution
+    reads the NEXT turn's severity, and a trailing tool call with no
+    following turn counts as no-error."""
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        tool_error_attribution,
+    )
+
+    rows = []
+    # tool flaky: 200 calls, 80 followed by an ERROR turn
+    for i in range(200):
+        conv = f"f{i}"
+        rows.append((conv, 1, "flaky", "INFO"))
+        rows.append((conv, 2, None, "ERROR" if i < 80 else "INFO"))
+    # tool rare: 1 call, its next turn is an ERROR
+    rows.append(("r0", 1, "rare", "INFO"))
+    rows.append(("r0", 2, None, "ERROR"))
+    # tool tail: 1 call as the LAST turn of its conversation -> 0 errors
+    rows.append(("t0", 1, "tail", "INFO"))
+    routed = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, tool string, severity string"
+    )
+    got = {r["tool"]: r for r in tool_error_attribution(routed).collect()}
+    flaky, rare, tail = got["flaky"], got["rare"], got["tail"]
+    assert (flaky["n_calls"], flaky["n_errors"]) == (200, 80)
+    assert (rare["n_calls"], rare["n_errors"]) == (1, 1)
+    assert (tail["n_calls"], tail["n_errors"]) == (1, 0)
+    # raw rate says rare (1.0) > flaky (0.4); Wilson flips it
+    assert rare["error_rate"] > flaky["error_rate"]
+    assert flaky["wilson_lb"] > rare["wilson_lb"]
+    assert flaky["rank"] == 1 and rare["rank"] == 2 and tail["rank"] == 3
+    # Wilson LB is a true lower bound and positive when errors exist
+    assert 0 < flaky["wilson_lb"] < flaky["error_rate"]
+    assert tail["wilson_lb"] == 0.0
