@@ -1486,6 +1486,18 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight logistic quality scorer (model-based filter stage):
+    per-(lang, source) pass rates + mean score at threshold 0.5."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        quality_classifier,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_classifier(docs)
+
+
+
 def q_tool_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tool error attribution (error = next turn in the conversation
     is severity ERROR) ranked by the Wilson 95% lower bound."""
@@ -2087,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "template_loops": q_template_loops,
         "tool_errors": q_tool_errors,
+        "quality_classifier": q_quality_classifier,
         # --- 15 pipeline sentinels (driver-green every prior round) -----
         "route_counts": q_route_counts,
         "routed_fingerprint": q_routed_fingerprint,
@@ -3448,6 +3461,34 @@ SELECT coalesce(a.section, b.section) AS section,
        round(b.value - a.value, 6) AS delta
 FROM card_a a FULL OUTER JOIN card_b b
   ON a.section = b.section AND a.metric = b.metric
+""",
+        # Logistic quality classifier (text_analysis.quality_classifier):
+        # features are the 4dp-rounded text_quality forms, weights written
+        # in the exact Python fold order (bias + 4a - 6d - 3p + 0.5lt).
+        "quality_classifier": """
+WITH f AS (
+  SELECT lang, source,
+    round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1), 4) AS alpha_ratio,
+    round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1), 4) AS digit_ratio,
+    round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1), 4) AS punct_ratio,
+    ln(1.0 + (length(trim(text)) - length(replace(trim(text), ' ', ''))
+              + 1)) AS lt
+  FROM documents
+), s AS (
+  SELECT lang, source,
+    1.0 / (1.0 + exp(-(-3.0 + 4.0 * alpha_ratio + -6.0 * digit_ratio
+                       + -3.0 * punct_ratio + 0.5 * lt))) AS score
+  FROM f
+)
+SELECT lang, source, count(*) AS n_docs,
+  CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+  round(CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        / CAST(count(*) AS DOUBLE), 4) AS pass_rate,
+  round(avg(score), 4) AS avg_score
+FROM s GROUP BY 1, 2
 """,
         # Incremental dedup vs fingerprint store (operators/dedup.py:
         # fingerprint_store/incremental_dedup): same canonical md5 as

@@ -38,6 +38,69 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+# Fixed, versioned weights for the logistic quality classifier below —
+# the distilled stand-in for a fasttext/CCNet-style quality model (this
+# container ships no model artifacts; what matters at pipeline level is
+# the SCORING plumbing: linear features -> sigmoid -> threshold, all
+# engine-portable). Weights favor alphabetic prose with a healthy token
+# count and penalize digit/punct-heavy boilerplate.
+QUALITY_WEIGHTS = {
+    "alpha_ratio": 4.0,
+    "digit_ratio": -6.0,
+    "punct_ratio": -3.0,
+    "log_tokens": 0.5,
+}
+QUALITY_BIAS = -3.0
+
+
+def quality_classifier(
+    docs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Model-based quality filter: fixed-weight logistic scorer over the
+    Catalyst quality features, aggregated per (lang, source).
+
+    score(doc) = sigmoid(w . [alpha_ratio, digit_ratio, punct_ratio,
+    ln(1+n_tokens)] + b) with the versioned QUALITY_WEIGHTS above; a doc
+    passes at ``score >= threshold``. Returns per-(lang, source)
+    (n_docs, n_pass, pass_rate, avg_score) — the mix-adjustment table a
+    curation run feeds back into its sampling rates.
+
+    Scale shape: ONE scan, pure Catalyst expressions (the features reuse
+    the engine-portable forms text_quality already hash-pins), one
+    map-side-combinable hash-agg on the bounded (lang, source) grain.
+    Swapping in a real model = replacing the linear expression with an
+    Arrow-batched scorer; everything else stands.
+    """
+    text = F.col("text")
+    feats = {
+        "alpha_ratio": _char_class_ratio(text, r"[^A-Za-z]"),
+        "digit_ratio": _char_class_ratio(text, r"[^0-9]"),
+        "punct_ratio": _char_class_ratio(text, r"[^.,;:!?]"),
+        "log_tokens": F.log(1.0 + _token_count(text)),
+    }
+    logit = sum(
+        (F.lit(w) * feats[k] for k, w in QUALITY_WEIGHTS.items()),
+        start=F.lit(float(QUALITY_BIAS)),
+    )
+    score = 1.0 / (1.0 + F.exp(-logit))
+    return (
+        docs.select("lang", "source", score.alias("_score"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("_score") >= threshold).cast("long")
+            ).alias("n_pass"),
+            F.round(
+                F.sum((F.col("_score") >= threshold).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("pass_rate"),
+            F.round(F.avg("_score"), 4).alias("avg_score"),
+        )
+    )
+
+
 def token_count_stats(docs: DataFrame) -> DataFrame:
     """Per-language token volume (BPE-ish whitespace proxy)."""
     n = _token_count(F.col("text"))

@@ -168,3 +168,25 @@ def test_dataset_card_consistent_with_component_operators(spark):
         <= card[("length", "p90")]
         <= card[("length", "p99")]
     )
+
+
+def test_quality_classifier_separates_prose_from_boilerplate(spark):
+    """Alphabetic prose must pass; digit/punct-heavy boilerplate must
+    fail; monotone in the documented weight directions."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        quality_classifier,
+    )
+
+    prose = "a fine piece of well formed english prose about engines " * 3
+    boiler = "id: 8f3a9, code=500; retry... 12,345.67; ts: 1699999999 !!!"
+    rows = [
+        (1, "en", "good", prose),
+        (2, "en", "bad", boiler),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    got = {r["source"]: r for r in quality_classifier(docs).collect()}
+    assert got["good"]["n_pass"] == 1 and got["good"]["pass_rate"] == 1.0
+    assert got["bad"]["n_pass"] == 0 and got["bad"]["pass_rate"] == 0.0
+    assert got["good"]["avg_score"] > 0.5 > got["bad"]["avg_score"]
