@@ -1,0 +1,109 @@
+"""Text-retrieval/LM scale soak: BM25 and the bigram LM on 500k docs.
+
+Scale claims under test, over the same deterministic 500k-doc corpus the
+dedup soak uses (soak_dedup.ensure_docs — ~30 tokens/doc, one boilerplate
+sentence shared by EVERY document, i.e. the query-stopword adversary for
+BM25's posting-list join):
+
+* bm25_topk — posting lists for the broadcast query terms only; a query
+  term appearing in every document (taken from the boilerplate) makes the
+  candidate set the WHOLE corpus, and the per-query top-k window must
+  still hold because candidates collapse into per-(query, doc) scores
+  first (one hash-agg row per matching doc). Wall time is the evidence.
+* bigram_cross_entropy — the (doc, w1, w2, c) frame is the scale risk
+  (bigram types ~ corpus tokens); the LM/context/V derivation must stay
+  vocabulary-sized and the scoring join must not spill at the pinned
+  heap.
+
+Prints one JSON line. Usage:
+    python scripts/soak_text.py [--n 500000] [--cores 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=500_000)
+    ap.add_argument("--cores", type=int, default=32)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+    from soak_common import RssSampler, stage_metrics
+    from soak_dedup import ensure_docs
+
+    from otlp_cardinality_checker_spark.operators.search import bm25_topk
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        bigram_cross_entropy,
+    )
+    from otlp_cardinality_checker_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="soak-text",
+        cores=args.cores,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    path = str((Path(".data") / f"soak_docs_v2_n{args.n}").resolve())
+    ensure_docs(spark, args.n, path)
+    docs = spark.read.parquet(path)
+    sampler = RssSampler()
+    sampler.start()
+    out: dict = {"metric": "text_soak", "n_docs": args.n, "cores": args.cores}
+
+    # BM25 leg 1: selective queries (group-core tokens hit ~10 docs each)
+    selective = [
+        # core tokens are w{(group*131 + (i+1)*7919) % 999983}
+        (1, "w7919 w15838 w23757"),       # group 0, i=0..2
+        (2, "w138919 w146838 w154757"),   # group 1000, i=0..2
+    ]
+    t0 = time.time()
+    res = bm25_topk(docs, queries=selective, k=10).collect()
+    out["bm25_selective_sec"] = round(time.time() - t0, 1)
+    out["bm25_selective_rows"] = len(res)
+
+    # BM25 leg 2: the stopword adversary — every query term appears in
+    # EVERY document (boilerplate), so the candidate grain is the whole
+    # corpus; the per-(query, doc) agg must absorb it without a skewed
+    # single-reducer sort
+    t0 = time.time()
+    res = bm25_topk(
+        docs, queries=[(3, "terms of service apply")], k=10
+    ).collect()
+    out["bm25_stopword_sec"] = round(time.time() - t0, 1)
+    out["bm25_stopword_rows"] = len(res)
+
+    # Bigram LM over the full corpus: count result rows + a checksum so
+    # the whole scoring join actually executes
+    t0 = time.time()
+    row = (
+        bigram_cross_entropy(docs)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.hash("doc_id", "cross_entropy")).alias("h"),
+        )
+        .collect()[0]
+    )
+    out["bigram_ce_sec"] = round(time.time() - t0, 1)
+    out["bigram_ce_docs"] = row["n"]
+
+    sampler.stop()
+    out["jvm_peak_rss_gb"] = round(sampler.peak_kb / 1024 / 1024, 2)
+    try:
+        out.update(stage_metrics())
+    except Exception as e:  # noqa: BLE001 — UI scrape is best-effort
+        out["stage_metrics_error"] = str(e)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
