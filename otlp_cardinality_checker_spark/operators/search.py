@@ -53,9 +53,9 @@ K1 = 1.2
 B = 0.75
 
 
-def _tokens(text_col, min_len: int = 2):
+def _tokens(text_col, min_len: int = 2, token_pattern: str = "[^a-z]+"):
     return F.filter(
-        F.split(F.lower(text_col), "[^a-z]+"),
+        F.split(F.lower(text_col), token_pattern),
         lambda t: F.length(t) >= min_len,
     )
 
@@ -67,12 +67,16 @@ def bm25_topk(
     k1: float = K1,
     b: float = B,
     min_len: int = 2,
+    token_pattern: str = "[^a-z]+",
 ) -> DataFrame:
     """Top-k documents per keyword query by BM25.
 
     Returns (query_id, doc_id, n_terms_matched, score, rank) with rank
     1..k per query, ties broken by doc_id ascending on the 4-dp-rounded
-    score.
+    score. ``token_pattern`` is the split regex — the default is the
+    package's letters-only tokenizer (what the DuckDB oracle mirrors);
+    pass "[^a-z0-9]+" for alphanumeric corpora (identifiers, SKU-like
+    tokens), as the 500k-doc soak does.
     """
     spark = docs.sparkSession
     qs = queries if queries is not None else DEFAULT_QUERIES
@@ -80,7 +84,9 @@ def bm25_topk(
         spark.createDataFrame(qs, "query_id int, qtext string")
         .select(
             "query_id",
-            F.explode(_tokens(F.col("qtext"), min_len)).alias("term"),
+            F.explode(
+                _tokens(F.col("qtext"), min_len, token_pattern)
+            ).alias("term"),
         )
         .distinct()
     )
@@ -92,7 +98,9 @@ def bm25_topk(
     doc_terms = (
         docs.select(
             "doc_id",
-            F.explode_outer(_tokens(F.col("text"), min_len)).alias("term"),
+            F.explode_outer(
+                _tokens(F.col("text"), min_len, token_pattern)
+            ).alias("term"),
         )
         .where(F.col("term").isNotNull())  # see dedup._capped_inverted_index
         .groupBy("doc_id", "term")

@@ -59,6 +59,13 @@ def main() -> None:
     sampler.start()
     out: dict = {"metric": "text_soak", "n_docs": args.n, "cores": args.cores}
 
+    # The soak corpus's content tokens are alphanumeric (w7919 ...), so
+    # both BM25 legs use the alphanumeric tokenizer — under the default
+    # letters-only pattern the digits are separators and every content
+    # token collapses to "w" (the first soak run returned 0 rows for the
+    # selective queries; this is the regression that found token_pattern)
+    alnum = "[^a-z0-9]+"
+
     # BM25 leg 1: selective queries (group-core tokens hit ~10 docs each)
     selective = [
         # core tokens are w{(group*131 + (i+1)*7919) % 999983}
@@ -66,9 +73,16 @@ def main() -> None:
         (2, "w138919 w146838 w154757"),   # group 1000, i=0..2
     ]
     t0 = time.time()
-    res = bm25_topk(docs, queries=selective, k=10).collect()
+    res = bm25_topk(docs, queries=selective, k=10, token_pattern=alnum).collect()
     out["bm25_selective_sec"] = round(time.time() - t0, 1)
     out["bm25_selective_rows"] = len(res)
+    out["bm25_selective_ok"] = (
+        len(res) == 20
+        and all(r["score"] > 0 for r in res)
+        # group-0 docs (ids 0..9) must dominate query 1's top ranks
+        and {r["doc_id"] for r in res if r["query_id"] == 1 and r["rank"] <= 5}
+        <= set(range(10))
+    )
 
     # BM25 leg 2: the stopword adversary — every query term appears in
     # EVERY document (boilerplate), so the candidate grain is the whole
@@ -76,7 +90,8 @@ def main() -> None:
     # single-reducer sort
     t0 = time.time()
     res = bm25_topk(
-        docs, queries=[(3, "terms of service apply")], k=10
+        docs, queries=[(3, "terms of service apply")], k=10,
+        token_pattern=alnum,
     ).collect()
     out["bm25_stopword_sec"] = round(time.time() - t0, 1)
     out["bm25_stopword_rows"] = len(res)
