@@ -37,7 +37,7 @@ Scale shape (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Deterministic audit queries over the corpus vocabulary. Literal and
@@ -60,42 +60,21 @@ def _tokens(text_col, min_len: int = 2, token_pattern: str = "[^a-z]+"):
     )
 
 
-def bm25_topk(
+def build_bm25_index(
     docs: DataFrame,
-    queries: list[tuple[int, str]] | None = None,
-    k: int = 5,
-    k1: float = K1,
-    b: float = B,
     min_len: int = 2,
     token_pattern: str = "[^a-z]+",
 ) -> DataFrame:
-    """Top-k documents per keyword query by BM25.
+    """The persistable BM25 inverted index: one (doc_id, term, c) row per
+    posting. Index ONCE, query many times — write with
+    ``.write.partitionBy().parquet(path)`` (or bucketBy on `term` in a
+    real metastore so query-term probes prune to matching buckets) and
+    feed the re-read frame to :func:`bm25_query`. dl / N / avgdl are all
+    derived from this frame, so the index is the ONLY state.
 
-    Returns (query_id, doc_id, n_terms_matched, score, rank) with rank
-    1..k per query, ties broken by doc_id ascending on the 4-dp-rounded
-    score. ``token_pattern`` is the split regex — the default is the
-    package's letters-only tokenizer (what the DuckDB oracle mirrors);
-    pass "[^a-z0-9]+" for alphanumeric corpora (identifiers, SKU-like
-    tokens), as the 500k-doc soak does.
-    """
-    spark = docs.sparkSession
-    qs = queries if queries is not None else DEFAULT_QUERIES
-    qterms = (
-        spark.createDataFrame(qs, "query_id int, qtext string")
-        .select(
-            "query_id",
-            F.explode(
-                _tokens(F.col("qtext"), min_len, token_pattern)
-            ).alias("term"),
-        )
-        .distinct()
-    )
-
-    # ONE corpus tokenization -> per-(doc, term) counts, materialized once
-    # (vocab-per-doc-sized, far smaller than the raw token stream) and
-    # shared by the dl aggregation and the query-term postings below —
-    # same idiom as text_analysis.unigram_cross_entropy
-    doc_terms = (
+    The (doc, term) grain is vocab-per-doc-sized — far smaller than the
+    raw token stream — and the groupBy is map-side combinable."""
+    return (
         docs.select(
             "doc_id",
             F.explode_outer(
@@ -105,7 +84,33 @@ def bm25_topk(
         .where(F.col("term").isNotNull())  # see dedup._capped_inverted_index
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
+    )
+
+
+def bm25_query(
+    doc_terms: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 5,
+    k1: float = K1,
+    b: float = B,
+    min_len: int = 2,
+    token_pattern: str = "[^a-z]+",
+) -> DataFrame:
+    """Top-k BM25 over a prebuilt :func:`build_bm25_index` frame.
+
+    Returns (query_id, doc_id, n_terms_matched, score, rank) with rank
+    1..k per query, ties broken by doc_id ascending on the 4-dp-rounded
+    score."""
+    spark = doc_terms.sparkSession
+    qterms = (
+        spark.createDataFrame(queries, "query_id int, qtext string")
+        .select(
+            "query_id",
+            F.explode(
+                _tokens(F.col("qtext"), min_len, token_pattern)
+            ).alias("term"),
+        )
+        .distinct()
     )
     dl = doc_terms.groupBy("doc_id").agg(F.sum("c").alias("dl"))
     scalars = dl.agg(
@@ -149,4 +154,38 @@ def bm25_topk(
         .select(
             "query_id", "doc_id", "n_terms_matched", "score", "rank"
         )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]] | None = None,
+    k: int = 5,
+    k1: float = K1,
+    b: float = B,
+    min_len: int = 2,
+    token_pattern: str = "[^a-z]+",
+) -> DataFrame:
+    """One-shot convenience: :func:`build_bm25_index` +
+    :func:`bm25_query` with the index materialized once in-session
+    (localCheckpoint bridges the dl and postings branches; persist the
+    index to parquet via build_bm25_index for the query-many shape).
+
+    ``token_pattern`` is the split regex — the default is the package's
+    letters-only tokenizer (what the DuckDB oracle mirrors); pass
+    "[^a-z0-9]+" for alphanumeric corpora (identifiers, SKU-like
+    tokens), as the 500k-doc soak does.
+    """
+    qs = queries if queries is not None else DEFAULT_QUERIES
+    doc_terms = build_bm25_index(
+        docs, min_len=min_len, token_pattern=token_pattern
+    ).localCheckpoint(eager=True)
+    return bm25_query(
+        doc_terms,
+        qs,
+        k=k,
+        k1=k1,
+        b=b,
+        min_len=min_len,
+        token_pattern=token_pattern,
     )

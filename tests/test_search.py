@@ -59,3 +59,25 @@ def test_bm25_fixture_invariants(spark):
         assert (g["score"].diff().dropna() <= 0).all()
         assert (g["n_terms_matched"] <= 3).all()
         assert (g["score"] > 0).all()
+
+
+def test_bm25_index_parquet_roundtrip(spark, tmp_path):
+    """build_bm25_index persisted to parquet and re-read must give
+    bm25_query results identical to the one-shot bm25_topk."""
+    from otlp_cardinality_checker_spark.operators.search import (
+        DEFAULT_QUERIES,
+        bm25_query,
+        bm25_topk,
+        build_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx_path = str(tmp_path / "bm25_index")
+    build_bm25_index(docs).write.parquet(idx_path)
+    via_index = bm25_query(
+        spark.read.parquet(idx_path), DEFAULT_QUERIES, k=5
+    )
+    one_shot = bm25_topk(docs, k=5)
+    a = sorted(map(tuple, via_index.collect()))
+    b = sorted(map(tuple, one_shot.collect()))
+    assert a == b and len(a) > 0
