@@ -1486,6 +1486,51 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_loop_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stuck-agent loop detection (§2.10 x transcripts): two
+    contiguous turn_idx-range micro-batches each write a per-conversation
+    run-summary partial; current_loops folds them with the run-length
+    MONOID (boundary runs stitch when templates match null-safely) — the
+    merged state is BIT-IDENTICAL to batch template_loops, so the oracle
+    is the SAME truth-template SQL. A run-length state machine, not a
+    union+sum sketch: the third hash-exact streaming/batch equivalence."""
+    import tempfile
+    from pathlib import Path
+
+    from otlp_cardinality_checker_spark.functions.masking import (
+        template_expr,
+    )
+    from otlp_cardinality_checker_spark.streaming.stream import (
+        current_loops,
+        loop_stream,
+    )
+
+    turns = _transcripts(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        template_expr(F.col("text")).alias("template"),
+    )
+    tmp = Path(tempfile.mkdtemp(prefix="loopstream_"))
+    src = tmp / "src"
+    # one masking pass: materialize the templated turns once, slice the
+    # pandas frame (the 19-regexp template chain is the dominant cost;
+    # three .where() branches would re-run it per batch)
+    tpdf = turns.toPandas()
+    # two contiguous slices: every conversation deeper than 12 turns
+    # crosses the boundary, so the monoid stitch is exercised corpus-wide
+    # (3-slice, absent-middle, and null-boundary cases are pinned in
+    # tests/test_streaming.py); each extra micro-batch costs a full
+    # trigger cycle (~2.5 s) in the synchronous gate
+    _write_microbatch_sources(
+        src,
+        [tpdf[tpdf["turn_idx"] < 12], tpdf[tpdf["turn_idx"] >= 12]],
+        ts_cols=(),
+    )
+    loop_stream(spark, str(src), str(tmp / "out"), str(tmp / "ckpt"))
+    return current_loops(spark, str(tmp / "out"))
+
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-weight logistic quality scorer (model-based filter stage):
     per-(lang, source) pass rates + mean score at threshold 0.5."""
@@ -2100,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_loops": q_template_loops,
         "tool_errors": q_tool_errors,
         "quality_classifier": q_quality_classifier,
+        "loop_stream": q_loop_stream,
         # --- 15 pipeline sentinels (driver-green every prior round) -----
         "route_counts": q_route_counts,
         "routed_fingerprint": q_routed_fingerprint,
@@ -2232,6 +2278,30 @@ WITH pts AS (
              CAST([] AS INTEGER[])) AS scales
   FROM pts GROUP BY metric
 )
+"""
+
+
+_TEMPLATE_LOOPS_SQL = """
+SELECT conv_id, CAST(sum(run_len) AS BIGINT) AS n_turns,
+       count(*) AS n_runs,
+       CAST(sum(run_len) - count(*) AS BIGINT) AS n_repeat_pairs,
+       CAST(max(run_len) AS BIGINT) AS max_run,
+       max(run_len) >= 3 AS flagged
+FROM (
+  SELECT conv_id, run_no, count(*) AS run_len FROM (
+    SELECT conv_id,
+           sum(new_run) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                              ROWS UNBOUNDED PRECEDING) AS run_no
+    FROM (
+      SELECT conv_id, turn_idx,
+             CASE WHEN template IS DISTINCT FROM
+                    lag(template) OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx)
+                  THEN 1 ELSE 0 END AS new_run
+      FROM rtruth
+    )
+  ) GROUP BY 1, 2
+) GROUP BY 1
 """
 
 
@@ -2381,29 +2451,11 @@ FROM (
         # template_loops (operators/conversation.py): gaps-and-islands over
         # the truth templates — the same cross-implementation pinning as
         # template_stats (Spark masks live, DuckDB reads datagen truth).
-        "template_loops": pre
-        + """
-SELECT conv_id, CAST(sum(run_len) AS BIGINT) AS n_turns,
-       count(*) AS n_runs,
-       CAST(sum(run_len) - count(*) AS BIGINT) AS n_repeat_pairs,
-       CAST(max(run_len) AS BIGINT) AS max_run,
-       max(run_len) >= 3 AS flagged
-FROM (
-  SELECT conv_id, run_no, count(*) AS run_len FROM (
-    SELECT conv_id,
-           sum(new_run) OVER (PARTITION BY conv_id ORDER BY turn_idx
-                              ROWS UNBOUNDED PRECEDING) AS run_no
-    FROM (
-      SELECT conv_id, turn_idx,
-             CASE WHEN template IS DISTINCT FROM
-                    lag(template) OVER (PARTITION BY conv_id
-                                        ORDER BY turn_idx)
-                  THEN 1 ELSE 0 END AS new_run
-      FROM rtruth
-    )
-  ) GROUP BY 1, 2
-) GROUP BY 1
-""",
+        "template_loops": pre + _TEMPLATE_LOOPS_SQL,
+        # loop_stream: the streaming/batch equivalence IS the claim — the
+        # monoid-merged state must hash-match the same batch truth SQL.
+        "loop_stream": pre
+        + _TEMPLATE_LOOPS_SQL,
         "attribute_catalog": pre
         + """
 SELECT "key", count(*) AS count,

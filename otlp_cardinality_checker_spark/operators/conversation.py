@@ -114,19 +114,7 @@ def template_loops(turns: DataFrame, flag_run: int = 3) -> DataFrame:
         .orderBy("turn_idx")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # IS DISTINCT FROM semantics: first row (lag NULL) starts a run, and
-    # NULL templates compare null-safely on both engines
-    new_run = F.when(
-        ~F.col("template").eqNullSafe(F.lag("template").over(w)),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    runs = (
-        turns.select("conv_id", "turn_idx", "template")
-        .withColumn("_new", new_run)
-        .withColumn("_run", F.sum("_new").over(run_w))
-        .groupBy("conv_id", "_run")
-        .agg(F.count(F.lit(1)).alias("run_len"))
-    )
+    runs = _template_runs(turns, w, run_w)
     return (
         runs.groupBy("conv_id")
         .agg(
@@ -136,6 +124,64 @@ def template_loops(turns: DataFrame, flag_run: int = 3) -> DataFrame:
             F.max("run_len").alias("max_run"),
         )
         .withColumn("flagged", F.col("max_run") >= flag_run)
+    )
+
+
+def _template_runs(turns: DataFrame, w: Window, run_w: Window) -> DataFrame:
+    """Gaps-and-islands core: one row per (conv_id, run) with the run's
+    template, length, and ordinal. IS DISTINCT FROM semantics: first row
+    (lag NULL) starts a run, and NULL templates compare null-safely on
+    both engines."""
+    new_run = F.when(
+        ~F.col("template").eqNullSafe(F.lag("template").over(w)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        turns.select("conv_id", "turn_idx", "template")
+        .withColumn("_new", new_run)
+        .withColumn("_run", F.sum("_new").over(run_w))
+        .groupBy("conv_id", "_run")
+        # template is CONSTANT within a run (the null-safe equality is
+        # what grouped it), so min() just picks it deterministically
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("template").alias("template"),
+            F.min("turn_idx").alias("_min_turn"),
+        )
+    )
+
+
+def loop_partials(turns: DataFrame) -> DataFrame:
+    """Mergeable per-conversation run summary of a CONTIGUOUS turn-range
+    slice — the streaming-state grain for loop detection.
+
+    Run-length stats are not union+sum mergeable (a run can span a slice
+    boundary), but they ARE a monoid: two adjacent slices merge by
+    stitching the left slice's last run with the right slice's first run
+    when their templates match null-safely. This emits the boundary
+    information that merge needs: per conv —
+    (min_turn, n_turns, n_runs, max_run,
+     first_template, first_run, last_template, last_run).
+
+    Same single-exchange shape as template_loops (all keys share the
+    conv_id prefix).
+    """
+    w = _by_turn()
+    run_w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = _template_runs(turns, w, run_w)
+    return runs.groupBy("conv_id").agg(
+        F.min("_min_turn").alias("min_turn"),
+        F.sum("run_len").alias("n_turns"),
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("run_len").alias("max_run"),
+        F.min_by("template", "_run").alias("first_template"),
+        F.min_by("run_len", "_run").alias("first_run"),
+        F.max_by("template", "_run").alias("last_template"),
+        F.max_by("run_len", "_run").alias("last_run"),
     )
 
 

@@ -879,3 +879,141 @@ def current_cms(spark: SparkSession, out_dir: str) -> DataFrame:
             "depth", "bucket", "count"
         )
     )
+
+
+TURN_TEMPLATE_SCHEMA = "conv_id string, turn_idx int, template string"
+
+
+def loop_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> int:
+    """Streaming stuck-agent loop detection: each micro-batch of
+    (conv_id, turn_idx, template) turns contributes one per-conversation
+    run-summary partial (operators/conversation.loop_partials), written
+    partitioned by batch_id with dynamic overwrite — the same
+    replay-safety contract as the sketch streams.
+
+    Unlike the quantile/CMS partials, run-length state is NOT union+sum:
+    a template run can span a micro-batch boundary. The partial therefore
+    carries the boundary data (first/last run template + length) and
+    ``current_loops`` merges adjacent slices with the run-length MONOID
+    (stitch last/first runs when their templates match null-safely) —
+    merged state is BIT-IDENTICAL to the batch template_loops over the
+    same turns, which is what the driver oracle checks.
+
+    Requires micro-batches to be CONTIGUOUS turn-ranges (each batch holds
+    a global turn_idx slice), which availableNow + ordered source files
+    provides. Returns the number of micro-batches executed.
+    """
+    partials_dir = Path(out_dir) / "loop_partials"
+    executed = {"n": 0}
+
+    from ..operators.conversation import loop_partials
+
+    def on_batch(df: DataFrame, batch_id: int) -> None:
+        (
+            loop_partials(df)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(str(partials_dir))
+        )
+        executed["n"] += 1
+
+    stream = (
+        spark.readStream.schema(TURN_TEMPLATE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return executed["n"]
+
+
+def current_loops(
+    spark: SparkSession, out_dir: str, flag_run: int = 3
+) -> DataFrame:
+    """Fold all streamed loop partials into per-conversation loop stats
+    (schema-identical to operators/conversation.template_loops).
+
+    The fold is the run-length monoid over turn-ordered slices, applied
+    per conversation as a PURE CATALYST aggregate fold: partials collect
+    into a min_turn-sorted struct array (length = #micro-batches, tiny)
+    and F.aggregate stitches adjacent slices JVM-side — no Python
+    workers at all (an applyInPandas-per-conv variant measured ~16 s at
+    2000 convs purely in per-group Arrow/pandas overhead; this fold is
+    sub-second). Interpreted-HOF CSE caveat does not bite: the lambda
+    runs once per micro-batch per conversation over scalar fields.
+    """
+    partials = spark.read.parquet(str(Path(out_dir) / "loop_partials"))
+
+    # min_turn FIRST: sort_array orders struct arrays lexicographically
+    ps = F.sort_array(
+        F.collect_list(
+            F.struct(
+                "min_turn",
+                "n_turns",
+                "n_runs",
+                "max_run",
+                "first_template",
+                "first_run",
+                "last_template",
+                "last_run",
+            )
+        )
+    )
+
+    def _merge(acc, p):
+        stitch = acc["last_template"].eqNullSafe(p["first_template"])
+        stitched = acc["last_run"] + p["first_run"]
+        return F.struct(
+            acc["min_turn"].alias("min_turn"),
+            (acc["n_turns"] + p["n_turns"]).alias("n_turns"),
+            F.when(stitch, acc["n_runs"] + p["n_runs"] - 1)
+            .otherwise(acc["n_runs"] + p["n_runs"])
+            .alias("n_runs"),
+            F.when(
+                stitch, F.greatest(acc["max_run"], p["max_run"], stitched)
+            )
+            .otherwise(F.greatest(acc["max_run"], p["max_run"]))
+            .alias("max_run"),
+            acc["first_template"].alias("first_template"),
+            F.when(stitch & (acc["n_runs"] == 1), stitched)
+            .otherwise(acc["first_run"])
+            .alias("first_run"),
+            p["last_template"].alias("last_template"),
+            F.when(stitch & (p["n_runs"] == 1), stitched)
+            .otherwise(p["last_run"])
+            .alias("last_run"),
+        )
+
+    folded = F.aggregate(
+        F.slice(F.col("_ps"), 2, F.greatest(F.size("_ps") - 1, F.lit(0))),
+        F.element_at(F.col("_ps"), 1),
+        _merge,
+    )
+    return (
+        partials.groupBy("conv_id")
+        .agg(ps.alias("_ps"))
+        .select("conv_id", folded.alias("_f"))
+        .select(
+            "conv_id",
+            F.col("_f.n_turns").alias("n_turns"),
+            F.col("_f.n_runs").alias("n_runs"),
+            (F.col("_f.n_turns") - F.col("_f.n_runs")).alias(
+                "n_repeat_pairs"
+            ),
+            F.col("_f.max_run").alias("max_run"),
+            (F.col("_f.max_run") >= flag_run).alias("flagged"),
+        )
+    )

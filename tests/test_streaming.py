@@ -314,3 +314,55 @@ def test_stream_progress_metrics_persisted(spark, tmp_path):
     for p in data_batches:
         assert p["batch_id"] is not None
         assert p["duration_ms"]  # per-stage duration map present
+
+
+def test_loop_stream_monoid_merge_edges(spark, tmp_path):
+    """current_loops' run-length monoid vs batch template_loops on
+    crafted boundary cases: a run spanning all three slices, a
+    single-run slice stitched on both sides, null templates at a
+    boundary, and a conversation absent from the middle slice."""
+    import pandas as pd
+
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        loop_partials,
+        template_loops,
+    )
+    from otlp_cardinality_checker_spark.streaming.stream import current_loops
+    import pyspark.sql.functions as F
+
+    rows = [
+        # conv a: A A | A | A B  -> middle slice is a single run stitched
+        # on both sides; total run of A spans all three slices (max_run 4)
+        ("a", 1, "A"), ("a", 2, "A"), ("a", 3, "A"), ("a", 4, "A"), ("a", 5, "B"),
+        # conv b: NULL | NULL B  -> null templates stitch across boundary
+        ("b", 1, None), ("b", 2, None), ("b", 3, "B"),
+        # conv c: turns only in slices 1 and 3 (absent from slice 2):
+        # C | (nothing) | C  -> contiguity per conv still holds, runs stitch
+        ("c", 1, "C"), ("c", 5, "C"),
+        # conv d: no stitch at boundary (A | B)
+        ("d", 2, "A"), ("d", 3, "B"),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, template string"
+    )
+    slices = [
+        turns.where(F.col("turn_idx") <= 2),
+        turns.where((F.col("turn_idx") > 2) & (F.col("turn_idx") <= 3)),
+        turns.where(F.col("turn_idx") > 3),
+    ]
+    out = tmp_path / "out" / "loop_partials"
+    for i, sl in enumerate(slices):
+        loop_partials(sl).withColumn("_batch_id", F.lit(i)).write.mode(
+            "append"
+        ).partitionBy("_batch_id").parquet(str(out))
+
+    got = sorted(
+        map(tuple, current_loops(spark, str(tmp_path / "out")).collect())
+    )
+    want = sorted(map(tuple, template_loops(turns).collect()))
+    assert got == want
+    by_conv = {r[0]: r for r in got}
+    assert by_conv["a"][4] == 4 and by_conv["a"][5] is True   # max_run, flagged
+    assert by_conv["b"][3] == 1                                # null stitch: 1 repeat pair
+    assert by_conv["c"][2] == 1                                # C|C -> one run
+    assert by_conv["d"][2] == 2                                # no stitch
