@@ -105,8 +105,8 @@ def template_loops(turns: DataFrame, flag_run: int = 3) -> DataFrame:
     (lag + running run-counter share the partitioning); both follow-up
     aggregations group on keys PREFIXED by conv_id, so the window's hash
     partitioning already satisfies their distribution — no further
-    exchange (pinned in tests/test_plans.py-style by the conversation
-    module's existing plan audit).
+    exchange (pinned by tests/test_conversation.py::
+    test_template_loops_single_exchange).
     """
     w = _by_turn()
     run_w = (
