@@ -1486,6 +1486,20 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (hashed {1,2}-gram LMs, arXiv:2302.03169):
+    pool docs scored by ln p_target - ln p_source with target = the
+    src0/src1 slice. The md5-bucket hash makes the weights bit-exact in
+    DuckDB — a fully hash-checkable data-selection operator."""
+    from otlp_cardinality_checker_spark.operators.importance import (
+        dsir_log_weights,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_log_weights(docs, F.col("source").isin("src0", "src1"))
+
+
+
 def q_loop_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming stuck-agent loop detection (§2.10 x transcripts): two
     contiguous turn_idx-range micro-batches each write a per-conversation
@@ -2146,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_errors": q_tool_errors,
         "quality_classifier": q_quality_classifier,
         "loop_stream": q_loop_stream,
+        "dsir_weights": q_dsir_weights,
         # --- 15 pipeline sentinels (driver-green every prior round) -----
         "route_counts": q_route_counts,
         "routed_fingerprint": q_routed_fingerprint,
@@ -3513,6 +3528,45 @@ SELECT coalesce(a.section, b.section) AS section,
        round(b.value - a.value, 6) AS delta
 FROM card_a a FULL OUTER JOIN card_b b
   ON a.section = b.section AND a.metric = b.metric
+""",
+        # DSIR importance weights (operators/importance.py): md5-prefix
+        # hex -> int bucket hash (('0x'||…)::INTEGER == Spark conv(…,16,10));
+        # add-one smoothing over the 1024-bucket space on both models.
+        "dsir_weights": """
+WITH t AS (
+  SELECT doc_id, lang, source IN ('src0', 'src1') AS tgt,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> length(x) >= 1) AS tk
+  FROM documents
+), uni AS (
+  SELECT doc_id, lang, tgt, unnest(tk) AS gram FROM t
+), bi AS (
+  SELECT doc_id, lang, tgt, tk[i] || ' ' || tk[i + 1] AS gram
+  FROM (SELECT doc_id, lang, tgt, tk,
+               unnest(generate_series(1, length(tk) - 1)) AS i FROM t)
+), ex AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+db AS (
+  SELECT doc_id, lang, tgt,
+         (('0x' || substr(md5(gram), 1, 4))::INTEGER) % 1024 AS b,
+         count(*) AS c
+  FROM ex GROUP BY 1, 2, 3, 4
+),
+tgtm AS (SELECT b, CAST(sum(c) AS BIGINT) AS tc FROM db WHERE tgt GROUP BY 1),
+srcm AS (SELECT b, CAST(sum(c) AS BIGINT) AS sc FROM db WHERE NOT tgt GROUP BY 1),
+tn AS (SELECT CAST(sum(tc) AS BIGINT) AS t_n FROM tgtm),
+sn AS (SELECT CAST(sum(sc) AS BIGINT) AS s_n FROM srcm),
+ratio AS (
+  SELECT coalesce(tgtm.b, srcm.b) AS b,
+         ln((coalesce(tc, 0) + 1) / CAST(t_n + 1024 AS DOUBLE))
+         - ln((coalesce(sc, 0) + 1) / CAST(s_n + 1024 AS DOUBLE))
+           AS log_ratio
+  FROM tgtm FULL OUTER JOIN srcm ON tgtm.b = srcm.b
+  CROSS JOIN tn CROSS JOIN sn
+)
+SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_grams,
+       round(sum(c * log_ratio), 4) AS log_weight
+FROM db JOIN ratio USING (b) WHERE NOT tgt
+GROUP BY 1, 2
 """,
         # Logistic quality classifier (text_analysis.quality_classifier):
         # features are the 4dp-rounded text_quality forms, weights written

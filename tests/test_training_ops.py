@@ -880,3 +880,68 @@ def test_cms_stream_equals_batch_and_replay_safe(spark, tmp_path):
         tuple(r) for r in current_cms(spark, str(tmp_path / "out")).collect()
     )
     assert replayed == batch
+
+
+def test_session2_ops_handle_empty_input(spark):
+    """Round-5 session-2 operators must return empty frames (not crash)
+    on empty input."""
+    import pyspark.sql.functions as FF
+
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        template_loops,
+        tool_error_attribution,
+    )
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        fingerprint_store,
+        incremental_dedup,
+    )
+    from otlp_cardinality_checker_spark.operators.packing import (
+        pack_sequences,
+    )
+    from otlp_cardinality_checker_spark.operators.search import bm25_topk
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        quality_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, lang string, source string, text string"
+    )
+    turns = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, template string, tool string, "
+            "severity string"
+    )
+    assert bm25_topk(docs).count() == 0
+    assert pack_sequences(docs).count() == 0
+    assert quality_classifier(docs).count() == 0
+    assert template_loops(turns).count() == 0
+    assert tool_error_attribution(turns).count() == 0
+    assert incremental_dedup(docs, fingerprint_store(docs)).count() == 0
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """DSIR: a pool doc written in the target's vocabulary must carry a
+    higher log importance weight than one written in the pool's own
+    majority vocabulary; target docs themselves are not scored."""
+    from otlp_cardinality_checker_spark.operators.importance import (
+        dsir_log_weights,
+    )
+
+    target_text = "curated prose about careful engineering and design"
+    pool_noise = "random clutter spam keyword stuffing garbage filler"
+    rows = (
+        [(i, "en", "tgt", target_text) for i in range(10)]
+        + [(100 + i, "en", "pool", pool_noise) for i in range(10)]
+        # the doc DSIR should surface: pool member, target vocabulary
+        + [(200, "en", "pool", target_text)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dsir_log_weights(docs, F.col("source") == "tgt").collect()
+    }
+    assert set(got) == set(range(100, 110)) | {200}  # pool only
+    assert got[200]["log_weight"] > got[100]["log_weight"]
+    assert got[200]["log_weight"] > 0  # more target-like than pool-like
+    assert got[100]["log_weight"] < 0
