@@ -110,6 +110,24 @@ def main() -> None:
     out["bigram_ce_sec"] = round(time.time() - t0, 1)
     out["bigram_ce_docs"] = row["n"]
 
+    # DSIR importance weights over the full corpus (target = src_0):
+    # the (doc, bucket, c) frame is the scale risk — ~60 buckets/doc
+    t0 = time.time()
+    from otlp_cardinality_checker_spark.operators.importance import (
+        dsir_log_weights,
+    )
+
+    row = (
+        dsir_log_weights(docs, F.col("source") == "src_0")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.hash("doc_id", "log_weight")).alias("h"),
+        )
+        .collect()[0]
+    )
+    out["dsir_sec"] = round(time.time() - t0, 1)
+    out["dsir_docs"] = row["n"]
+
     sampler.stop()
     out["jvm_peak_rss_gb"] = round(sampler.peak_kb / 1024 / 1024, 2)
     try:
