@@ -1486,6 +1486,19 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_transcript_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-health card: the transcripts-side dataset_card twin —
+    volume/depth/gap/role/sink/severity/tool/loop sections in one stable
+    (section, metric, value) frame, every number equal to the dedicated
+    operator's output and the whole card one DuckDB oracle."""
+    from otlp_cardinality_checker_spark.operators.card import (
+        transcript_card,
+    )
+
+    return transcript_card(_routed(spark, sf_dir))
+
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (hashed {1,2}-gram LMs, arXiv:2302.03169):
     pool docs scored by ln p_target - ln p_source with target = the
@@ -2161,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "loop_stream": q_loop_stream,
         "dsir_weights": q_dsir_weights,
+        "transcript_card": q_transcript_card,
         # --- 15 pipeline sentinels (driver-green every prior round) -----
         "route_counts": q_route_counts,
         "routed_fingerprint": q_routed_fingerprint,
@@ -2467,6 +2481,74 @@ FROM (
         # the truth templates — the same cross-implementation pinning as
         # template_stats (Spark masks live, DuckDB reads datagen truth).
         "template_loops": pre + _TEMPLATE_LOOPS_SQL,
+        # transcript_card: every section recomputed from the same
+        # definitions the dedicated operators hash-match (depth grain,
+        # turn_gaps' epoch_us pairing, truth-template islands).
+        "transcript_card": pre
+        + """
+, conv AS (SELECT conv_id, count(*) AS depth FROM routed GROUP BY 1),
+ca AS (SELECT count(*) AS convs, CAST(sum(depth) AS BIGINT) AS turns,
+       quantile_cont(CAST(depth AS DOUBLE), [0.5, 0.9, 0.99]) AS p
+       FROM conv),
+g AS (SELECT (epoch_us(ts) - lag(epoch_us(ts))
+              OVER (PARTITION BY conv_id ORDER BY turn_idx)) / 1000000.0
+        AS gap_s FROM routed),
+ga AS (SELECT quantile_cont(gap_s, [0.5, 0.9]) AS p FROM g
+       WHERE gap_s IS NOT NULL),
+ta AS (SELECT count(*) AS n,
+       CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS calls,
+       count(DISTINCT tool) AS tools FROM routed),
+lr AS (
+  SELECT conv_id, run_no, count(*) AS run_len FROM (
+    SELECT conv_id,
+           sum(new_run) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                              ROWS UNBOUNDED PRECEDING) AS run_no
+    FROM (
+      SELECT conv_id, turn_idx,
+             CASE WHEN template IS DISTINCT FROM
+                    lag(template) OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx)
+                  THEN 1 ELSE 0 END AS new_run
+      FROM rtruth
+    )
+  ) GROUP BY 1, 2
+),
+lc AS (SELECT conv_id, CAST(sum(run_len) AS BIGINT) AS n_turns,
+       count(*) AS n_runs, CAST(max(run_len) AS BIGINT) AS max_run
+       FROM lr GROUP BY 1),
+la AS (SELECT CAST(sum(n_turns - n_runs) AS BIGINT) AS pairs,
+       CAST(sum(n_turns) AS BIGINT) AS lturns,
+       CAST(sum(CASE WHEN max_run >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS flagged,
+       count(*) AS lconvs FROM lc)
+SELECT 'volume' AS section, 'n_turns' AS metric,
+       round(CAST(turns AS DOUBLE), 6) AS value FROM ca
+UNION ALL SELECT 'volume', 'n_convs', round(CAST(convs AS DOUBLE), 6) FROM ca
+UNION ALL SELECT 'volume', 'avg_depth',
+       round(CAST(turns AS DOUBLE) / convs, 6) FROM ca
+UNION ALL SELECT 'depth', 'p50', round(p[1], 6) FROM ca
+UNION ALL SELECT 'depth', 'p90', round(p[2], 6) FROM ca
+UNION ALL SELECT 'depth', 'p99', round(p[3], 6) FROM ca
+UNION ALL SELECT 'gap', 'p50_s', round(p[1], 6) FROM ga
+UNION ALL SELECT 'gap', 'p90_s', round(p[2], 6) FROM ga
+UNION ALL SELECT 'tool', 'call_share',
+       round(CAST(calls AS DOUBLE) / n, 6) FROM ta
+UNION ALL SELECT 'tool', 'n_tools', round(CAST(tools AS DOUBLE), 6) FROM ta
+UNION ALL SELECT 'role', role,
+       round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM routed), 6)
+  FROM routed GROUP BY role
+UNION ALL SELECT 'sink', sink,
+       round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM routed), 6)
+  FROM routed GROUP BY sink
+UNION ALL SELECT 'severity', severity,
+       round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM routed), 6)
+  FROM routed GROUP BY severity
+UNION ALL SELECT 'loop', 'repeat_pair_rate',
+       round(CAST(pairs AS DOUBLE) / lturns, 6) FROM la
+UNION ALL SELECT 'loop', 'flagged_conv_share',
+       round(CAST(flagged AS DOUBLE) / lconvs, 6) FROM la
+""",
         # loop_stream: the streaming/batch equivalence IS the claim — the
         # monoid-merged state must hash-match the same batch truth SQL.
         "loop_stream": pre

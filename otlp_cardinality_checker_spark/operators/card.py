@@ -136,3 +136,175 @@ def card_diff(docs_a: DataFrame, docs_b: DataFrame) -> DataFrame:
         "value_b",
         F.round(F.col("value_b") - F.col("value_a"), 6).alias("delta"),
     )
+
+
+def transcript_card(routed: DataFrame) -> DataFrame:
+    """The transcripts-side twin of :func:`dataset_card`: one-call
+    conversation-health summary of a routed turn frame, in the same
+    long-form (section, metric, value) schema.
+
+    Sections: volume (turns/convs/avg depth), depth (exact interpolating
+    p50/p90/p99 of conversation depth), gap (global inter-turn latency
+    percentiles, seconds), role / sink / severity (share tables, bounded
+    domains), tool (call share + distinct tools), loop (template-repeat
+    pair rate + flagged-conversation share, the stuck-agent headline).
+
+    Scale shape: conversation grain is ONE groupBy(conv_id) (depth, conv
+    count, turn totals all derive from it — no count_distinct over raw
+    rows); gaps are the module-standard conv_id lag window; shares are
+    bounded-domain hash-aggs with broadcast totals; the loop section
+    reuses template_loops (single conv_id exchange). Every number equals
+    the dedicated operator's output and the whole card is one DuckDB SQL
+    oracle.
+    """
+    from ..functions.masking import template_expr
+    from .conversation import template_loops
+
+    def row(section: str, metric, value) -> list:
+        return [F.lit(section).alias("section"),
+                metric if not isinstance(metric, str)
+                else F.lit(metric).alias("metric"),
+                F.round(value, 6).cast("double").alias("value")]
+
+    n = F.count(F.lit(1))
+
+    conv = routed.groupBy("conv_id").agg(n.alias("depth"))
+    conv_agg = conv.agg(
+        n.alias("_convs"),
+        F.sum("depth").alias("_turns"),
+        F.percentile(
+            F.col("depth").cast("double"),
+            F.array(*[F.lit(q) for q in QUANTILES]),
+        ).alias("_p"),
+    )
+    volume = conv_agg.select(
+        F.explode(
+            F.array(
+                F.struct(*row("volume", "n_turns", F.col("_turns"))),
+                F.struct(*row("volume", "n_convs", F.col("_convs"))),
+                F.struct(
+                    *row(
+                        "volume",
+                        "avg_depth",
+                        F.col("_turns") / F.col("_convs"),
+                    )
+                ),
+                *[
+                    F.struct(
+                        *row(
+                            "depth",
+                            f"p{int(q * 100)}",
+                            F.element_at("_p", i + 1),
+                        )
+                    )
+                    for i, q in enumerate(QUANTILES)
+                ],
+            )
+        ).alias("r")
+    ).select("r.section", "r.metric", "r.value")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gap_s = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.lag(F.col("ts").cast("timestamp")).over(w))
+    ) / 1_000_000.0
+    gaps = (
+        routed.select(gap_s.alias("gap_s"))
+        .where(F.col("gap_s").isNotNull())
+        .agg(
+            F.percentile(
+                F.col("gap_s"), F.array(F.lit(0.5), F.lit(0.9))
+            ).alias("_p")
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        *row("gap", "p50_s", F.element_at("_p", 1))
+                    ),
+                    F.struct(
+                        *row("gap", "p90_s", F.element_at("_p", 2))
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.section", "r.metric", "r.value")
+    )
+
+    total = routed.agg(
+        n.alias("_n"),
+        F.sum(F.col("tool").isNotNull().cast("long")).alias("_calls"),
+        F.count_distinct("tool").alias("_tools"),
+    )
+    tools = total.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    *row(
+                        "tool",
+                        "call_share",
+                        F.col("_calls") / F.col("_n"),
+                    )
+                ),
+                F.struct(*row("tool", "n_tools", F.col("_tools"))),
+            )
+        ).alias("r")
+    ).select("r.section", "r.metric", "r.value")
+
+    def share(section: str, col: str) -> DataFrame:
+        t = F.broadcast(routed.agg(n.alias("_n")))
+        return (
+            routed.groupBy(F.col(col).alias("metric"))
+            .agg(n.alias("_c"))
+            .crossJoin(t)
+            .select(
+                F.lit(section).alias("section"),
+                "metric",
+                F.round(F.col("_c") / F.col("_n"), 6)
+                .cast("double")
+                .alias("value"),
+            )
+        )
+
+    loops = template_loops(
+        routed.select(
+            "conv_id",
+            "turn_idx",
+            template_expr(F.col("text")).alias("template"),
+        )
+    ).agg(
+        F.sum("n_repeat_pairs").alias("_pairs"),
+        F.sum("n_turns").alias("_turns"),
+        F.sum(F.col("flagged").cast("long")).alias("_flagged"),
+        F.count(F.lit(1)).alias("_convs"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    *row(
+                        "loop",
+                        "repeat_pair_rate",
+                        F.col("_pairs") / F.col("_turns"),
+                    )
+                ),
+                F.struct(
+                    *row(
+                        "loop",
+                        "flagged_conv_share",
+                        F.col("_flagged") / F.col("_convs"),
+                    )
+                ),
+            )
+        ).alias("r")
+    ).select("r.section", "r.metric", "r.value")
+
+    return (
+        volume.unionByName(gaps)
+        .unionByName(tools)
+        .unionByName(share("role", "role"))
+        .unionByName(share("sink", "sink"))
+        .unionByName(share("severity", "severity"))
+        .unionByName(loops)
+    )

@@ -193,3 +193,67 @@ def test_tool_error_wilson_rank_flip(spark):
     # Wilson LB is a true lower bound and positive when errors exist
     assert 0 < flaky["wilson_lb"] < flaky["error_rate"]
     assert tail["wilson_lb"] == 0.0
+
+
+def test_transcript_card_component_consistency(spark):
+    """Every number on the transcript card must equal the dedicated
+    operator's output on the same crafted frame."""
+    import datetime as dt
+
+    from otlp_cardinality_checker_spark.operators.card import (
+        transcript_card,
+    )
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        template_loops,
+    )
+    from otlp_cardinality_checker_spark.functions.masking import (
+        template_expr,
+    )
+    import pyspark.sql.functions as FF
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    for c in range(4):
+        for i in range(3 + c):  # depths 3,4,5,6
+            rows.append((
+                f"c{c}", i, "user" if i % 2 == 0 else "assistant",
+                "look up id 42" if i % 2 else "ok done",
+                "search" if i == 1 else None,
+                t0 + dt.timedelta(seconds=10 * i + c),
+                "INFO", "chat" if i != 1 else "tool_call",
+            ))
+    routed = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, severity string, sink string",
+    )
+    card = {
+        (r["section"], r["metric"]): r["value"]
+        for r in transcript_card(routed).collect()
+    }
+    n = len(rows)
+    assert card[("volume", "n_turns")] == float(n)
+    assert card[("volume", "n_convs")] == 4.0
+    assert card[("volume", "avg_depth")] == round(n / 4, 6)
+    assert card[("depth", "p50")] == 4.5  # depths 3,4,5,6
+    assert card[("gap", "p50_s")] == 10.0  # uniform 10 s gaps
+    assert card[("tool", "n_tools")] == 1.0
+    assert card[("tool", "call_share")] == round(4 / n, 6)
+    # share sections sum to 1
+    for section in ("role", "sink", "severity"):
+        total = sum(v for (s, _), v in card.items() if s == section)
+        assert abs(total - 1.0) < 1e-6, section
+    # loop section equals template_loops aggregates
+    tl = template_loops(
+        routed.select(
+            "conv_id", "turn_idx",
+            template_expr(FF.col("text")).alias("template"),
+        )
+    ).agg(
+        FF.sum("n_repeat_pairs").alias("p"),
+        FF.sum("n_turns").alias("t"),
+        FF.sum(FF.col("flagged").cast("long")).alias("f"),
+        FF.count(FF.lit(1)).alias("c"),
+    ).collect()[0]
+    assert card[("loop", "repeat_pair_rate")] == round(tl["p"] / tl["t"], 6)
+    assert card[("loop", "flagged_conv_share")] == round(tl["f"] / tl["c"], 6)
