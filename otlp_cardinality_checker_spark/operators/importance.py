@@ -32,13 +32,13 @@ from pyspark.sql import functions as F
 N_BUCKETS = 1024
 
 
-def _grams(text_col: Column, min_len: int = 1) -> Column:
-    """Unigrams ++ bigrams ('w1 w2') of the letters-only tokenization."""
-    toks = F.filter(
+def _toks(text_col: Column, min_len: int = 1) -> Column:
+    """Letters-only token array; the caller zips it against its own shift
+    to append bigrams ('w1 w2')."""
+    return F.filter(
         F.split(F.lower(text_col), "[^a-z]+"),
         lambda t: F.length(t) >= min_len,
     )
-    return toks
 
 
 def dsir_log_weights(
@@ -55,7 +55,10 @@ def dsir_log_weights(
     "more target-like than the pool average", the resampling key.
     """
     with_t = docs.select(
-        "doc_id", "lang", is_target.alias("_tgt"), _grams(F.col("text"), min_len).alias("_t")
+        "doc_id",
+        "lang",
+        is_target.alias("_tgt"),
+        _toks(F.col("text"), min_len).alias("_t"),
     )
     n_pairs = F.greatest(F.size("_t") - 1, F.lit(0))
     bigrams = F.zip_with(

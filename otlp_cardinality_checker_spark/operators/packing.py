@@ -106,5 +106,7 @@ def packing_summary(packed: DataFrame, budget: int = 256) -> DataFrame:
         F.round(
             F.sum("n_tokens") / (F.count(F.lit(1)) * F.lit(budget)), 4
         ).alias("fill_factor"),
-        F.sum("n_carryover").alias("n_split_docs"),
+        # boundary crossings, not distinct docs: a doc spanning k chunks
+        # contributes k-1 carryovers
+        F.sum("n_carryover").alias("n_carryovers"),
     )
