@@ -12,6 +12,9 @@ maps 1:1:
                 signal/severity filters (reference `/api/sessions/diff`)
     save        write a mergeable session snapshot (binary HLL sketches)
     merge       additively merge snapshot dirs into one
+    card        dataset card (documents) or --transcripts conversation-
+                health card as JSON
+    search      BM25 top-k document search (one-shot or --index)
 
 All subcommands accept `--sf-dir` (default `$SPARK_GRAFT_SF_DIR` or
 /root/testdata/sf0.01) and `--cores`.
@@ -157,6 +160,52 @@ def cmd_curate(args) -> int:
             default=str,
         )
     )
+    return 0
+
+
+def cmd_card(args) -> int:
+    """Print the dataset card (documents) or the conversation-health
+    transcript card as JSON rows — the one-call corpus summary."""
+    spark = _spark(args)
+    if args.transcripts:
+        from .operators.card import transcript_card
+
+        frame = transcript_card(_routed(spark, args))
+    else:
+        from .operators.card import dataset_card
+
+        docs = spark.read.parquet(
+            args.docs or f"{args.sf_dir}/documents.parquet"
+        )
+        frame = dataset_card(docs)
+    print(
+        json.dumps(
+            [r.asDict() for r in frame.orderBy("section", "metric").collect()]
+        )
+    )
+    return 0
+
+
+def cmd_search(args) -> int:
+    """BM25 top-k document search over the documents table (or a prebuilt
+    inverted index from build_bm25_index)."""
+    from .operators.search import bm25_query, bm25_topk
+
+    spark = _spark(args)
+    queries = [(i + 1, q) for i, q in enumerate(args.query)]
+    if args.index:
+        idx = spark.read.parquet(args.index)
+        frame = bm25_query(
+            idx, queries, k=args.k, token_pattern=args.token_pattern
+        )
+    else:
+        docs = spark.read.parquet(
+            args.docs or f"{args.sf_dir}/documents.parquet"
+        )
+        frame = bm25_topk(
+            docs, queries, k=args.k, token_pattern=args.token_pattern
+        )
+    print(json.dumps([r.asDict() for r in frame.collect()]))
     return 0
 
 
@@ -331,6 +380,30 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--salt", default="")
     p.add_argument("--out", help="write the curated sample parquet here")
     p.set_defaults(fn=cmd_curate)
+
+    p = sub.add_parser("card")
+    p.add_argument("--docs", help="documents parquet (default sf-dir's)")
+    p.add_argument(
+        "--transcripts",
+        action="store_true",
+        help="conversation-health card over the routed transcript pipeline",
+    )
+    p.set_defaults(fn=cmd_card)
+
+    p = sub.add_parser("search")
+    p.add_argument(
+        "--query",
+        action="append",
+        required=True,
+        help="keyword query, repeatable",
+    )
+    p.add_argument("-k", type=int, default=5)
+    p.add_argument("--docs", help="documents parquet (default sf-dir's)")
+    p.add_argument(
+        "--index", help="prebuilt build_bm25_index parquet (query-many path)"
+    )
+    p.add_argument("--token-pattern", default="[^a-z]+")
+    p.set_defaults(fn=cmd_search)
 
     p = sub.add_parser("sessions")
     p.add_argument(

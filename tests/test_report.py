@@ -112,3 +112,27 @@ def test_cli_sessions_missing_args_clean_error(capsys):
     assert main(["sessions", "import"]) == 2  # no --bundle
     assert "requires --bundle" in capsys.readouterr().err
     assert main(["sessions", "save"]) == 2  # no --name
+
+
+def test_cli_card_and_search(spark, capsys, monkeypatch):
+    """The card and search subcommands print valid JSON with the
+    expected shapes."""
+    import json
+
+    from otlp_cardinality_checker_spark.__main__ import main
+
+    sf = "/root/testdata/sf0.001"
+    assert main(["--sf-dir", sf, "--cores", "4", "card"]) == 0
+    card = json.loads(capsys.readouterr().out)
+    assert {r["section"] for r in card} >= {"volume", "lang", "length"}
+
+    assert (
+        main(
+            ["--sf-dir", sf, "--cores", "4", "search",
+             "--query", "hash join merge", "-k", "3"]
+        )
+        == 0
+    )
+    hits = json.loads(capsys.readouterr().out)
+    assert hits and all(r["rank"] <= 3 for r in hits)
+    assert hits[0]["score"] >= hits[-1]["score"]
