@@ -1345,6 +1345,20 @@ def q_dup_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_ngram_rate(docs)
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2021 ExactSubstr
+    semantics at token grain): per doc, maximal spans whose every k-token
+    window recurs somewhere in the corpus, with exact covered-token
+    counts via interval union. The oracle replays the identical k-gram
+    md5 + window-count + interval-merge pipeline in SQL."""
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicated_spans(docs, k=5)
+
+
 def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc letter-distribution Shannon entropy (gibberish detector)."""
     from otlp_cardinality_checker_spark.operators.text_analysis import (
@@ -2047,6 +2061,18 @@ def q_tool_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_bigrams(_transcripts(spark, sf_dir))
 
 
+def q_boilerplate_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-turn mining: normalized turn texts recurring across
+    >= 3 distinct conversations (system prompts / templated greetings /
+    stock errors) — the turn-grain dedup signal that doc-level dedup
+    cannot see."""
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        boilerplate_turns,
+    )
+
+    return boilerplate_turns(_transcripts(spark, sf_dir), min_convs=3)
+
+
 def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Role-transition stochastic matrix over consecutive turns."""
     from otlp_cardinality_checker_spark.operators.conversation import (
@@ -2175,6 +2201,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loop_stream": q_loop_stream,
         "dsir_weights": q_dsir_weights,
         "transcript_card": q_transcript_card,
+        # --- round-5 session-3 additions, first driver recording ---------
+        "dup_spans": q_dup_spans,
+        "boilerplate_turns": q_boilerplate_turns,
         # --- 15 pipeline sentinels (driver-green every prior round) -----
         "route_counts": q_route_counts,
         "routed_fingerprint": q_routed_fingerprint,
@@ -3596,6 +3625,47 @@ SELECT doc_id, count(*) AS n_shingles,
 FROM inv JOIN dfreq USING (shingle)
 GROUP BY doc_id
 """,
+        "dup_spans": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), pos_grams AS (
+  SELECT doc_id, u.p AS pos,
+         md5(array_to_string(t[u.p + 1 : u.p + 5], ' ')) AS ghash
+  FROM toks, unnest(range(len(t) - 4)) AS u(p)
+), flagged AS (
+  SELECT doc_id, pos, count(*) OVER (PARTITION BY ghash) AS n_occ
+  FROM pos_grams
+), dup_pos AS (SELECT doc_id, pos FROM flagged WHERE n_occ >= 2),
+marked AS (
+  SELECT doc_id, pos,
+    CASE WHEN max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+          OR pos > max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+         THEN 1 ELSE 0 END AS new_span
+  FROM dup_pos
+), numbered AS (
+  SELECT doc_id, pos, sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM marked
+), spans AS (
+  SELECT doc_id, span_id, max(pos) + 4 - min(pos) + 1 AS span_len
+  FROM numbered GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_dup_spans, sum(span_len) AS dup_tokens,
+         max(span_len) AS longest_dup_span
+  FROM spans GROUP BY 1
+)
+SELECT s.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(coalesce(p.dup_tokens, 0) / CAST(len(t) AS BIGINT), 4)
+         AS dup_frac,
+       CAST(coalesce(p.longest_dup_span, 0) AS BIGINT)
+         AS longest_dup_span
+FROM toks s LEFT JOIN per_doc p USING (doc_id)
+""",
         "curation_pipeline": _curation_pipeline_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "dataset_card": _dataset_card_sql(),
@@ -3979,6 +4049,21 @@ c AS (
 SELECT prev_tool, tool, CAST(cnt AS BIGINT) AS count,
        round(cnt * 1.0 / sum(cnt) OVER (), 6) AS share
 FROM c
+""",
+        "boilerplate_turns": f"""
+WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}')),
+g AS (
+  SELECT role,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+           AS fingerprint,
+         count(DISTINCT conv_id) AS n_convs,
+         count(*) AS n_turns,
+         min(substring(text, 1, 80)) AS example
+  FROM t GROUP BY 1, 2
+)
+SELECT role, fingerprint, CAST(n_convs AS BIGINT) AS n_convs,
+       CAST(n_turns AS BIGINT) AS n_turns, example
+FROM g WHERE n_convs >= 3
 """,
         "role_transitions": f"""
 WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}')),

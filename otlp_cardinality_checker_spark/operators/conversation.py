@@ -348,3 +348,37 @@ def turn_gap_percentiles(
             ).alias(f"p{str(p).replace('0.', '').ljust(2, '0')}")
         )
     return gaps.groupBy("role").agg(*aggs).orderBy("role")
+
+
+def boilerplate_turns(turns: DataFrame, min_convs: int = 3) -> DataFrame:
+    """Canned/boilerplate turn detection: normalized turn texts that recur
+    across at least ``min_convs`` DISTINCT conversations — system prompts,
+    templated greetings, stock tool errors.  These dominate token mass in
+    real agent corpora and must be found (and usually down-weighted)
+    before training; corpus-level doc dedup cannot see them because each
+    *conversation* is unique even when individual turns are copies.
+
+    Normalization = trim + whitespace collapse + lowercase; the group key
+    is the md5 of the normalized text so the aggregation exchange carries
+    16-byte digests, never turn bytes.  ``example`` (first 80 chars, min
+    per group) rides the map-side partial agg as a bounded payload.
+
+    Output: role, fingerprint, n_convs, n_turns, example.
+
+    Scale shape: ONE hash-agg exchange keyed by (role, digest);
+    count(DISTINCT conv_id) expands to the standard two-phase distinct
+    agg on the same key — both phases map-side combinable, per-group
+    state bounded by the conversations that share a fingerprint.
+    """
+    canon = F.md5(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    )
+    return (
+        turns.groupBy("role", canon.alias("fingerprint"))
+        .agg(
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min(F.substring("text", 1, 80)).alias("example"),
+        )
+        .where(F.col("n_convs") >= min_convs)
+    )

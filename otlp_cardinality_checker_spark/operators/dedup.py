@@ -665,3 +665,107 @@ def simhash_hamming_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def duplicated_spans(
+    docs: DataFrame, k: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicated-substring spans per document — the token-grain
+    analogue of the ExactSubstr suffix-array dedup in "Deduplicating
+    Training Data Makes Language Models Better" (Lee et al., 2021),
+    re-expressed Spark-first: no suffix array; a corpus-frequency window
+    over k-gram fingerprints finds every token position whose k-token
+    window recurs ANYWHERE in the corpus (intra- or inter-document, the
+    paper's semantics), then a running-max interval union merges the
+    overlapping windows into maximal duplicated spans.
+
+    Output (one row per doc): n_tokens, n_dup_spans, dup_tokens (tokens
+    covered by at least one recurring window — an EXACT covered-token
+    count, not a sum of window lengths), dup_frac, longest_dup_span.
+
+    Scale shape (text bytes are never shuffled):
+    1. tokens + per-position k-gram md5 fingerprints in ONE narrow
+       projection (split materialized first, grams are k ``element_at``
+       lookups — the `word_shingles` HOF discipline); md5 keeps the
+       DuckDB oracle bit-identical — swap ``xxhash64`` in production for
+       8-byte shuffle keys.
+    2. position duplication = ``count >= 2`` over a fingerprint-
+       partitioned window: ONE exchange whose rows are
+       (doc_id, pos, digest).
+    3. the surviving duplicated minority is merged per doc with a
+       running-max interval union over [p, p+k-1] windows (ONE doc_id
+       exchange; spans merge when they overlap or touch, so coverage is
+       never double-counted and there is NO k-times row expansion). The
+       span-grain and doc-grain groupBys reuse the doc_id partitioning
+       (HashPartitioning(doc_id) satisfies both clusterings) — no
+       further exchange.
+    4. the join back to per-doc token counts is doc-grain rows only.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    t = F.col("_toks")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, i + j + 1) for j in range(k)]
+    )
+    grams = F.when(
+        F.size(t) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - k), lambda i: F.md5(gram(i))
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    base = docs.select("doc_id", toks.alias("_toks"))
+    sizes = base.select(
+        "doc_id", F.size("_toks").cast("long").alias("n_tokens")
+    )
+    # posexplode_outer, not posexplode: inner explode over a COMPUTED
+    # array gets an inferred size(arr)>0 filter that re-evaluates the
+    # whole gram expression per row (see _capped_inverted_index).
+    pos_grams = base.select(
+        "doc_id", F.posexplode_outer(grams).alias("pos", "ghash")
+    ).where(F.col("ghash").isNotNull())
+    w_g = Window.partitionBy("ghash")
+    dup_pos = (
+        pos_grams.withColumn("n_occ", F.count(F.lit(1)).over(w_g))
+        .where(F.col("n_occ") >= 2)
+        .select("doc_id", "pos")
+    )
+    w_d = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        w_d.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dup_pos.withColumn(
+        "new_span",
+        F.when(
+            prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+        ).otherwise(0),
+    ).withColumn(
+        "span_id",
+        F.sum("new_span").over(
+            w_d.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = (
+        marked.groupBy("doc_id", "span_id")
+        .agg(
+            (F.max("pos") + (k - 1) - F.min("pos") + 1)
+            .cast("long")
+            .alias("span_len")
+        )
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("span_len").alias("dup_tokens"),
+        F.max("span_len").alias("longest_dup_span"),
+    )
+    zero = F.lit(0).cast("long")
+    return sizes.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_dup_spans", zero).alias("n_dup_spans"),
+        F.coalesce("dup_tokens", zero).alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", zero) / F.col("n_tokens"), 4
+        ).alias("dup_frac"),
+        F.coalesce("longest_dup_span", zero).alias("longest_dup_span"),
+    )

@@ -257,3 +257,33 @@ def test_transcript_card_component_consistency(spark):
     ).collect()[0]
     assert card[("loop", "repeat_pair_rate")] == round(tl["p"] / tl["t"], 6)
     assert card[("loop", "flagged_conv_share")] == round(tl["f"] / tl["c"], 6)
+
+
+def test_boilerplate_turns_crafted(spark):
+    """Threshold on DISTINCT convs, whitespace-insensitive fingerprint."""
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        boilerplate_turns,
+    )
+
+    rows = [
+        # same normalized text in 3 convs (one with extra whitespace)
+        ("c1", 0, "system", "You are  a helpful\tassistant."),
+        ("c2", 0, "system", "You are a helpful assistant."),
+        ("c3", 0, "system", " you are a HELPFUL assistant. "),
+        # repeated 3x but inside a single conv -> below distinct-conv bar
+        ("c1", 1, "user", "retry please"),
+        ("c1", 2, "user", "retry please"),
+        ("c1", 3, "user", "retry please"),
+        # only 2 convs -> excluded at min_convs=3
+        ("c2", 1, "assistant", "Done."),
+        ("c3", 1, "assistant", "Done."),
+    ]
+    turns = spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "role", "text"]
+    )
+    got = boilerplate_turns(turns, min_convs=3).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["role"] == "system" and r["n_convs"] == 3 and r["n_turns"] == 3
+    # example = lexicographic min of the first-80-char prefixes
+    assert r["example"] == " you are a HELPFUL assistant. "

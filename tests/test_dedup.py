@@ -582,3 +582,59 @@ def test_incremental_dedup_composes_with_store(spark, tmp_path):
     ).count()
     n_kept = sum(v for (lang, st), v in got.items() if st == "kept")
     assert n_kept == n_all - n_seen
+
+
+def test_duplicated_spans_crafted(spark):
+    """ExactSubstr semantics: cross-doc recurrence, intra-doc recurrence,
+    overlap merge (no double counting), and short-doc zero rows."""
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    rows = [
+        (1, "u1 u2 u3 u4 u5 u6 u7 u8"),  # unique -> no spans
+        (2, "a b c d e x0 y0 z0"),       # shares 'a b c d e' with doc 3
+        (3, "q r a b c d e w"),
+        (4, "p p p p p p p"),            # intra-doc: every 5-gram equal
+        (5, "m n o p q r s t u"),        # two OVERLAPPING shared 5-grams
+        (6, "x9 m n o p q r y9 z9 w9"),  #   with doc 5 -> ONE merged span
+        (7, "tiny doc"),                 # < k tokens -> no grams at all
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in duplicated_spans(docs, k=5).collect()
+    }
+    assert got[1]["n_dup_spans"] == 0 and got[1]["dup_tokens"] == 0
+    # cross-doc: exactly the 5 shared tokens are covered on both sides
+    assert got[2]["n_dup_spans"] == 1 and got[2]["dup_tokens"] == 5
+    assert got[3]["dup_tokens"] == 5 and got[3]["longest_dup_span"] == 5
+    # intra-doc: 3 identical 5-gram positions merge to one 7-token span
+    assert got[4]["n_dup_spans"] == 1
+    assert got[4]["dup_tokens"] == 7 and got[4]["dup_frac"] == 1.0
+    # overlapping windows merge without double counting: doc 5 dup starts
+    # {0, 1} cover tokens 0..5 = 6 tokens (NOT 10), doc 6 starts {1, 2}
+    assert got[5]["n_dup_spans"] == 1 and got[5]["dup_tokens"] == 6
+    assert got[6]["n_dup_spans"] == 1 and got[6]["dup_tokens"] == 6
+    assert got[7]["n_tokens"] == 2 and got[7]["n_dup_spans"] == 0
+
+
+def test_duplicated_spans_invariants(spark, docs):
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    got = duplicated_spans(docs).cache()
+    try:
+        assert got.count() == docs.count()  # one row per doc, always
+        bad = got.where(
+            (F.col("dup_tokens") > F.col("n_tokens"))
+            | (F.col("longest_dup_span") > F.col("dup_tokens"))
+            | ((F.col("n_dup_spans") > 0) & (F.col("dup_tokens") < 5))
+            | (F.col("dup_frac") > 1.0)
+        )
+        assert bad.count() == 0
+        # the sf0.001 corpus has exact-duplicate docs -> spans must exist
+        assert got.where(F.col("dup_tokens") > 0).count() > 0
+    finally:
+        got.unpersist()
