@@ -1359,6 +1359,31 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(docs, k=5)
 
 
+def q_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc zlib compression ratio (character-level repetitiveness /
+    quality signal). Rows-only by design: DuckDB exposes no deflate, so
+    no SQL oracle exists — correctness is pinned by the direct-zlib
+    parity + closed-form extreme tests in tests/test_text_analysis.py."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        compression_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return compression_stats(docs)
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.7) source mixture weights: per-source
+    token mass, raw vs alpha-flattened corpus shares, and the implied
+    up/down-sampling factor — the XLM-R/mT5 data-mixing computation."""
+    from otlp_cardinality_checker_spark.operators.sampling import (
+        mixture_weights,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_weights(docs, alpha=0.7)
+
+
 def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc letter-distribution Shannon entropy (gibberish detector)."""
     from otlp_cardinality_checker_spark.operators.text_analysis import (
@@ -2204,6 +2229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 session-3 additions, first driver recording ---------
         "dup_spans": q_dup_spans,
         "boilerplate_turns": q_boilerplate_turns,
+        "mixture_weights": q_mixture_weights,
+        "compression_stats": q_compression_stats,
         # --- 15 pipeline sentinels (driver-green every prior round) -----
         "route_counts": q_route_counts,
         "routed_fingerprint": q_routed_fingerprint,
@@ -3665,6 +3692,23 @@ SELECT s.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
        CAST(coalesce(p.longest_dup_span, 0) AS BIGINT)
          AS longest_dup_span
 FROM toks s LEFT JOIN per_doc p USING (doc_id)
+""",
+        "mixture_weights": """
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS t, sum(pow(n_tokens, 0.7)) AS ta
+  FROM per_src
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+       round(n_tokens / t, 6) AS raw_share,
+       round(pow(n_tokens, 0.7) / ta, 6) AS alpha_share,
+       round((pow(n_tokens, 0.7) / ta) / (n_tokens * 1.0 / t), 4)
+         AS upsample_factor
+FROM per_src, tot
 """,
         "curation_pipeline": _curation_pipeline_sql(),
         "stratified_sample": _stratified_sample_sql(),

@@ -165,3 +165,41 @@ def stratified_sample_stats(
         F.round(F.sum(keep) / F.count(F.lit(1)), 4).alias("realized_rate"),
         F.sum(F.col(id_col) * keep).alias("sampled_id_sum"),
     )
+
+
+def mixture_weights(docs: DataFrame, alpha: float = 0.7) -> DataFrame:
+    """Temperature-scaled source mixture weights — the multinomial
+    sampling-weight computation used to rebalance multi-source / multi-
+    lingual training corpora (p_i ∝ n_i^alpha, the alpha=0.7 recipe of
+    XLM-R / mT5): per source, doc and token counts, raw corpus share,
+    alpha-scaled share, and the implied up/down-sampling factor a data
+    loader would apply.
+
+    Output: source, n_docs, n_tokens, raw_share, alpha_share,
+    upsample_factor (= alpha_share / raw_share; > 1 means the source is
+    up-sampled by the temperature flattening).
+
+    Scale shape: ONE map-side-combined aggregation from the raw scan down
+    to the tiny source grain, then a crossJoin against the broadcast
+    1-row totals — no unpartitioned window, no second scan. Shares are
+    rounded (6 dp) for cross-engine float stability.
+    """
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok).alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("_tot"),
+        F.sum(F.pow("n_tokens", F.lit(alpha))).alias("_tot_a"),
+    )
+    raw_share = F.col("n_tokens") / F.col("_tot")
+    alpha_share = F.pow("n_tokens", F.lit(alpha)) / F.col("_tot_a")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(raw_share, 6).alias("raw_share"),
+        F.round(alpha_share, 6).alias("alpha_share"),
+        F.round(alpha_share / raw_share, 4).alias("upsample_factor"),
+    )

@@ -651,3 +651,60 @@ def intra_doc_repetition(docs: DataFrame, n: int = 2) -> DataFrame:
         ).alias("top_gram_char_frac"),
         F.round(dup_mass / chars, 4).alias("dup_gram_frac"),
     )
+
+
+def compression_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc zlib (level 6) compression ratio — the classic web-corpus
+    repetitiveness/quality signal: templated or looping text deflates far
+    below natural prose, machine noise sits near 1.0.  Complements the
+    token-level Gopher filters in ``intra_doc_repetition`` with a signal
+    that sees CHARACTER-level redundancy (whitespace art, base64 blobs,
+    copy-pasted markup) that word n-grams miss.
+
+    Output: doc_id, raw_bytes, compressed_bytes, compression_ratio
+    (rounded 4 dp; ratio of an EMPTY doc is defined as 0.0 rather than a
+    divide-by-zero).
+
+    No cross-engine oracle: DuckDB exposes no deflate — rows-only by
+    design; correctness is pinned by a direct-zlib recomputation over the
+    same rows plus closed-form extremes in tests/test_text_analysis.py.
+
+    Scale shape: ONE Arrow-batched ``mapInArrow`` projection of
+    (doc_id, text) into four fixed-width columns — zero exchanges,
+    embarrassingly parallel; ``zlib.compress`` is C under the loop, and
+    per-batch Arrow transfer amortizes the Python boundary (the same
+    escape-hatch pattern as the media kernels in multimodal.py).
+    """
+    import pyarrow as pa
+
+    def _kernel(batches):
+        import zlib
+
+        for b in batches:
+            raw, comp, ratio = [], [], []
+            for t in b.column("text").to_pylist():
+                data = (t or "").encode("utf-8")
+                n, c = len(data), len(zlib.compress(data, 6))
+                raw.append(n)
+                comp.append(c)
+                ratio.append(round(c / n, 4) if n else 0.0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pa.array(raw, pa.int64()),
+                    pa.array(comp, pa.int64()),
+                    pa.array(ratio, pa.float64()),
+                ],
+                [
+                    "doc_id",
+                    "raw_bytes",
+                    "compressed_bytes",
+                    "compression_ratio",
+                ],
+            )
+
+    return docs.select("doc_id", "text").mapInArrow(
+        _kernel,
+        "doc_id long, raw_bytes long, compressed_bytes long, "
+        "compression_ratio double",
+    )

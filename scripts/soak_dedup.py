@@ -134,6 +134,31 @@ def main() -> None:
     out["capped_jaccard_sec"] = round(time.time() - t0, 1)
     out["capped_jaccard_pairs"] = n_capped
 
+    # ExactSubstr duplicated spans: the boilerplate sentence plants a
+    # shared 9-token run in EVERY document, so the "duplicated minority"
+    # is the whole corpus — worst case for the interval-union stage
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    t0 = time.time()
+    ds_agg = (
+        duplicated_spans(docs, k=5)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dup_tokens").alias("dt"),
+            F.sum("n_tokens").alias("nt"),
+            F.sum(
+                F.hash("doc_id", "n_dup_spans", "dup_tokens")
+            ).alias("h"),
+        )
+        .collect()[0]
+    )
+    out["dup_spans_sec"] = round(time.time() - t0, 1)
+    out["dup_spans_docs"] = ds_agg["n"]
+    out["dup_token_frac"] = round(ds_agg["dt"] / ds_agg["nt"], 4)
+    out["dup_spans_checksum"] = ds_agg["h"]
+
     # SimHash: both engines over the full corpus; checksum equality is the
     # cross-engine correctness claim at soak scale
     from otlp_cardinality_checker_spark.operators.dedup import simhash_signatures

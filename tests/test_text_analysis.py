@@ -190,3 +190,47 @@ def test_quality_classifier_separates_prose_from_boilerplate(spark):
     assert got["good"]["n_pass"] == 1 and got["good"]["pass_rate"] == 1.0
     assert got["bad"]["n_pass"] == 0 and got["bad"]["pass_rate"] == 0.0
     assert got["good"]["avg_score"] > 0.5 > got["bad"]["avg_score"]
+
+
+def test_compression_stats_direct_zlib_parity(spark):
+    """Closed-form extremes + bit-exact parity with a direct zlib pass."""
+    import zlib
+
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        compression_stats,
+    )
+
+    rows = [
+        (1, "a" * 10_000),                                   # degenerate
+        (2, " ".join(f"w{i}x{i * 7 % 97}" for i in range(500))),  # varied
+        (3, ""),                                             # empty
+        (4, "the quick brown fox jumps over the lazy dog"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in compression_stats(docs).collect()}
+    for doc_id, text in rows:
+        data = text.encode("utf-8")
+        r = got[doc_id]
+        assert r["raw_bytes"] == len(data)
+        assert r["compressed_bytes"] == len(zlib.compress(data, 6))
+        want = round(len(zlib.compress(data, 6)) / len(data), 4) if data else 0.0
+        assert r["compression_ratio"] == want
+    assert got[1]["compression_ratio"] < 0.01   # pure repetition deflates
+    assert got[2]["compression_ratio"] > 0.3    # varied text does not
+
+
+def test_compression_stats_corpus(spark):
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        compression_stats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = compression_stats(docs)
+    assert got.count() == docs.count()
+    assert (
+        got.where(
+            (F.col("compression_ratio") <= 0)
+            | (F.col("compression_ratio") > 1.5)
+        ).count()
+        == 0
+    )

@@ -945,3 +945,34 @@ def test_dsir_weights_rank_target_like_docs_higher(spark):
     assert got[200]["log_weight"] > got[100]["log_weight"]
     assert got[200]["log_weight"] > 0  # more target-like than pool-like
     assert got[100]["log_weight"] < 0
+
+
+def test_mixture_weights_crafted(spark):
+    """Temperature flattening: shares sum to 1, small sources upsample."""
+    import math
+
+    from otlp_cardinality_checker_spark.operators.sampling import (
+        mixture_weights,
+    )
+
+    rows = (
+        # big source: 9 docs x 10 tokens; small source: 1 doc x 10 tokens
+        [(i, " ".join(["w"] * 10), "en", "big") for i in range(9)]
+        + [(9, " ".join(["w"] * 10), "en", "small")]
+    )
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source"]
+    )
+    got = {r["source"]: r for r in mixture_weights(docs, alpha=0.7).collect()}
+    assert got["big"]["n_tokens"] == 90 and got["small"]["n_tokens"] == 10
+    assert abs(got["big"]["raw_share"] + got["small"]["raw_share"] - 1) < 1e-6
+    assert (
+        abs(got["big"]["alpha_share"] + got["small"]["alpha_share"] - 1)
+        < 1e-6
+    )
+    # alpha < 1 flattens: the minority source is up-sampled, majority down
+    assert got["small"]["upsample_factor"] > 1 > got["big"]["upsample_factor"]
+    ta = 90**0.7 + 10**0.7
+    assert math.isclose(
+        got["small"]["alpha_share"], round(10**0.7 / ta, 6), abs_tol=1e-9
+    )
