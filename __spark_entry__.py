@@ -872,6 +872,41 @@ def q_cms_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_card_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-key cardinality (the package's namesake signal as a
+    stream): two ts-range micro-batches each write distinct (key, value-
+    digest) partials + per-key HLL partials; distinct-union on read makes
+    the streamed EXACT count hash-match the batch count(DISTINCT ...)
+    oracle. The streamed HLL estimate (== batch estimate, register-max
+    union) is pinned by pytest; only the oracle-checkable exact columns
+    are returned here."""
+    import tempfile
+    from pathlib import Path
+
+    from otlp_cardinality_checker_spark.streaming.stream import (
+        card_stream,
+        current_cardinality,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    cutoff = ev.agg(
+        F.expr("percentile_approx(ts, 0.5)").alias("c")
+    ).collect()[0]["c"]
+    tmp = Path(tempfile.mkdtemp(prefix="cardstream_"))
+    src = tmp / "src"
+    _write_microbatch_sources(
+        src,
+        [ev.where(F.col("ts") < F.lit(cutoff)),
+         ev.where(F.col("ts") >= F.lit(cutoff))],
+    )
+    card_stream(spark, str(src), str(tmp / "out"), str(tmp / "ckpt"))
+    return current_cardinality(spark, str(tmp / "out")).select(
+        "event_type", "n_rows", "exact_cardinality"
+    )
+
+
 def q_quantile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming quantile sketch (§2.10 x the mergeable-sketch family):
     three doc_id-range micro-batches each write one (lang, bucket_hi,
@@ -2231,6 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_turns": q_boilerplate_turns,
         "mixture_weights": q_mixture_weights,
         "compression_stats": q_compression_stats,
+        "card_stream": q_card_stream,
         # --- 15 pipeline sentinels (driver-green every prior round) -----
         "route_counts": q_route_counts,
         "routed_fingerprint": q_routed_fingerprint,
@@ -4512,6 +4548,17 @@ cells AS (
 )
 SELECT e."value", est_count, exact_count
 FROM est JOIN exact e USING ("value")
+"""
+    # streaming cardinality — the digest partials' distinct-union monoid
+    # makes the streamed exact count equal the batch count(DISTINCT ...)
+    # regardless of how rows were split across micro-batches
+    oracles["card_stream"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT coalesce(CAST(user_id AS VARCHAR),
+                                    chr(0) || '<NULL>')) AS BIGINT)
+         AS exact_cardinality
+FROM events GROUP BY 1
 """
     # stream-stream join exact batch-equivalence (see
     # q_attribution_join_stream's eviction-safety argument)

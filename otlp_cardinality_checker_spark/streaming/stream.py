@@ -1017,3 +1017,128 @@ def current_loops(
             (F.col("_f.max_run") >= flag_run).alias("flagged"),
         )
     )
+
+
+def card_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "event_type",
+    value_col: str = "user_id",
+    lg_k: int = 12,
+    max_files_per_trigger: int = 1,
+) -> int:
+    """Streaming per-key cardinality — the package's namesake signal as a
+    stream.  Each micro-batch contributes TWO mergeable partials per key,
+    both written partitioned by batch_id with dynamic overwrite (the
+    standard replay-safety contract of this module):
+
+    * EXACT state: the distinct (key, value-digest) rows the batch saw.
+      The merge monoid is distinct-union (idempotent under checkpoint
+      replay AND under cross-batch repeats), so distinct-on-read yields
+      the exact per-key cardinality — hash-oracle-checkable against
+      ``count(DISTINCT ...)`` batch SQL.  Digests are md5 of the
+      stringified value (NULL_SENTINEL for null), so raw values never
+      enter state and null is counted as one value, matching the batch
+      key_stats convention.
+    * SKETCH state: a per-key HLL partial (``hll_sketch_agg``, lgK=12).
+      HLL union is register-wise max, so the streamed union is exactly
+      the batch sketch over the same rows (two-stage == single-stage is
+      pinned by test_salted_hll_equals_unsalted); the streamed ESTIMATE
+      therefore equals the batch estimate, not approximately.
+
+    Scale shape: the exact path's state grows with TRUE per-key
+    cardinality (16-byte digests); the sketch path grows by <= #keys x
+    2^lgK bytes per batch and compacts by re-aggregation on read.  At
+    100 TB you keep the sketch and retire a key's digest set once it
+    crosses an exactness budget — the same exact->sketch handoff as
+    batch ``key_stats(exact=False)``.  Per batch, both partials are one
+    map-side-combined aggregation each; raw rows never land in state.
+
+    Returns the number of micro-batches executed.
+    """
+    from ..operators.checksum import NULL_SENTINEL
+
+    digests_dir = Path(out_dir) / "card_digests"
+    sketches_dir = Path(out_dir) / "card_sketches"
+    executed = {"n": 0}
+
+    def on_batch(df: DataFrame, batch_id: int) -> None:
+        vdigest = F.md5(
+            F.coalesce(
+                F.col(value_col).cast("string"), F.lit(NULL_SENTINEL)
+            )
+        )
+        (
+            df.select(F.col(key_col), vdigest.alias("vdigest"))
+            .distinct()
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(str(digests_dir))
+        )
+        (
+            df.groupBy(key_col)
+            .agg(
+                F.hll_sketch_agg(
+                    F.coalesce(
+                        F.col(value_col).cast("string"),
+                        F.lit(NULL_SENTINEL),
+                    ),
+                    lg_k,
+                ).alias("sketch"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(str(sketches_dir))
+        )
+        executed["n"] += 1
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return executed["n"]
+
+
+def current_cardinality(
+    spark: SparkSession, out_dir: str, key_col: str = "event_type"
+) -> DataFrame:
+    """Merge the streamed cardinality state: exact per-key distinct count
+    from the digest partials (distinct-union monoid) joined with the
+    HLL-union estimate and the additive row count from the sketch
+    partials.  Output: (key, n_rows, exact_cardinality, est_cardinality).
+    """
+    exact = (
+        spark.read.parquet(str(Path(out_dir) / "card_digests"))
+        .select(key_col, "vdigest")
+        .distinct()
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("exact_cardinality"))
+    )
+    est = (
+        spark.read.parquet(str(Path(out_dir) / "card_sketches"))
+        .groupBy(key_col)
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "est_cardinality"
+            ),
+        )
+    )
+    return exact.join(est, key_col).select(
+        key_col, "n_rows", "exact_cardinality", "est_cardinality"
+    )

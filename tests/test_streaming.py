@@ -366,3 +366,64 @@ def test_loop_stream_monoid_merge_edges(spark, tmp_path):
     assert by_conv["b"][3] == 1                                # null stitch: 1 repeat pair
     assert by_conv["c"][2] == 1                                # C|C -> one run
     assert by_conv["d"][2] == 2                                # no stitch
+
+
+def test_card_stream_equals_batch_and_replay_safe(spark, tmp_path):
+    """Streamed exact cardinality == batch count(DISTINCT); streamed HLL
+    estimate == batch hll_sketch_agg estimate (register-max union is
+    split-invariant); checkpoint-wiped replay leaves state unchanged."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from otlp_cardinality_checker_spark.operators.checksum import (
+        NULL_SENTINEL,
+    )
+    from otlp_cardinality_checker_spark.streaming.stream import (
+        card_stream,
+        current_cardinality,
+    )
+
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+    pdf = ev.toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    n = len(pdf)
+    pdf.iloc[: n // 2].to_parquet(src / "part0.parquet", index=False)
+    pdf.iloc[n // 2 :].to_parquet(src / "part1.parquet", index=False)
+
+    n_batches = card_stream(
+        spark, str(src), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    assert n_batches >= 2
+    streamed = sorted(
+        tuple(r)
+        for r in current_cardinality(spark, str(tmp_path / "out")).collect()
+    )
+    sval = F.coalesce(F.col("user_id").cast("string"), F.lit(NULL_SENTINEL))
+    batch = sorted(
+        tuple(r)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(sval).alias("exact_cardinality"),
+            F.hll_sketch_estimate(F.hll_sketch_agg(sval, 12)).alias(
+                "est_cardinality"
+            ),
+        )
+        .collect()
+    )
+    assert streamed == batch
+
+    shutil.rmtree(tmp_path / "ckpt")
+    card_stream(
+        spark, str(src), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    replayed = sorted(
+        tuple(r)
+        for r in current_cardinality(spark, str(tmp_path / "out")).collect()
+    )
+    assert replayed == batch
