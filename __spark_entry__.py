@@ -1867,6 +1867,30 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level decontamination audit: per test-split doc, the
+    fraction of its distinct 3-grams absent from the ENTIRE train split
+    (catches many-train-docs stitching that pairwise containment
+    misses)."""
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        ngram_novelty,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_novelty(docs, F.length(F.col("source")) >= 5, n=3)
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: overlapping 64-token windows (overlap 16) per doc,
+    with md5 chunk digests — integer-exact layout, zero exchanges."""
+    from otlp_cardinality_checker_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key hot-value skew audit (two-stage argmax, no full-key sort)."""
     from otlp_cardinality_checker_spark.operators.aggregate import key_skew
@@ -2267,6 +2291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "compression_stats": q_compression_stats,
         "card_stream": q_card_stream,
+        "ngram_novelty": q_ngram_novelty,
+        "chunk_docs": q_chunk_docs,
         # --- 15 pipeline sentinels (driver-green every prior round) -----
         "route_counts": q_route_counts,
         "routed_fingerprint": q_routed_fingerprint,
@@ -4041,6 +4067,55 @@ SELECT doc_id, train_doc_id, n_common, containment FROM (
     ORDER BY containment DESC, train_doc_id ASC) AS rn
   FROM scored
 ) WHERE rn = 1 AND containment >= 0.3
+""",
+        "ngram_novelty": """
+WITH toks AS (
+  SELECT doc_id, length(source) >= 5 AS is_test,
+         string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), shingled AS (
+  SELECT doc_id, is_test,
+    CASE WHEN len(t) >= 3
+         THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                             for i in range(1, len(t) - 1)])
+         ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+), inv AS (
+  SELECT doc_id, is_test, unnest(shingles) AS shingle FROM shingled
+), train_set AS (
+  SELECT DISTINCT shingle FROM inv WHERE NOT is_test
+), seen AS (
+  SELECT doc_id, count(*) AS n_seen
+  FROM inv
+  WHERE is_test AND shingle IN (SELECT shingle FROM train_set)
+  GROUP BY 1
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n FROM shingled WHERE is_test
+)
+SELECT s.doc_id, CAST(n AS BIGINT) AS n_shingles,
+       CAST(n - coalesce(n_seen, 0) AS BIGINT) AS n_novel,
+       round((n - coalesce(n_seen, 0)) / CAST(n AS DOUBLE), 6)
+         AS novelty_rate
+FROM sizes s LEFT JOIN seen USING (doc_id)
+""",
+        "chunk_docs": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), meta AS (
+  SELECT doc_id, t, len(t) AS n,
+         CASE WHEN len(t) <= 64 THEN 1
+              ELSE 1 + (len(t) - 64 + 47) // 48 END AS n_chunks
+  FROM toks
+)
+SELECT doc_id,
+       CAST(u.ci AS BIGINT) AS chunk_idx,
+       CAST(u.ci * 48 AS BIGINT) AS start_tok,
+       CAST(least(64, n - u.ci * 48) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(
+         t[u.ci * 48 + 1 : u.ci * 48 + least(64, n - u.ci * 48)], ' '))
+         AS chunk_digest
+FROM meta, unnest(range(n_chunks)) AS u(ci)
 """,
         "key_skew": pre
         + """

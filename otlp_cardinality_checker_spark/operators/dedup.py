@@ -769,3 +769,53 @@ def duplicated_spans(
         ).alias("dup_frac"),
         F.coalesce("longest_dup_span", zero).alias("longest_dup_span"),
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    test_pred,
+    n: int = 3,
+) -> DataFrame:
+    """Corpus-level n-gram novelty of each *test* document: the fraction
+    of its DISTINCT word n-grams that appear NOWHERE in the train split —
+    the GPT-3-style decontamination audit at corpus grain.  Complements
+    ``cross_split_containment`` (pairwise max containment in any single
+    train doc): a test doc stitched together from MANY train docs scores
+    low pairwise containment but near-zero novelty here.
+
+    Output per test doc: doc_id, n_shingles, n_novel, novelty_rate
+    (round 6; novel = absent from the train corpus' shingle set).
+
+    Scale shape: shingles ride as xxhash64 values (the word_shingles
+    discipline — never shingle text on the wire; the oracle re-derives
+    the same sets from raw strings, which cancels in the counts).  The
+    train set is deduplicated to distinct shingles FIRST (map-side
+    combinable), then one left-semi equi-join on the hash counts each
+    test doc's seen shingles — per-shingle fan-out is 1 by construction
+    (semi-join against a distinct set), so no df cap is needed: the join
+    is linear in test-corpus shingles.
+    """
+    inv, sizes = _capped_inverted_index(word_shingles(docs, n=n), None)
+    flags = docs.select("doc_id", test_pred.alias("is_test"))
+    inv = inv.join(flags, "doc_id")
+    train_set = (
+        inv.where(~F.col("is_test")).select("shingle").distinct()
+    )
+    seen = (
+        inv.where(F.col("is_test"))
+        .join(train_set, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_seen"))
+    )
+    test_sizes = sizes.join(
+        flags.where(F.col("is_test")), "doc_id"
+    ).select("doc_id", "n_shingles")
+    n_novel = F.col("n_shingles") - F.coalesce(
+        F.col("n_seen"), F.lit(0).cast("long")
+    )
+    return test_sizes.join(seen, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        n_novel.cast("long").alias("n_novel"),
+        F.round(n_novel / F.col("n_shingles"), 6).alias("novelty_rate"),
+    )

@@ -110,3 +110,78 @@ def packing_summary(packed: DataFrame, budget: int = 256) -> DataFrame:
         # contributes k-1 carryovers
         F.sum("n_carryover").alias("n_carryovers"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style per-document chunking: overlapping fixed-size token
+    windows (stride = chunk_tokens - overlap), the layout an embedding /
+    retrieval pipeline writes before vectorizing.  Complements
+    ``pack_sequences`` (which concatenates ACROSS documents for training)
+    with the within-document split used for indexing.
+
+    Chunk count for a doc of n tokens: 1 if n <= chunk_tokens, else
+    1 + ceil((n - chunk_tokens) / stride) — every token is covered, the
+    last chunk may be short, and consecutive chunks share ``overlap``
+    tokens.  Output: doc_id, chunk_idx, start_tok, n_chunk_tokens,
+    chunk_digest (md5 of the space-joined window — the identity an
+    index-build can verify against without re-reading the corpus).
+
+    Scale shape: ZERO exchanges — one narrow projection per doc plus an
+    explode bounded by n/stride rows per document; all arithmetic is
+    integer (bit-identical across engines) and the digest is md5 for
+    oracle parity.  The token split is materialized once (HOF rule);
+    ``slice`` here is once per CHUNK row, not per element inside a
+    lambda, so the word_shingles element_at discipline does not apply.
+    """
+    if chunk_tokens <= 0 or overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}, "
+            f"{chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_tok = F.size("_toks")
+    # integer ceil-div via DIV (never `/`, which is float in Spark SQL)
+    n_chunks = (
+        F.when(n_tok <= chunk_tokens, F.lit(1))
+        .otherwise(
+            1
+            + F.expr(
+                f"(size(_toks) - {chunk_tokens} + {stride - 1}) "
+                f"DIV {stride}"
+            )
+        )
+        .cast("long")
+    )
+    d = docs.select(
+        "doc_id",
+        toks.alias("_toks"),
+    ).select(
+        "doc_id",
+        "_toks",
+        n_tok.cast("long").alias("n_tok"),
+        F.explode_outer(
+            F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+        ).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride
+    ntoks = F.least(F.lit(chunk_tokens).cast("long"), F.col("n_tok") - start)
+    return d.select(
+        "doc_id",
+        "chunk_idx",
+        start.alias("start_tok"),
+        ntoks.alias("n_chunk_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "_toks", (start + 1).cast("int"), ntoks.cast("int")
+                ),
+            )
+        ).alias("chunk_digest"),
+    )

@@ -638,3 +638,32 @@ def test_duplicated_spans_invariants(spark, docs):
         assert got.where(F.col("dup_tokens") > 0).count() > 0
     finally:
         got.unpersist()
+
+
+def test_ngram_novelty_crafted(spark):
+    """0.0 for fully-seen docs, 1.0 for unseen, stitching scores low."""
+    from otlp_cardinality_checker_spark.operators.dedup import ngram_novelty
+
+    rows = [
+        (1, "the cat sat on the mat", "train"),
+        (2, "dogs run fast in the park", "train"),
+        # test doc = copy of train doc 1 -> novelty 0
+        (3, "the cat sat on the mat", "test"),
+        # test doc with entirely new vocabulary -> novelty 1
+        (4, "z1 z2 z3 z4 z5 z6", "test"),
+        # stitched from BOTH train docs: only the seam grams are novel
+        (5, "the cat sat on the mat dogs run fast in the park", "test"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        r["doc_id"]: r
+        for r in ngram_novelty(
+            docs, F.col("source") == "test", n=3
+        ).collect()
+    }
+    assert set(got) == {3, 4, 5}
+    assert got[3]["novelty_rate"] == 0.0
+    assert got[4]["novelty_rate"] == 1.0
+    # doc 5: 10 distinct 3-grams, only the 2 seam grams unseen
+    assert got[5]["n_shingles"] == 10 and got[5]["n_novel"] == 2
+    assert 0 < got[5]["novelty_rate"] < 0.5

@@ -83,3 +83,47 @@ def test_pack_invariants_on_fixture(spark):
     assert (pdf["n_carryover"] <= 1).all()
     assert (pdf.loc[pdf["chunk"] == 0, "n_carryover"] == 0).all()
     packed.unpersist()
+
+
+def test_chunk_documents_layout(spark):
+    """Coverage, overlap, and short-doc semantics of the RAG chunker."""
+    from otlp_cardinality_checker_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),  # 3 chunks (4,4,4)
+        (2, " ".join(f"t{i}" for i in range(11))),  # 4 chunks (…, 2)
+        (3, "a b c d"),                             # exactly one chunk
+        (4, "a b"),                                 # short doc, one chunk
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    by_doc: dict = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+    assert [
+        (r["start_tok"], r["n_chunk_tokens"]) for r in by_doc[1]
+    ] == [(0, 4), (3, 4), (6, 4)]
+    assert [
+        (r["start_tok"], r["n_chunk_tokens"]) for r in by_doc[2]
+    ] == [(0, 4), (3, 4), (6, 4), (9, 2)]
+    assert [(r["start_tok"], r["n_chunk_tokens"]) for r in by_doc[3]] == [
+        (0, 4)
+    ]
+    assert [(r["start_tok"], r["n_chunk_tokens"]) for r in by_doc[4]] == [
+        (0, 2)
+    ]
+    # every token covered: last chunk ends at n_tok on each doc
+    for doc_id, n in ((1, 10), (2, 11), (3, 4), (4, 2)):
+        last = by_doc[doc_id][-1]
+        assert last["start_tok"] + last["n_chunk_tokens"] == n
+    # identical windows -> identical digests (doc 1 and 2 share prefix)
+    assert by_doc[1][0]["chunk_digest"] == by_doc[2][0]["chunk_digest"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
