@@ -2157,6 +2157,17 @@ def q_boilerplate_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_turns(_transcripts(spark, sf_dir), min_convs=3)
 
 
+def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level exact dedup: order-sensitive digest chain over
+    (role, text) turns; only 32-char digests shuffle. Surfaces replayed /
+    copy-pasted conversations invisible to turn- or doc-grain dedup."""
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        conv_dedup,
+    )
+
+    return conv_dedup(_transcripts(spark, sf_dir))
+
+
 def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Role-transition stochastic matrix over consecutive turns."""
     from otlp_cardinality_checker_spark.operators.conversation import (
@@ -2293,6 +2304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "card_stream": q_card_stream,
         "ngram_novelty": q_ngram_novelty,
         "chunk_docs": q_chunk_docs,
+        "conv_dedup": q_conv_dedup,
         # --- 15 pipeline sentinels (driver-green every prior round) -----
         "route_counts": q_route_counts,
         "routed_fingerprint": q_routed_fingerprint,
@@ -4219,6 +4231,21 @@ g AS (
 SELECT role, fingerprint, CAST(n_convs AS BIGINT) AS n_convs,
        CAST(n_turns AS BIGINT) AS n_turns, example
 FROM g WHERE n_convs >= 3
+""",
+        "conv_dedup": f"""
+WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}')),
+td AS (
+  SELECT conv_id, turn_idx, md5(role || chr(31) || text) AS td FROM t
+), fp AS (
+  SELECT conv_id,
+         md5(string_agg(td, '' ORDER BY turn_idx)) AS conv_digest,
+         count(*) AS n_turns
+  FROM td GROUP BY 1
+)
+SELECT conv_digest, CAST(min(n_turns) AS BIGINT) AS n_turns,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       min(conv_id) AS keep_conv_id
+FROM fp GROUP BY 1
 """,
         "role_transitions": f"""
 WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}')),

@@ -382,3 +382,52 @@ def boilerplate_turns(turns: DataFrame, min_convs: int = 3) -> DataFrame:
         )
         .where(F.col("n_convs") >= min_convs)
     )
+
+
+def conv_dedup(turns: DataFrame) -> DataFrame:
+    """Conversation-level exact dedup: two conversations are duplicates
+    when their ordered (role, text) turn sequences are identical — the
+    transcript-grain analogue of document ``exact_dedup_stats`` (repeated
+    seeds, replayed sessions, and copy-pasted demo conversations all
+    surface here while remaining invisible to turn- or doc-level dedup).
+
+    The conversation fingerprint is the md5 of the turn-ordered chain of
+    per-turn digests (md5 of role + unit-separator + text, computed in
+    the narrow pre-shuffle projection) — so only 32-char digests ever
+    cross the wire, never turn bytes, and the fingerprint is
+    order-sensitive by construction.
+
+    Output: conv_digest, n_turns, n_convs, keep_conv_id (min id — the
+    survivor a dedup pass would keep).
+
+    Scale shape: ONE conv_id exchange feeding a per-conversation
+    collect_list bounded by the longest transcript, then a digest-grain
+    hash-agg (map-side combinable).  array_sort on (turn_idx, digest)
+    structs makes the chain deterministic under any row order.
+    """
+    sep = F.lit("\x1f")  # US separator: role can never bleed into text
+    per_turn = turns.select(
+        "conv_id",
+        F.struct(
+            F.col("turn_idx"),
+            F.md5(
+                F.concat(F.col("role"), sep, F.col("text"))
+            ).alias("td"),
+        ).alias("t"),
+    )
+    conv_fp = per_turn.groupBy("conv_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("t")), lambda s: s["td"]
+                ),
+                "",
+            )
+        ).alias("conv_digest"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+    return conv_fp.groupBy("conv_digest").agg(
+        F.min("n_turns").alias("n_turns"),
+        F.count(F.lit(1)).alias("n_convs"),
+        F.min("conv_id").alias("keep_conv_id"),
+    )

@@ -287,3 +287,35 @@ def test_boilerplate_turns_crafted(spark):
     assert r["role"] == "system" and r["n_convs"] == 3 and r["n_turns"] == 3
     # example = lexicographic min of the first-80-char prefixes
     assert r["example"] == " you are a HELPFUL assistant. "
+
+
+def test_conv_dedup_crafted(spark):
+    """Order-sensitive conversation fingerprints: identical transcripts
+    collide regardless of row arrival order; reordered or role-swapped
+    transcripts do not."""
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        conv_dedup,
+    )
+
+    rows = [
+        # c1 and c2: identical transcripts (c2's rows arrive reversed)
+        ("c1", 0, "user", "hi"),
+        ("c1", 1, "assistant", "hello"),
+        ("c2", 1, "assistant", "hello"),
+        ("c2", 0, "user", "hi"),
+        # c3: same texts, swapped turn order -> different fingerprint
+        ("c3", 0, "assistant", "hello"),
+        ("c3", 1, "user", "hi"),
+        # c4: same texts/order as c1 but roles swapped -> different
+        ("c4", 0, "assistant", "hi"),
+        ("c4", 1, "user", "hello"),
+    ]
+    turns = spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "role", "text"]
+    )
+    got = conv_dedup(turns).collect()
+    assert len(got) == 3  # c1+c2 collide; c3, c4 distinct
+    by_keep = {r["keep_conv_id"]: r for r in got}
+    assert by_keep["c1"]["n_convs"] == 2 and by_keep["c1"]["n_turns"] == 2
+    assert by_keep["c3"]["n_convs"] == 1
+    assert by_keep["c4"]["n_convs"] == 1
