@@ -2168,6 +2168,22 @@ def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conv_dedup(_transcripts(spark, sf_dir))
 
 
+def q_conv_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate conversations: capped inverted-index Jaccard over
+    per-conversation turn-digest sets. The boilerplate cap is data-
+    derived (turns shared by > max(20, 1% of convs) conversations are
+    dropped — they carry no dedup signal and would generate O(n^2)
+    pairs), so the semantics are invariant under corpus growth. Pure
+    composition with dedup.exact_jaccard."""
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        conv_near_dups,
+    )
+
+    return conv_near_dups(
+        _transcripts(spark, sf_dir), min_jaccard=0.3, max_df="auto"
+    )
+
+
 def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Role-transition stochastic matrix over consecutive turns."""
     from otlp_cardinality_checker_spark.operators.conversation import (
@@ -2305,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "chunk_docs": q_chunk_docs,
         "conv_dedup": q_conv_dedup,
+        "conv_near_dups": q_conv_near_dups,
         # --- 15 pipeline sentinels (driver-green every prior round) -----
         "route_counts": q_route_counts,
         "routed_fingerprint": q_routed_fingerprint,
@@ -4231,6 +4248,36 @@ g AS (
 SELECT role, fingerprint, CAST(n_convs AS BIGINT) AS n_convs,
        CAST(n_turns AS BIGINT) AS n_turns, example
 FROM g WHERE n_convs >= 3
+""",
+        "conv_near_dups": f"""
+WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}')),
+sh AS (
+  SELECT conv_id,
+         list_distinct(list(md5(role || chr(31) || text))) AS s
+  FROM t GROUP BY 1
+), inv0 AS (
+  SELECT conv_id, unnest(s) AS d FROM sh
+), cap AS (
+  SELECT greatest(20, count(*) // 100) AS c FROM sh
+), hot AS (
+  SELECT d FROM inv0, cap GROUP BY d, c HAVING count(*) > c
+),
+inv AS (SELECT inv0.* FROM inv0 ANTI JOIN hot USING (d)),
+sizes AS (SELECT conv_id, count(*) AS n FROM inv GROUP BY 1),
+pairs AS (
+  SELECT l.conv_id AS conv_a, r.conv_id AS conv_b, count(*) AS n_common
+  FROM inv l JOIN inv r ON l.d = r.d AND l.conv_id < r.conv_id
+  GROUP BY 1, 2
+), j AS (
+  SELECT conv_a, conv_b, n_common,
+         n_common * 1.0 / (sa.n + sb.n - n_common) AS raw
+  FROM pairs
+  JOIN sizes sa ON conv_a = sa.conv_id
+  JOIN sizes sb ON conv_b = sb.conv_id
+)
+SELECT conv_a, conv_b, CAST(n_common AS BIGINT) AS n_common,
+       round(raw, 6) AS jaccard
+FROM j WHERE raw >= 0.3
 """,
         "conv_dedup": f"""
 WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}')),

@@ -431,3 +431,55 @@ def conv_dedup(turns: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_convs"),
         F.min("conv_id").alias("keep_conv_id"),
     )
+
+
+def conv_near_dups(
+    turns: DataFrame,
+    min_jaccard: float = 0.6,
+    max_df: int | str | None = "auto",
+) -> DataFrame:
+    """NEAR-duplicate conversations: Jaccard over each conversation's SET
+    of per-turn (role, text) digests — catches a replay with one extra
+    turn or a trimmed tail, which ``conv_dedup``'s exact order-sensitive
+    chain deliberately does not match.  Pure operator composition: the
+    per-conversation digest sets feed the SAME capped inverted-index
+    Jaccard as the document dedup family (``dedup.exact_jaccard`` with
+    conv_id standing in for doc_id).
+
+    ``max_df`` here is the BOILERPLATE cap, and it matters more than in
+    the document case: a canned system prompt shared by thousands of
+    conversations is exactly a stop-gram — it generates O(n_convs^2)
+    candidate pairs while carrying zero dedup signal (two conversations
+    are not similar because both open with the same greeting).  Turn
+    digests with conversation-frequency > max_df are dropped before the
+    pair join and similarity is over the surviving sets (the documented
+    `_capped_inverted_index` semantics).
+
+    A FIXED cap is scale-sensitive (a template turn shared by 0.5% of
+    conversations is signal at 2k convs and boilerplate at 2M), so the
+    default ``max_df="auto"`` derives it from the data: max(20,
+    n_convs // 100) — "shared by more than 1% of conversations means
+    boilerplate", invariant under corpus growth.  The n_convs count is a
+    bounded driver-side scalar (one map-side-combined count job), the
+    same pattern as graph.py's convergence scalar.
+
+    Set semantics: repeated identical turns inside one conversation count
+    once.  Output: conv_a, conv_b (conv_a < conv_b), n_common, jaccard.
+    """
+    from .dedup import exact_jaccard
+
+    sep = F.lit("\x1f")
+    sh = turns.groupBy(F.col("conv_id").alias("doc_id")).agg(
+        F.collect_set(
+            F.md5(F.concat(F.col("role"), sep, F.col("text")))
+        ).alias("shingles")
+    )
+    if max_df == "auto":
+        max_df = max(20, sh.count() // 100)
+    out = exact_jaccard(sh, min_jaccard=min_jaccard, max_df=max_df)
+    return out.select(
+        F.col("doc_a").alias("conv_a"),
+        F.col("doc_b").alias("conv_b"),
+        "n_common",
+        "jaccard",
+    )

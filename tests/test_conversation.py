@@ -319,3 +319,40 @@ def test_conv_dedup_crafted(spark):
     assert by_keep["c1"]["n_convs"] == 2 and by_keep["c1"]["n_turns"] == 2
     assert by_keep["c3"]["n_convs"] == 1
     assert by_keep["c4"]["n_convs"] == 1
+
+
+def test_conv_near_dups_crafted(spark):
+    """A replayed conversation with one extra turn is a near-dup (missed
+    by conv_dedup's exact chain); the boilerplate cap drops a turn shared
+    by every conversation before pairing."""
+    import pyspark.sql.functions as F
+
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        conv_dedup,
+        conv_near_dups,
+    )
+
+    boiler = "You are a helpful assistant."
+    rows = []
+    # c1: 5 turns; c2 = c1 plus one trailing turn -> jaccard 5/6
+    for cid in ("c1", "c2"):
+        rows.append((cid, 0, "system", boiler))
+        for i in range(1, 5):
+            rows.append((cid, i, "user" if i % 2 else "assistant", f"m{i}"))
+    rows.append(("c2", 5, "assistant", "one extra closing turn"))
+    # c3..c6: unrelated, but all open with the same boilerplate turn
+    for j in range(3, 7):
+        rows.append((f"c{j}", 0, "system", boiler))
+        rows.append((f"c{j}", 1, "user", f"unique question {j}"))
+    turns = spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "role", "text"]
+    )
+    # cap 2: the boilerplate digest (conv-freq 6) is dropped everywhere,
+    # while the c1/c2 shared turns (conv-freq 2) survive the cap
+    got = conv_near_dups(turns, min_jaccard=0.5, max_df=2).collect()
+    assert [(r["conv_a"], r["conv_b"]) for r in got] == [("c1", "c2")]
+    # without the shared-boilerplate digest: 4 common of 5 union
+    assert got[0]["n_common"] == 4 and got[0]["jaccard"] == 0.8
+    # exact conv_dedup must NOT match the near-dup pair
+    fp = conv_dedup(turns)
+    assert fp.where(F.col("n_convs") > 1).count() == 0
