@@ -2171,10 +2171,11 @@ def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_conv_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate conversations: capped inverted-index Jaccard over
     per-conversation turn-digest sets. The boilerplate cap is data-
-    derived (turns shared by > max(20, 1% of convs) conversations are
-    dropped — they carry no dedup signal and would generate O(n^2)
-    pairs), so the semantics are invariant under corpus growth. Pure
-    composition with dedup.exact_jaccard."""
+    derived (turns shared by > clamp(1% of convs, 20, 50) conversations
+    are dropped — they carry no dedup signal and would generate O(n^2)
+    pairs), so the semantics are invariant under corpus growth while the
+    absolute ceiling bounds per-digest pair fan-out. Pure composition
+    with dedup.exact_jaccard."""
     from otlp_cardinality_checker_spark.operators.conversation import (
         conv_near_dups,
     )
@@ -2269,12 +2270,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries only.  Rounds 1-3 recorded the pipeline/session/endpoint
     # family; round 4 rotated the dedup/ANN/text/PII/streaming families in.
     # Round 5 rotates the 17 round-4 additions (never driver-recorded)
-    # into positions 1-17, follows with the brand-new round-5 queries,
-    # keeps 15 pipeline sentinels, and fills the rest of the
-    # window with the oldest-green r2/r3 history so every registry entry
-    # has a driver-green CORRECTNESS row in some round.  Entries past
-    # position 50 remain runnable via scripts/check_oracle.py (and the
-    # round-5 full sf0.1 sweep ran ALL of them — see BENCH.md).
+    # into positions 1-17, follows with the 17 round-5 session-2 queries
+    # and the 9 session-3 ones (dup_spans .. conv_near_dups, positions
+    # 35-43), and closes the window with 7 pipeline sentinels
+    # (driver-green every prior round) so every registry entry has a
+    # driver-green CORRECTNESS row in some round.  Entries past position
+    # 50 remain runnable via scripts/check_oracle.py (the round-5 full
+    # sf0.01 and sf0.1 sweeps ran ALL of them — see BENCH.md).
     return {
         # --- 17 round-4 queries, first driver recording (round 5) -------
         "constraint_audit": q_constraint_audit,
@@ -4258,7 +4260,7 @@ sh AS (
 ), inv0 AS (
   SELECT conv_id, unnest(s) AS d FROM sh
 ), cap AS (
-  SELECT greatest(20, count(*) // 100) AS c FROM sh
+  SELECT least(greatest(20, count(*) // 100), 50) AS c FROM sh
 ), hot AS (
   SELECT d FROM inv0, cap GROUP BY d, c HAVING count(*) > c
 ),

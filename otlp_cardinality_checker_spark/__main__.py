@@ -186,6 +186,63 @@ def cmd_card(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """One-call corpus dedup audit as JSON: exact-copy groups and
+    redundant-copy count, ExactSubstr duplicated-span token mass (with
+    the count of docs that are >= half duplicated), and — with --near —
+    the MinHash+LSH near-duplicate pair count.  Aggregates only; never
+    collects per-doc rows to the driver."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import (
+        duplicated_spans,
+        exact_dedup_stats,
+        minhash_near_dups,
+    )
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs or f"{args.sf_dir}/documents.parquet")
+    ex = (
+        exact_dedup_stats(docs)
+        .agg(
+            F.count(F.lit(1)).alias("distinct_texts"),
+            F.sum(F.col("n_copies") - 1).alias("redundant_copies"),
+            F.sum(
+                F.when(F.col("n_copies") > 1, 1).otherwise(0)
+            ).alias("dup_groups"),
+            F.sum("n_copies").alias("n_docs"),
+        )
+        .collect()[0]
+    )
+    sp = (
+        duplicated_spans(docs, k=args.k)
+        .agg(
+            F.sum("dup_tokens").alias("dt"),
+            F.sum("n_tokens").alias("nt"),
+            F.sum(
+                F.when(F.col("dup_frac") >= 0.5, 1).otherwise(0)
+            ).alias("heavy"),
+        )
+        .collect()[0]
+    )
+    out = {
+        "n_docs": ex["n_docs"],
+        "distinct_texts": ex["distinct_texts"],
+        "exact_dup_groups": ex["dup_groups"],
+        "redundant_copies": ex["redundant_copies"],
+        "span_k": args.k,
+        "dup_token_frac": round((sp["dt"] or 0) / max(sp["nt"], 1), 4),
+        "docs_half_duplicated": sp["heavy"],
+    }
+    if args.near:
+        out["near_dup_pairs"] = minhash_near_dups(
+            docs, min_jaccard=args.jaccard
+        ).count()
+        out["near_dup_min_jaccard"] = args.jaccard
+    print(json.dumps(out, default=str))
+    return 0
+
+
 def cmd_search(args) -> int:
     """BM25 top-k document search over the documents table (or a prebuilt
     inverted index from build_bm25_index)."""
@@ -389,6 +446,17 @@ def main(argv: list[str] | None = None) -> int:
         help="conversation-health card over the routed transcript pipeline",
     )
     p.set_defaults(fn=cmd_card)
+
+    p = sub.add_parser("dedup")
+    p.add_argument("--docs", help="documents parquet (default sf-dir's)")
+    p.add_argument("-k", type=int, default=5, help="span window (tokens)")
+    p.add_argument(
+        "--near",
+        action="store_true",
+        help="also count MinHash+LSH near-dup pairs (extra pass)",
+    )
+    p.add_argument("--jaccard", type=float, default=0.7)
+    p.set_defaults(fn=cmd_dedup)
 
     p = sub.add_parser("search")
     p.add_argument(

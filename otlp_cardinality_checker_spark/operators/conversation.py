@@ -457,11 +457,19 @@ def conv_near_dups(
 
     A FIXED cap is scale-sensitive (a template turn shared by 0.5% of
     conversations is signal at 2k convs and boilerplate at 2M), so the
-    default ``max_df="auto"`` derives it from the data: max(20,
-    n_convs // 100) — "shared by more than 1% of conversations means
-    boilerplate", invariant under corpus growth.  The n_convs count is a
-    bounded driver-side scalar (one map-side-combined count job), the
-    same pattern as graph.py's convergence scalar.
+    default ``max_df="auto"`` derives it from the data:
+    clamp(n_convs // 100, 20, 50).  The ceiling is deliberately
+    NEAR-DUP-GROUP-SIZED, not a corpus percentage: the cap is also the
+    per-digest pair-fan-out bound (df^2/2 candidate pairs per surviving
+    digest), and no genuine replay group spans hundreds of
+    conversations — a turn shared by more than ~50 convs is
+    categorically boilerplate.  The 4M-turn soak measures the failure
+    mode on a fully-templated fixture (BENCH.md): percentage-scaled
+    caps of 1600/500 produce 531 s / 318 s with tens of GB of spill and
+    MILLIONS of spurious template pairs, while cap 50 runs in 18 s,
+    zero spill, zero false pairs.  The n_convs count is a bounded
+    driver-side scalar (one map-side-combined count job), the same
+    pattern as graph.py's convergence scalar.
 
     Set semantics: repeated identical turns inside one conversation count
     once.  Output: conv_a, conv_b (conv_a < conv_b), n_common, jaccard.
@@ -475,7 +483,7 @@ def conv_near_dups(
         ).alias("shingles")
     )
     if max_df == "auto":
-        max_df = max(20, sh.count() // 100)
+        max_df = min(max(20, sh.count() // 100), 50)
     out = exact_jaccard(sh, min_jaccard=min_jaccard, max_df=max_df)
     return out.select(
         F.col("doc_a").alias("conv_a"),

@@ -1,0 +1,116 @@
+"""Conversation-dedup scale soak: the session-3 transcript operators at
+multi-million-turn scale.
+
+Runs over the chunk-generated big transcript fixture (soak.ensure_big_dataset
+— same deterministic rows as datagen at any n):
+
+* conv_dedup        — order-sensitive digest-chain fingerprints; the claim
+                      is ONE conv_id exchange of 32-char digests, wall time
+                      linear in turns.
+* conv_near_dups    — set-Jaccard over turn digests with the data-derived
+                      boilerplate cap (max(20, 1% of convs)); the claim is
+                      that the cap keeps the pair join bounded even though
+                      the fixture's templated turns repeat across thousands
+                      of conversations (the adversarial case).
+* boilerplate_turns — one (role, digest) hash-agg over all turns.
+
+Prints one JSON line. Usage: python scripts/soak_conv.py [--n 4000000]
+[--cores 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from soak import ensure_big_dataset  # noqa: E402
+from soak_common import RssSampler, stage_metrics  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=4_000_000)
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument(
+        "--near-cap",
+        default="auto",
+        help="conv_near_dups boilerplate cap: 'auto' (1%% of convs) or an "
+        "int; template-heavy corpora need a tighter cap (see BENCH.md)",
+    )
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        boilerplate_turns,
+        conv_dedup,
+        conv_near_dups,
+    )
+    from otlp_cardinality_checker_spark.session import get_spark
+
+    data = ensure_big_dataset(args.n)
+    heap = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    spark = get_spark(
+        app_name="soak-conv",
+        cores=args.cores,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    turns = spark.read.parquet(str(data / "transcripts.parquet"))
+    sampler = RssSampler()
+    sampler.start()
+    out: dict = {
+        "metric": "conv_dedup_soak",
+        "n_turns": args.n,
+        "cores": args.cores,
+        "driver_heap": heap,
+    }
+
+    t0 = time.time()
+    fp = conv_dedup(turns)
+    agg = fp.agg(
+        F.count(F.lit(1)).alias("groups"),
+        F.sum("n_convs").alias("convs"),
+        F.max("n_convs").alias("max_copies"),
+    ).collect()[0]
+    out["conv_dedup_sec"] = round(time.time() - t0, 1)
+    out["conv_groups"] = agg["groups"]
+    out["n_convs"] = agg["convs"]
+    out["max_conv_copies"] = agg["max_copies"]
+
+    cap = "auto" if args.near_cap == "auto" else int(args.near_cap)
+    t0 = time.time()
+    nd = conv_near_dups(turns, min_jaccard=0.3, max_df=cap)
+    out["near_dup_pairs"] = nd.count()
+    out["conv_near_dups_sec"] = round(time.time() - t0, 1)
+    out["near_cap"] = (
+        min(max(20, agg["convs"] // 100), 50) if cap == "auto" else cap
+    )
+
+    t0 = time.time()
+    bp = boilerplate_turns(turns, min_convs=10)
+    row = bp.agg(
+        F.count(F.lit(1)).alias("fps"), F.sum("n_turns").alias("t")
+    ).collect()[0]
+    out["boilerplate_sec"] = round(time.time() - t0, 1)
+    out["boilerplate_fingerprints"] = row["fps"]
+    out["boilerplate_turn_share"] = round((row["t"] or 0) / args.n, 4)
+
+    sampler.stop()
+    out["jvm_peak_rss_gb"] = round(sampler.peak_kb / 1024 / 1024, 2)
+    try:
+        out.update(stage_metrics())
+    except Exception as e:  # noqa: BLE001 — UI scrape is best-effort
+        out["stage_metrics_error"] = str(e)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -136,3 +136,19 @@ def test_cli_card_and_search(spark, capsys, monkeypatch):
     hits = json.loads(capsys.readouterr().out)
     assert hits and all(r["rank"] <= 3 for r in hits)
     assert hits[0]["score"] >= hits[-1]["score"]
+
+
+def test_cli_dedup(spark, capsys):
+    """The dedup subcommand prints the one-call audit with conserved
+    document counts and a bounded duplicated-token fraction."""
+    import json
+
+    from otlp_cardinality_checker_spark.__main__ import main
+
+    sf = "/root/testdata/sf0.001"
+    assert main(["--sf-dir", sf, "--cores", "4", "dedup"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_docs"] == 500
+    assert out["distinct_texts"] + out["redundant_copies"] == 500
+    assert 0.0 <= out["dup_token_frac"] <= 1.0
+    assert "near_dup_pairs" not in out  # only with --near
