@@ -2185,6 +2185,76 @@ def q_conv_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the token-length distribution per
+    source vs the corpus (integer octave bins via bit length — no float
+    log2 at bin boundaries; Laplace-smoothed over the corpus bin domain).
+    The numeric-feature drift monitor complementing source_drift's
+    vocabulary KL."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        psi_drift,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return psi_drift(docs, by="source")
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the quasi-identifier
+    set (nation, market segment, account-balance bucket): equivalence-
+    class-size histogram with at-risk (k < 5) classification and row
+    shares — the privacy-review companion to the PII redaction chain."""
+    from otlp_cardinality_checker_spark.operators.pii import k_anonymity
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0))
+        .cast("long")
+        .alias("bal_k"),
+    )
+    return k_anonymity(
+        cust, ["c_nationkey", "c_mktsegment", "bal_k"], k_threshold=5
+    )
+
+
+def q_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation audit at a 128-token budget: per
+    conversation, how many trailing turns (and tokens) survive
+    most-recent-first truncation, and whether history is lost."""
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        context_budget,
+    )
+
+    return context_budget(_transcripts(spark, sf_dir), budget_tokens=128)
+
+
+def q_data_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executable data-mixing budget (30k tokens, alpha=0.7): per-source
+    allocation, epochs, oversample flag, and the deterministically
+    downsampled kept set (md5-threshold membership, kept-id checksum)."""
+    from otlp_cardinality_checker_spark.operators.sampling import (
+        data_budget,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return data_budget(docs, budget_tokens=30000, alpha=0.7)
+
+
+def q_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping event-time windows (1 h size, 15 min slide): per-window
+    per-type counts and value sums — the trailing-hour SLO panel shape,
+    streaming-compatible by construction."""
+    from otlp_cardinality_checker_spark.operators.rollup import (
+        hopping_window_stats,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hopping_window_stats(
+        ev, size_seconds=3600, slide_seconds=900
+    )
+
+
 def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Role-transition stochastic matrix over consecutive turns."""
     from otlp_cardinality_checker_spark.operators.conversation import (
@@ -2270,9 +2340,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries only.  Rounds 1-3 recorded the pipeline/session/endpoint
     # family; round 4 rotated the dedup/ANN/text/PII/streaming families in.
     # Round 5 rotates the 17 round-4 additions (never driver-recorded)
-    # into positions 1-17, follows with the 17 round-5 session-2 queries
-    # and the 9 session-3 ones (dup_spans .. conv_near_dups, positions
-    # 35-43), and closes the window with 7 pipeline sentinels
+    # into positions 1-17, follows with the 17 round-5 session-2 queries,
+    # the 9 session-3 ones (dup_spans .. conv_near_dups, positions 35-43)
+    # and the 5 session-4 ones (psi_drift .. hopping_windows, positions
+    # 44-48), and closes the window with 2 pipeline sentinels
     # (driver-green every prior round) so every registry entry has a
     # driver-green CORRECTNESS row in some round.  Entries past position
     # 50 remain runnable via scripts/check_oracle.py (the round-5 full
@@ -2324,7 +2395,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "conv_dedup": q_conv_dedup,
         "conv_near_dups": q_conv_near_dups,
-        # --- 15 pipeline sentinels (driver-green every prior round) -----
+        # --- round-5 session-4 additions, first driver recording ---------
+        "psi_drift": q_psi_drift,
+        "k_anonymity": q_k_anonymity,
+        "context_budget": q_context_budget,
+        "data_budget": q_data_budget,
+        "hopping_windows": q_hopping_windows,
+        # --- pipeline sentinels (driver-green every prior round; the
+        # --- first 2 close the 50-entry window, the rest follow) ---------
         "route_counts": q_route_counts,
         "routed_fingerprint": q_routed_fingerprint,
         "key_stats_exact": q_key_stats_exact,
@@ -4280,6 +4358,128 @@ pairs AS (
 SELECT conv_a, conv_b, CAST(n_common AS BIGINT) AS n_common,
        round(raw, 6) AS jaccard
 FROM j WHERE raw >= 0.3
+""",
+        "psi_drift": """
+WITH d AS (
+  SELECT source AS grp,
+         length(bin(greatest(
+           len(string_split_regex(trim(coalesce(text, '')), '\\s+')), 1
+         ))) AS bin
+  FROM documents
+),
+gb AS (SELECT grp, bin, count(*) AS c FROM d GROUP BY 1, 2),
+corpus AS (SELECT bin, CAST(sum(c) AS BIGINT) AS cb FROM gb GROUP BY 1),
+gtot AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_docs FROM gb GROUP BY 1),
+tot AS (SELECT CAST(sum(cb) AS BIGINT) AS n_total,
+               CAST(count(*) AS BIGINT) AS n_bins FROM corpus),
+dom AS (SELECT * FROM gtot CROSS JOIN corpus CROSS JOIN tot),
+j AS (
+  SELECT dom.grp, dom.n_docs, dom.n_bins,
+         (coalesce(gb.c, 0) + 0.5)
+           / (dom.n_docs + 0.5 * dom.n_bins) AS q,
+         (dom.cb + 0.5) / (dom.n_total + 0.5 * dom.n_bins) AS p
+  FROM dom LEFT JOIN gb ON gb.grp = dom.grp AND gb.bin = dom.bin
+)
+SELECT grp AS source, max(n_docs) AS n_docs, max(n_bins) AS n_bins,
+       round(sum((q - p) * ln(q / p)), 4) AS psi
+FROM j GROUP BY 1
+""",
+        "k_anonymity": """
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_k,
+         count(*) AS k
+  FROM customer GROUP BY 1, 2, 3
+),
+hist AS (SELECT k, count(*) AS n_classes FROM cls GROUP BY 1),
+tot AS (SELECT CAST(sum(k * n_classes) AS BIGINT) AS n_total FROM hist)
+SELECT CAST(k AS BIGINT) AS k, CAST(n_classes AS BIGINT) AS n_classes,
+       CAST(k * n_classes AS BIGINT) AS n_rows,
+       k < 5 AS at_risk,
+       round(k * n_classes * 1.0 / n_total, 6) AS row_share
+FROM hist CROSS JOIN tot
+""",
+        "context_budget": f"""
+WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}')),
+p AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(coalesce(text, '')),
+                                          '\\s+'))
+         END AS ntok
+  FROM t
+),
+s AS (
+  SELECT conv_id, ntok,
+         sum(ntok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS suffix
+  FROM p
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(ntok) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN suffix <= 128 THEN 1 ELSE 0 END) AS BIGINT)
+         AS turns_kept,
+       CAST(sum(CASE WHEN suffix <= 128 THEN ntok ELSE 0 END) AS BIGINT)
+         AS tokens_kept,
+       count(*) > sum(CASE WHEN suffix <= 128 THEN 1 ELSE 0 END)
+         AS truncated
+FROM s GROUP BY 1
+""",
+        "data_budget": """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(pow(n_tokens, 0.7)) AS ta FROM per),
+plan AS (
+  SELECT source, n_docs, n_tokens,
+         round(pow(n_tokens, 0.7) / ta, 6) AS alpha_share
+  FROM per CROSS JOIN tot
+),
+plan2 AS (SELECT *, 30000.0 * alpha_share AS alloc FROM plan),
+plan3 AS (
+  SELECT source, n_docs, n_tokens, alpha_share,
+         CAST(floor(alloc) AS BIGINT) AS alloc_tokens,
+         round(alloc / n_tokens, 4) AS epochs,
+         alloc > n_tokens AS oversampled,
+         CAST(floor(least(1.0, alloc / n_tokens) * 65536.0) AS BIGINT)
+           AS thr
+  FROM plan2
+),
+k AS (
+  SELECT d.source, d.doc_id,
+         len(string_split_regex(trim(d.text), '\\s+')) AS ntok,
+         CASE WHEN p.thr >= 65536 THEN 1
+              WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                     < printf('%04x', p.thr) THEN 1
+              ELSE 0 END AS kp
+  FROM documents d JOIN plan3 p USING (source)
+),
+ka AS (
+  SELECT source, CAST(sum(kp) AS BIGINT) AS n_kept,
+         CAST(sum(ntok * kp) AS BIGINT) AS kept_tokens,
+         CAST(sum(doc_id * kp) AS BIGINT) AS kept_id_sum
+  FROM k GROUP BY 1
+)
+SELECT p.source, p.n_docs, p.n_tokens, p.alpha_share, p.alloc_tokens,
+       p.epochs, p.oversampled, ka.n_kept, ka.kept_tokens, ka.kept_id_sum
+FROM plan3 p JOIN ka USING (source)
+""",
+        "hopping_windows": """
+WITH p AS (SELECT event_type, value, epoch_us(ts) AS eu FROM events),
+x AS (
+  SELECT p.event_type, p.value,
+         (eu // 900000000 - g.j) * 900000000 AS ws
+  FROM p CROSS JOIN generate_series(0, 3) AS g(j)
+  WHERE eu < (eu // 900000000 - g.j) * 900000000 + 3600000000
+)
+SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM x GROUP BY 1, 2
 """,
         "conv_dedup": f"""
 WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}')),

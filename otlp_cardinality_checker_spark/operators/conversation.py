@@ -491,3 +491,45 @@ def conv_near_dups(
         "n_common",
         "jaccard",
     )
+
+
+def context_budget(turns: DataFrame, budget_tokens: int = 512) -> DataFrame:
+    """Context-window truncation audit: per conversation, how much of the
+    transcript survives the standard chat-serving policy of keeping the
+    LONGEST SUFFIX of turns whose total token count fits the model's
+    context budget (most-recent-first truncation). Reports, per
+    conversation, the turn/token totals, how many trailing turns fit, and
+    whether anything was dropped — the per-corpus answer to "how much
+    history do our conversations actually lose at a given context size".
+
+    Token counts are whitespace-token counts (empty turns count 0), the
+    same portable form the mixing/packing operators use.
+
+    Scale shape: ONE conv_id exchange feeds both the suffix-cumsum window
+    (ordered by turn_idx desc) and the final per-conversation aggregate —
+    the agg keys on the window's partition column so no second shuffle is
+    needed. State per conversation is a running sum, bounded by depth;
+    output is conversation grain.
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    t = F.trim(F.coalesce(F.col("text"), F.lit("")))
+    ntok = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_turn = turns.select(
+        "conv_id", ntok.alias("_ntok"), F.sum(ntok).over(w).alias("_suffix")
+    )
+    kept = (F.col("_suffix") <= F.lit(budget_tokens)).cast("long")
+    return per_turn.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("_ntok").alias("total_tokens"),
+        F.sum(kept).alias("turns_kept"),
+        F.sum(F.col("_ntok") * kept).alias("tokens_kept"),
+        (F.count(F.lit(1)) > F.sum(kept)).alias("truncated"),
+    )

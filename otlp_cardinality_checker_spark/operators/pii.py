@@ -98,3 +98,46 @@ def pii_stats(routed: DataFrame) -> DataFrame:
         F.count_distinct(F.col("redacted")).alias("n_distinct_redacted"),
         F.count_distinct(F.col("text")).alias("n_distinct_raw"),
     )
+
+
+def k_anonymity(
+    df: DataFrame, qi_cols: list[str], k_threshold: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier column set: the
+    equivalence-class-size histogram plus re-identification-risk
+    accounting. A row is k-anonymous at level k when at least k rows share
+    its full quasi-identifier combination; classes with k below the
+    threshold are the re-identification risk a privacy review flags
+    before a dataset (or an attribute-rich transcript dump) is released.
+
+    Output grain is the class SIZE, not the class: one row per distinct
+    k with n_classes, n_rows, at_risk (k < k_threshold) and the
+    row-share of the population at that size — bounded output no matter
+    how many QI combinations exist.
+
+    Scale shape: one hash-aggregation to the QI grain (the only exchange,
+    map-side combined), then a second agg over class sizes (input is one
+    row per CLASS, already tiny relative to the data) and a broadcast
+    1-row total for the share — no window over the full frame, no second
+    scan. Hot QI combinations cost one counter each; skew cannot
+    concentrate rows because the first agg's output grain is the class.
+    """
+    if not qi_cols:
+        raise ValueError("qi_cols must name at least one column")
+    classes = df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    hist = classes.groupBy("k").agg(F.count(F.lit(1)).alias("n_classes"))
+    tot = hist.agg(F.sum(F.col("k") * F.col("n_classes")).alias("n_total"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n_classes",
+            (F.col("k") * F.col("n_classes")).alias("n_rows"),
+            (F.col("k") < F.lit(k_threshold)).alias("at_risk"),
+            F.round(
+                F.col("k") * F.col("n_classes") / F.col("n_total"), 6
+            ).alias("row_share"),
+        )
+    )

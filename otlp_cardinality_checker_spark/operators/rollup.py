@@ -104,3 +104,52 @@ def rollup_hierarchy(
         )
         out = r if out is None else out.unionByName(r)
     return out
+
+
+def hopping_window_stats(
+    events: DataFrame,
+    size_seconds: int = 3600,
+    slide_seconds: int = 900,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hopping (sliding) event-time window aggregate: every event lands in
+    size/slide overlapping windows (4 here), the smoothing shape behind
+    rate dashboards and trailing-hour SLO panels. Expressed as the native
+    Structured-Streaming-compatible `F.window(ts, size, slide)` — the
+    SAME expression runs under readStream with a watermark, so the batch
+    oracle here certifies the streaming plan too (the repo's standard
+    batch-twin pattern).
+
+    Requires size % slide == 0 (Spark assigns exactly size/slide windows
+    per event; ragged overlaps silently change semantics).
+
+    Scale shape: the window expression expands each row to size/slide
+    (window, row) pairs BEFORE the hash aggregation — a constant fan-out
+    absorbed by map-side partial aggregation, so the exchange carries only
+    (window, key) partial rows, never the expanded events. One shuffle.
+    """
+    if size_seconds % slide_seconds != 0:
+        raise ValueError(
+            f"size ({size_seconds}s) must be a multiple of slide "
+            f"({slide_seconds}s)"
+        )
+    w = F.window(
+        ts_col, f"{size_seconds} seconds", f"{slide_seconds} seconds"
+    )
+    return (
+        events.groupBy(w.alias("w"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )

@@ -203,3 +203,92 @@ def mixture_weights(docs: DataFrame, alpha: float = 0.7) -> DataFrame:
         F.round(alpha_share, 6).alias("alpha_share"),
         F.round(alpha_share / raw_share, 4).alias("upsample_factor"),
     )
+
+
+def data_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    alpha: float = 0.7,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Executable data-mixing budget: turn temperature mixture weights
+    into a per-source token ALLOCATION under a total training budget, and
+    run the implied downsample in the same job. For each source:
+    alloc = budget x alpha_share; epochs = alloc / available. Sources with
+    epochs > 1 are oversampled (the loader repeats them — every doc is
+    kept here); sources with epochs < 1 are downsampled NOW via the
+    package's deterministic md5-threshold Bernoulli membership, and the
+    kept-id checksum pins the exact surviving set.
+
+    Cross-engine determinism of the float-derived keep rate: alpha_share
+    is quantized at 6 dp FIRST (the same rounding mixture_weights already
+    hash-verifies as bit-identical in DuckDB), and everything after it is
+    the same IEEE double expression evaluated in the same order in both
+    engines — floor(least(1, alloc / n_tokens) * 2^16) — so the 16-bit
+    threshold, and therefore the membership, cannot diverge.
+
+    Scale shape: one map-side-combined agg to the source grain, a
+    broadcast 1-row total, then ONE more scan that broadcast-joins the
+    tiny per-source plan and folds the kept set per source — no shuffle
+    of document rows at any point; the sample predicate is a pure scan
+    filter exactly like hash_sample.
+    """
+    if budget_tokens <= 0:
+        raise ValueError(
+            f"budget_tokens must be positive, got {budget_tokens}"
+        )
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    per = docs.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum(F.pow("n_tokens", F.lit(alpha))).alias("_ta"))
+    alloc = F.lit(float(budget_tokens)) * F.col("alpha_share")
+    plan = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            stratum_col,
+            "n_docs",
+            "n_tokens",
+            F.round(F.pow("n_tokens", F.lit(alpha)) / F.col("_ta"), 6).alias(
+                "alpha_share"
+            ),
+        )
+        .select(
+            stratum_col,
+            "n_docs",
+            "n_tokens",
+            "alpha_share",
+            F.floor(alloc).cast("long").alias("alloc_tokens"),
+            F.round(alloc / F.col("n_tokens"), 4).alias("epochs"),
+            (alloc > F.col("n_tokens")).alias("oversampled"),
+            F.floor(
+                F.least(F.lit(1.0), alloc / F.col("n_tokens"))
+                * F.lit(65536.0)
+            )
+            .cast("long")
+            .alias("_thr"),
+        )
+    )
+    digest = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 4
+    )
+    keep = (
+        F.when(F.col("_thr") >= F.lit(65536), F.lit(True))
+        .otherwise(digest < F.format_string("%04x", F.col("_thr")))
+        .cast("long")
+    )
+    kept = (
+        docs.join(
+            F.broadcast(plan.select(stratum_col, "_thr")), stratum_col
+        )
+        .groupBy(stratum_col)
+        .agg(
+            F.sum(keep).alias("n_kept"),
+            F.sum(ntok * keep).alias("kept_tokens"),
+            F.sum(F.col(id_col) * keep).alias("kept_id_sum"),
+        )
+    )
+    return plan.drop("_thr").join(F.broadcast(kept), stratum_col)

@@ -708,3 +708,61 @@ def compression_stats(docs: DataFrame) -> DataFrame:
         "doc_id long, raw_bytes long, compressed_bytes long, "
         "compression_ratio double",
     )
+
+
+def psi_drift(docs: DataFrame, by: str = "source") -> DataFrame:
+    """Population Stability Index of the token-length distribution per
+    group against the whole corpus — the standard drift monitor between a
+    data slice and its population (PSI < 0.1 stable, 0.1-0.25 moderate
+    shift, > 0.25 investigate). Complements source_divergence: KL watches
+    *vocabulary* drift, PSI watches the *shape* of a numeric feature.
+
+    Bins are integer octaves computed WITHOUT float log2:
+    bin = length(bin(max(n_tokens, 1))) — the bit length of the token
+    count, pure integer in both engines, so bin boundaries can never
+    straddle a float-rounding edge cross-engine. Laplace add-1/2 smoothing
+    over the corpus bin domain keeps every PSI term finite (a group with
+    zero mass in some corpus bin contributes a finite penalty instead of
+    infinity) and is deterministic — no epsilon tuning.
+
+    Scale shape: ONE map-side-combined aggregation from the raw scan to
+    the (group, bin) grain; the corpus bin distribution, group totals and
+    grand totals all derive from that tiny frame (never a second corpus
+    scan); the group x bin domain completion is a broadcast cross join of
+    two bounded dims (#groups x #bins rows, ~dozens).
+    """
+    ntok = F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"))
+    bin_ = F.length(F.bin(F.greatest(ntok, F.lit(1)).cast("long")))
+    gb = (
+        docs.select(F.col(by).alias("grp"), bin_.alias("bin"))
+        .groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    corpus = gb.groupBy("bin").agg(F.sum("c").alias("cb"))
+    gtot = gb.groupBy("grp").agg(F.sum("c").alias("n_docs"))
+    tot = corpus.agg(
+        F.sum("cb").alias("n_total"), F.count(F.lit(1)).alias("n_bins")
+    )
+    # full (group, bin) domain so zero-mass bins still contribute
+    dom = gtot.crossJoin(F.broadcast(corpus)).crossJoin(F.broadcast(tot))
+    j = dom.join(gb, ["grp", "bin"], "left").select(
+        "grp",
+        "n_docs",
+        "n_bins",
+        (
+            (F.coalesce(F.col("c"), F.lit(0)) + F.lit(0.5))
+            / (F.col("n_docs") + F.lit(0.5) * F.col("n_bins"))
+        ).alias("q"),
+        (
+            (F.col("cb") + F.lit(0.5))
+            / (F.col("n_total") + F.lit(0.5) * F.col("n_bins"))
+        ).alias("p"),
+    )
+    return j.groupBy("grp").agg(
+        F.max("n_docs").alias("n_docs"),
+        F.max("n_bins").alias("n_bins"),
+        F.round(
+            F.sum((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))),
+            4,
+        ).alias("psi"),
+    ).withColumnRenamed("grp", by)

@@ -356,3 +356,44 @@ def test_conv_near_dups_crafted(spark):
     # exact conv_dedup must NOT match the near-dup pair
     fp = conv_dedup(turns)
     assert fp.where(F.col("n_convs") > 1).count() == 0
+
+
+def test_context_budget_suffix_semantics(spark):
+    """Longest-suffix-fits policy: kept turns are the maximal trailing run
+    whose token total fits; an over-budget final turn keeps nothing;
+    empty turns count zero tokens."""
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        context_budget,
+    )
+
+    import datetime as dt
+
+    import pytest as _pytest
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def turn(conv, idx, ntok):
+        text = " ".join(["w"] * ntok) if ntok else ""
+        return (conv, idx, "user", text, None, t0)
+
+    rows = (
+        [turn("fits", i, n) for i, n in enumerate([5, 10, 20])]
+        + [turn("tail", i, n) for i, n in enumerate([5, 10, 30])]
+        + [turn("huge", i, n) for i, n in enumerate([5, 10, 100])]
+        + [turn("empty", 0, 0), turn("empty", 1, 8)]
+    )
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {r["conv_id"]: r for r in context_budget(df, 35).collect()}
+    assert got["fits"]["turns_kept"] == 3 and not got["fits"]["truncated"]
+    assert got["fits"]["tokens_kept"] == 35
+    assert got["tail"]["turns_kept"] == 1 and got["tail"]["truncated"]
+    assert got["tail"]["tokens_kept"] == 30
+    assert got["huge"]["turns_kept"] == 0 and got["huge"]["tokens_kept"] == 0
+    assert got["empty"]["turns_kept"] == 2  # 0-token turn rides along free
+    assert got["empty"]["total_tokens"] == 8
+    with _pytest.raises(ValueError):
+        context_budget(df, 0)

@@ -976,3 +976,146 @@ def test_mixture_weights_crafted(spark):
     assert math.isclose(
         got["small"]["alpha_share"], round(10**0.7 / ta, 6), abs_tol=1e-9
     )
+
+
+def test_psi_drift_crafted(spark):
+    """Identical slice ≈ zero PSI; shifted slice strictly larger; bins are
+    bit-length octaves (3 tokens -> bin 2, 16 tokens -> bin 5)."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        psi_drift,
+    )
+
+    short = " ".join(["w"] * 3)   # bit_length(3) = 2
+    long_ = " ".join(["w"] * 16)  # bit_length(16) = 5
+    rows = (
+        # balanced: 10 short + 10 long in each of two mirror sources
+        [(i, short, "en", "mirror_a") for i in range(10)]
+        + [(100 + i, long_, "en", "mirror_a") for i in range(10)]
+        + [(200 + i, short, "en", "mirror_b") for i in range(10)]
+        + [(300 + i, long_, "en", "mirror_b") for i in range(10)]
+        # drifted: all long
+        + [(400 + i, long_, "en", "drift") for i in range(20)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    got = {r["source"]: r for r in psi_drift(docs, by="source").collect()}
+    assert got["mirror_a"]["n_bins"] == 2 and got["mirror_a"]["n_docs"] == 20
+    # mirrors sit close to the corpus (not exactly: corpus is 1/3 drifted)
+    assert got["mirror_a"]["psi"] == got["mirror_b"]["psi"]
+    assert got["drift"]["psi"] > got["mirror_a"]["psi"] > 0
+
+
+def test_psi_drift_smoothing_closed_form(spark):
+    """One group == whole corpus -> q == p for every bin -> PSI exactly 0."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        psi_drift,
+    )
+
+    rows = [(i, " ".join(["w"] * (2 + i % 5)), "en", "only") for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    [r] = psi_drift(docs, by="source").collect()
+    assert r["psi"] == 0.0
+
+
+def test_k_anonymity_crafted(spark):
+    """Class sizes 1,1,2,5 -> histogram rows with correct risk split."""
+    import pytest as _pytest
+
+    from otlp_cardinality_checker_spark.operators.pii import k_anonymity
+
+    rows = (
+        [("us", "A")] * 5 + [("us", "B")] * 2 + [("de", "A")] + [("fr", "C")]
+    )
+    df = spark.createDataFrame(rows, ["country", "segment"])
+    got = {
+        r["k"]: r
+        for r in k_anonymity(df, ["country", "segment"], k_threshold=5)
+        .collect()
+    }
+    assert got[1]["n_classes"] == 2 and got[1]["n_rows"] == 2
+    assert got[2]["n_classes"] == 1 and got[2]["n_rows"] == 2
+    assert got[5]["n_classes"] == 1 and got[5]["n_rows"] == 5
+    assert got[1]["at_risk"] and got[2]["at_risk"] and not got[5]["at_risk"]
+    assert abs(got[5]["row_share"] - 5 / 9) < 1e-6
+    with _pytest.raises(ValueError):
+        k_anonymity(df, [])
+
+
+def test_data_budget_membership_and_flags(spark):
+    """Small source oversampled (kept whole), big source downsampled with
+    the exact md5-threshold membership, recomputed independently here."""
+    import hashlib
+    import math
+
+    from otlp_cardinality_checker_spark.operators.sampling import (
+        data_budget,
+    )
+
+    rows = [(i, " ".join(["w"] * 100), "en", "big") for i in range(100)] + [
+        (1000 + i, " ".join(["w"] * 10), "en", "small") for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    budget = 5000
+    got = {
+        r["source"]: r for r in data_budget(docs, budget, alpha=0.7).collect()
+    }
+    big, small = got["big"], got["small"]
+    assert big["n_tokens"] == 10000 and small["n_tokens"] == 50
+    # alpha=0.7 flattening makes the tiny source's allocation exceed it
+    assert small["oversampled"] and small["epochs"] > 1
+    assert small["n_kept"] == 5 and small["kept_tokens"] == 50
+    assert not big["oversampled"] and big["epochs"] < 1
+    # independent membership recomputation (same quantization chain)
+    ta = 10000**0.7 + 50**0.7
+    share = round(10000**0.7 / ta, 6)
+    alloc = budget * share
+    thr = math.floor(min(1.0, alloc / 10000) * 65536.0)
+    kept = [
+        i
+        for i in range(100)
+        if hashlib.md5(str(i).encode()).hexdigest()[:4] < format(thr, "04x")
+    ]
+    assert big["n_kept"] == len(kept)
+    assert big["kept_id_sum"] == sum(kept)
+    assert big["kept_tokens"] == 100 * len(kept)
+    assert big["alloc_tokens"] == math.floor(alloc)
+
+
+def test_hopping_windows_fanout_and_membership(spark):
+    """Every event lands in exactly size/slide windows; the window set for
+    a known timestamp is the 4 slide-aligned starts covering it."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from otlp_cardinality_checker_spark.operators.rollup import (
+        hopping_window_stats,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 20, 0), "click", 1.0),
+            (2, dt.datetime(2024, 1, 1, 12, 0, 0), "view", 2.0),
+        ],
+        ["event_id", "ts", "event_type", "value"],
+    )
+    out = hopping_window_stats(ev).collect()
+    assert sum(r["n_events"] for r in out) == 2 * 4
+    clicks = sorted(
+        r["window_start"] for r in out if r["event_type"] == "click"
+    )
+    assert clicks == [
+        "2023-12-31 23:30:00",
+        "2023-12-31 23:45:00",
+        "2024-01-01 00:00:00",
+        "2024-01-01 00:15:00",
+    ]
+    views = sorted(r["window_start"] for r in out if r["event_type"] == "view")
+    # 12:00 exactly on a slide boundary: windows 11:15..12:00
+    assert views == [
+        "2024-01-01 11:15:00",
+        "2024-01-01 11:30:00",
+        "2024-01-01 11:45:00",
+        "2024-01-01 12:00:00",
+    ]
+    with _pytest.raises(ValueError):
+        hopping_window_stats(ev, size_seconds=3600, slide_seconds=700)
