@@ -2241,6 +2241,18 @@ def q_data_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return data_budget(docs, budget_tokens=30000, alpha=0.7)
 
 
+def q_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample (k=50 per language):
+    md5-permutation ranks via the salted two-stage top-k, membership a
+    pure function of (ids, salt)."""
+    from otlp_cardinality_checker_spark.operators.sampling import (
+        fixed_k_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fixed_k_sample(docs, k=50, stratum_col="lang")
+
+
 def q_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping event-time windows (1 h size, 15 min slide): per-window
     per-type counts and value sums — the trailing-hour SLO panel shape,
@@ -2342,8 +2354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round 5 rotates the 17 round-4 additions (never driver-recorded)
     # into positions 1-17, follows with the 17 round-5 session-2 queries,
     # the 9 session-3 ones (dup_spans .. conv_near_dups, positions 35-43)
-    # and the 5 session-4 ones (psi_drift .. hopping_windows, positions
-    # 44-48), and closes the window with 2 pipeline sentinels
+    # and the 6 session-4 ones (psi_drift .. fixed_k_sample, positions
+    # 44-49), and closes the window with 1 pipeline sentinel
     # (driver-green every prior round) so every registry entry has a
     # driver-green CORRECTNESS row in some round.  Entries past position
     # 50 remain runnable via scripts/check_oracle.py (the round-5 full
@@ -2401,8 +2413,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_budget": q_context_budget,
         "data_budget": q_data_budget,
         "hopping_windows": q_hopping_windows,
+        "fixed_k_sample": q_fixed_k_sample,
         # --- pipeline sentinels (driver-green every prior round; the
-        # --- first 2 close the 50-entry window, the rest follow) ---------
+        # --- first closes the 50-entry window, the rest follow) ----------
         "route_counts": q_route_counts,
         "routed_fingerprint": q_routed_fingerprint,
         "key_stats_exact": q_key_stats_exact,
@@ -4467,6 +4480,17 @@ ka AS (
 SELECT p.source, p.n_docs, p.n_tokens, p.alpha_share, p.alloc_tokens,
        p.epochs, p.oversampled, ka.n_kept, ka.kept_tokens, ka.kept_id_sum
 FROM plan3 p JOIN ka USING (source)
+""",
+        "fixed_k_sample": """
+WITH r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rank
+  FROM documents
+)
+SELECT lang, doc_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 50
 """,
         "hopping_windows": """
 WITH p AS (SELECT event_type, value, epoch_us(ts) AS eu FROM events),

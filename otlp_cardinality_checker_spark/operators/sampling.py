@@ -292,3 +292,45 @@ def data_budget(
         )
     )
     return plan.drop("_thr").join(F.broadcast(kept), stratum_col)
+
+
+def fixed_k_sample(
+    docs: DataFrame,
+    k: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, deterministically —
+    the fixed-COUNT companion to the rate-based hash_sample ("give me
+    exactly 1000 docs per language", the most common curation ask that
+    Bernoulli sampling can only hit in expectation). Rows are ranked by
+    md5(id || salt): under the hash's uniformity that is a reproducible
+    uniform random permutation, identical in every engine, so the sample
+    is a pure function of (ids, salt) — re-running, re-partitioning, or
+    re-ordering the input cannot change membership. A different salt is
+    an independent re-draw.
+
+    Output: (stratum, id, rank) — the sample itself, rank 1..k within
+    the stratum, so downstream joins can take any nested budget (rank
+    <= k' for k' < k gives the deterministic sub-sample for free).
+
+    Scale shape: delegates to aggregate.salted_top_k — rank within
+    (stratum, salt-of-id) first, then a final window over at most
+    n_salt x k rows per stratum — so a hot stratum (one language being
+    90% of a 10^12-row corpus) never sorts on a single reducer. The salt
+    stage only changes the physical distribution, never membership.
+    """
+    from .aggregate import salted_top_k
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    return salted_top_k(
+        docs.select(stratum_col, id_col, key.alias("_key")),
+        [stratum_col],
+        (F.asc("_key"), F.asc(id_col)),
+        k=k,
+        salt_col=id_col,
+        keep_rank=True,
+    ).select(stratum_col, id_col, F.col("rank").cast("long").alias("rank"))

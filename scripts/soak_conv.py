@@ -102,6 +102,25 @@ def main() -> None:
     out["boilerplate_fingerprints"] = row["fps"]
     out["boilerplate_turn_share"] = round((row["t"] or 0) / args.n, 4)
 
+    # context_budget: the claim is ONE conv_id exchange (suffix window +
+    # conv agg share the partitioning) and linear wall time in turns.
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        context_budget,
+    )
+
+    t0 = time.time()
+    cb = context_budget(turns, budget_tokens=128)
+    row = cb.agg(
+        F.count(F.lit(1)).alias("convs"),
+        F.sum(F.col("truncated").cast("long")).alias("truncated"),
+        F.sum("tokens_kept").alias("kept"),
+    ).collect()[0]
+    out["context_budget_sec"] = round(time.time() - t0, 1)
+    out["context_truncated_share"] = round(
+        row["truncated"] / row["convs"], 4
+    )
+    out["context_kept_tokens"] = row["kept"]
+
     sampler.stop()
     out["jvm_peak_rss_gb"] = round(sampler.peak_kb / 1024 / 1024, 2)
     try:

@@ -128,6 +128,38 @@ def main() -> None:
     out["dsir_sec"] = round(time.time() - t0, 1)
     out["dsir_docs"] = row["n"]
 
+    # PSI drift: the claim is ONE map-side agg to the (source, bin) grain
+    # with domain completion on broadcast dims — corpus-size-independent
+    # state beyond the first agg.
+    t0 = time.time()
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        psi_drift,
+    )
+
+    psi_rows = psi_drift(docs, by="source").collect()
+    out["psi_sec"] = round(time.time() - t0, 1)
+    out["psi_sources"] = len(psi_rows)
+    out["psi_max"] = max(r["psi"] for r in psi_rows)
+
+    # data_budget: plan agg + one more scan with a broadcast plan join and
+    # a pure scan-filter membership — document rows never shuffle.
+    t0 = time.time()
+    from otlp_cardinality_checker_spark.operators.sampling import (
+        data_budget,
+    )
+
+    budget = int(
+        docs.agg(
+            F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        ).collect()[0][0]
+        * 0.6
+    )
+    db = data_budget(docs, budget_tokens=budget, alpha=0.7).collect()
+    out["data_budget_sec"] = round(time.time() - t0, 1)
+    out["data_budget_kept"] = sum(r["n_kept"] for r in db)
+    out["data_budget_kept_tokens"] = sum(r["kept_tokens"] for r in db)
+    out["data_budget_target"] = budget
+
     sampler.stop()
     out["jvm_peak_rss_gb"] = round(sampler.peak_kb / 1024 / 1024, 2)
     try:

@@ -1119,3 +1119,41 @@ def test_hopping_windows_fanout_and_membership(spark):
     ]
     with _pytest.raises(ValueError):
         hopping_window_stats(ev, size_seconds=3600, slide_seconds=700)
+
+
+def test_fixed_k_sample_determinism_and_truncation(spark):
+    """Exactly min(k, |stratum|) rows per stratum; membership invariant
+    under repartitioning; a different salt is an independent draw; rank
+    order matches an independent Python md5 permutation."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from otlp_cardinality_checker_spark.operators.sampling import (
+        fixed_k_sample,
+    )
+
+    rows = [(i, "x", "en" if i < 30 else "de", "s") for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    out = fixed_k_sample(docs, k=10).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append((r["rank"], r["doc_id"]))
+    assert len(by_lang["en"]) == 10 and len(by_lang["de"]) == 10
+    # independent permutation: ranks follow md5(str(id)) ascending
+    exp_en = sorted(
+        range(30), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:10]
+    assert [d for _, d in sorted(by_lang["en"])] == exp_en
+    # repartition invariance
+    out2 = fixed_k_sample(docs.repartition(13), k=10).collect()
+    assert sorted(map(tuple, out2)) == sorted(map(tuple, out))
+    # small stratum returns whole stratum when k exceeds it
+    whole = fixed_k_sample(docs, k=100).collect()
+    assert len([r for r in whole if r["lang"] == "de"]) == 10
+    # different salt redraws (with 30 ids the top-10 sets almost surely
+    # differ; assert the RANK ORDER differs, which is salt-determined)
+    alt = fixed_k_sample(docs, k=10, salt="v2").collect()
+    assert sorted(map(tuple, alt)) != sorted(map(tuple, out))
+    with _pytest.raises(ValueError):
+        fixed_k_sample(docs, k=0)
