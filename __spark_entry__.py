@@ -2241,6 +2241,19 @@ def q_data_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return data_budget(docs, budget_tokens=30000, alpha=0.7)
 
 
+def q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split (test_share=0.2): near-dup clusters
+    (exact Jaccard >= 0.2 -> connected components) assigned to splits by
+    an md5 threshold on the CLUSTER id, so no near-dup pair can cross the
+    split. Oracle replays the recursive-CTE closure + the same hash."""
+    from otlp_cardinality_checker_spark.operators.graph import (
+        split_assignment,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return split_assignment(docs, test_share=0.2, min_jaccard=0.2)
+
+
 def q_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-k-per-stratum deterministic sample (k=50 per language):
     md5-permutation ranks via the salted two-stage top-k, membership a
@@ -2354,12 +2367,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round 5 rotates the 17 round-4 additions (never driver-recorded)
     # into positions 1-17, follows with the 17 round-5 session-2 queries,
     # the 9 session-3 ones (dup_spans .. conv_near_dups, positions 35-43)
-    # and the 6 session-4 ones (psi_drift .. fixed_k_sample, positions
-    # 44-49), and closes the window with 1 pipeline sentinel
-    # (driver-green every prior round) so every registry entry has a
-    # driver-green CORRECTNESS row in some round.  Entries past position
-    # 50 remain runnable via scripts/check_oracle.py (the round-5 full
-    # sf0.01 and sf0.1 sweeps ran ALL of them — see BENCH.md).
+    # and the 7 session-4 ones (psi_drift .. split_assignment, positions
+    # 44-50) — so every registry entry has a driver-green CORRECTNESS row
+    # in some round (the displaced pipeline sentinels have rows from
+    # EVERY prior round).  Entries past position 50 remain runnable via
+    # scripts/check_oracle.py (the round-5 full sf0.01 and sf0.1 sweeps
+    # ran ALL of them — see BENCH.md).
     return {
         # --- 17 round-4 queries, first driver recording (round 5) -------
         "constraint_audit": q_constraint_audit,
@@ -2414,8 +2427,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_budget": q_data_budget,
         "hopping_windows": q_hopping_windows,
         "fixed_k_sample": q_fixed_k_sample,
-        # --- pipeline sentinels (driver-green every prior round; the
-        # --- first closes the 50-entry window, the rest follow) ----------
+        "split_assignment": q_split_assignment,
+        # --- pipeline sentinels (driver-green every prior round, now
+        # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
         "routed_fingerprint": q_routed_fingerprint,
         "key_stats_exact": q_key_stats_exact,
@@ -4480,6 +4494,47 @@ ka AS (
 SELECT p.source, p.n_docs, p.n_tokens, p.alpha_share, p.alloc_tokens,
        p.epochs, p.oversampled, ka.n_kept, ka.kept_tokens, ka.kept_id_sum
 FROM plan3 p JOIN ka USING (source)
+""",
+        "split_assignment": """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), shingled AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+         THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                             for i in range(1, len(t) - 1)])
+         ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+), pairs AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_common
+  FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(shingles) AS n FROM shingled),
+edges0 AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+), edges AS (SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0),
+reach AS (
+  SELECT u AS node, v AS r FROM edges
+  UNION
+  SELECT w.node, e.v FROM reach w JOIN edges e ON w.r = e.u
+), labels AS (
+  SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node
+), lab AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         AS cluster_size,
+       CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) < '3333'
+            THEN 'test' ELSE 'train' END AS split
+FROM lab
 """,
         "fixed_k_sample": """
 WITH r AS (

@@ -203,3 +203,52 @@ def jaccard_clusters(
         )
     )
     return attach_clusters(docs, "doc_id", pairs, src="doc_a", dst="doc_b")
+
+
+def split_assignment(
+    docs: DataFrame,
+    test_share: float = 0.2,
+    min_jaccard: float = 0.2,
+    n: int = 3,
+    use_lsh: bool = False,
+    salt: str = "",
+) -> DataFrame:
+    """Leakage-safe train/test split: assign documents to splits by
+    near-duplicate CLUSTER, not by document, so a test doc can never have
+    a near-duplicate sitting in train (the eval-contamination failure
+    mode document-level random splits cannot prevent). Composition:
+    jaccard_clusters (pair graph -> connected components -> cluster id)
+    followed by a deterministic md5-threshold split ON THE CLUSTER ID —
+    every member of a cluster shares the digest, so the no-cross-split
+    guarantee holds by construction, and membership is the same
+    hash-threshold Bernoulli contract as sampling.hash_sample (test mass
+    ~= test_share in CLUSTERS; a different salt is an independent
+    re-split).
+
+    Output: (doc_id, cluster_id, cluster_size, split) — the per-document
+    assignment a data loader consumes.
+
+    Scale shape: everything is jaccard_clusters' cost (use_lsh=True for
+    the banded candidate path at scale); the split itself adds a pure
+    projection over the already-materialized cluster id — no extra
+    exchange, no window.
+    """
+    from .sampling import _hex_threshold
+
+    thr = _hex_threshold(test_share)
+    clustered = jaccard_clusters(
+        docs, min_jaccard=min_jaccard, n=n, use_lsh=use_lsh
+    )
+    digest = F.substring(
+        F.md5(F.concat(F.col("cluster_id").cast("string"), F.lit(salt))),
+        1,
+        4,
+    )
+    return clustered.select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        F.when(digest < F.lit(thr), F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -98,3 +98,50 @@ def test_survivor_by_score_keeps_best_quality(spark):
     # doc 2 wins: max score, tie vs doc 3 broken by min id — NOT min-id doc 1
     assert [got[i]["is_survivor"] for i in (1, 2, 3)] == [0, 1, 0]
     assert got[9]["is_survivor"] == 1  # singleton keeps itself
+
+
+def test_split_assignment_no_cross_split_leakage(spark):
+    """Every near-dup cluster lands wholly in one split (the leakage-safety
+    contract), membership matches an independent Python replay of the
+    md5-threshold on the cluster id, and salt= gives an independent
+    re-split that still never splits a cluster."""
+    import hashlib
+
+    from otlp_cardinality_checker_spark.operators.graph import (
+        split_assignment,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(i, base + f" tail{i}") for i in range(4)]  # one near-dup cluster
+    rows += [
+        (10 + i, f"completely different text number {i} about topic {i} stuff")
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = split_assignment(docs, test_share=0.5, min_jaccard=0.3).collect()
+    assert len(out) == 10
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+        # independent replay of the split rule
+        digest = hashlib.md5(str(r["cluster_id"]).encode()).hexdigest()[:4]
+        want = "test" if digest < format(int(0.5 * 65536), "04x") else "train"
+        assert r["split"] == want, (r["doc_id"], r["cluster_id"])
+    # no cluster straddles the split — the whole point
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # the planted 4-doc cluster moved as a unit
+    four = [r for r in out if r["cluster_size"] == 4]
+    assert len(four) == 4 and len({r["split"] for r in four}) == 1
+
+    # a different salt is an independent draw, same leakage guarantee
+    out2 = split_assignment(
+        docs, test_share=0.5, min_jaccard=0.3, salt="v2"
+    ).collect()
+    by_cluster2 = {}
+    for r in out2:
+        by_cluster2.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster2.values())
+    assert {r["doc_id"]: r["cluster_id"] for r in out} == {
+        r["doc_id"]: r["cluster_id"] for r in out2
+    }  # clustering itself is salt-independent
