@@ -2254,6 +2254,53 @@ def q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assignment(docs, test_share=0.2, min_jaccard=0.2)
 
 
+def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT example extraction: one (prompt, response) pair per assistant
+    turn, prompt = up to 8 preceding turns rendered 'role: text' and
+    newline-joined inside a bounded sliding frame."""
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        sft_pairs,
+    )
+
+    return sft_pairs(_transcripts(spark, sf_dir), context_turns=8)
+
+
+def q_loss_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-on-assistant-only loss-mask spans: 1-based char offsets of
+    each assistant turn's text inside the '<|role|>text\\n'-rendered
+    conversation string, from cumulative integer arithmetic (never string
+    search)."""
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        loss_mask_spans,
+    )
+
+    return loss_mask_spans(_transcripts(spark, sf_dir))
+
+
+def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: exact integer cumulative-rank-share stages
+    (k=4) over the whitespace-token difficulty score; ties share a
+    stage, assignment is partitioning-invariant."""
+    from otlp_cardinality_checker_spark.operators.curriculum import (
+        curriculum_stages,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curriculum_stages(docs, n_stages=4)
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficiency audit for length-grouped batching at
+    boundaries (32, 64, 128, 256): per-bucket doc/token mass, pad-token
+    waste, truncation count."""
+    from otlp_cardinality_checker_spark.operators.curriculum import (
+        length_buckets,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return length_buckets(docs, boundaries=(32, 64, 128, 256))
+
+
 def q_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-k-per-stratum deterministic sample (k=50 per language):
     md5-permutation ranks via the salted two-stage top-k, membership a
@@ -2428,6 +2475,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_windows": q_hopping_windows,
         "fixed_k_sample": q_fixed_k_sample,
         "split_assignment": q_split_assignment,
+        # --- round-5 session-5 additions (past the 50-entry window;
+        # --- verified via the gate replica at sf0.01 + sf0.1) ------------
+        "sft_pairs": q_sft_pairs,
+        "loss_spans": q_loss_spans,
+        "curriculum_stages": q_curriculum_stages,
+        "length_buckets": q_length_buckets,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -4535,6 +4588,101 @@ SELECT doc_id, cluster_id,
        CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) < '3333'
             THEN 'test' ELSE 'train' END AS split
 FROM lab
+""",
+        "sft_pairs": f"""
+WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}')),
+r AS (
+  SELECT conv_id, turn_idx, role, coalesce(text, '') AS resp,
+         role || ': ' || coalesce(text, '') AS rendered
+  FROM t
+), w AS (
+  SELECT conv_id, turn_idx, role, resp,
+    coalesce(string_agg(rendered, chr(10)) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING), '') AS prompt,
+    count(*) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS n_context_turns
+  FROM r
+)
+SELECT conv_id, turn_idx, prompt, resp AS response,
+       CAST(n_context_turns AS BIGINT) AS n_context_turns,
+       CAST(length(prompt) AS BIGINT) AS prompt_chars,
+       CAST(length(resp) AS BIGINT) AS response_chars
+FROM w WHERE role = 'assistant'
+""",
+        "curriculum_stages": """
+WITH s AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+         ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+')) END AS difficulty
+  FROM documents
+), g AS (
+  SELECT difficulty, count(*) AS cnt FROM s GROUP BY 1
+), cum AS (
+  SELECT difficulty, cnt,
+         sum(cnt) OVER (ORDER BY difficulty) AS c
+  FROM g
+), st AS (
+  SELECT difficulty, cnt,
+         (c * 4 + (SELECT count(*) FROM s) - 1)
+           // (SELECT count(*) FROM s) AS stage
+  FROM cum
+), sz AS (
+  SELECT stage, CAST(sum(cnt) AS BIGINT) AS stage_size
+  FROM st GROUP BY 1
+)
+SELECT s.doc_id, CAST(s.difficulty AS BIGINT) AS difficulty,
+       CAST(st.stage AS BIGINT) AS stage, sz.stage_size
+FROM s JOIN st USING (difficulty) JOIN sz USING (stage)
+""",
+        "length_buckets": """
+WITH s AS (
+  SELECT CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+')) END AS ntok
+  FROM documents
+), b AS (
+  SELECT ntok,
+    CASE WHEN ntok <= 32 THEN 32 WHEN ntok <= 64 THEN 64
+         WHEN ntok <= 128 THEN 128 ELSE 256 END AS bucket_cap,
+    least(ntok, 256) AS billed,
+    CASE WHEN ntok > 256 THEN 1 ELSE 0 END AS trunc
+  FROM s
+), a AS (
+  SELECT bucket_cap, count(*) AS n_docs,
+         CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         CAST(sum(billed) AS BIGINT) AS billed,
+         CAST(sum(trunc) AS BIGINT) AS n_truncated
+  FROM b GROUP BY 1
+)
+SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap, n_docs, n_tokens,
+       n_truncated,
+       CAST(bucket_cap * n_docs - billed AS BIGINT) AS pad_tokens,
+       round((bucket_cap * n_docs - billed) * 1.0 / (bucket_cap * n_docs),
+             6) AS waste_share
+FROM a
+""",
+        "loss_spans": f"""
+WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}')),
+seg AS (
+  SELECT conv_id, turn_idx, role,
+         length(coalesce(text, '')) AS text_len,
+         length(role) + 4 + length(coalesce(text, '')) + 1 AS seg_len
+  FROM t
+), o AS (
+  SELECT conv_id, turn_idx, role, text_len,
+    coalesce(sum(seg_len) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + length(role) + 5 AS span_start,
+    sum(seg_len) OVER (PARTITION BY conv_id) AS rendered_len
+  FROM seg
+)
+SELECT conv_id, turn_idx,
+       CAST(span_start AS BIGINT) AS span_start,
+       CAST(text_len AS BIGINT) AS span_len,
+       CAST(rendered_len AS BIGINT) AS rendered_len
+FROM o WHERE role = 'assistant'
 """,
         "fixed_k_sample": """
 WITH r AS (

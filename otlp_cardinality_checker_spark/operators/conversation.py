@@ -533,3 +533,117 @@ def context_budget(turns: DataFrame, budget_tokens: int = 512) -> DataFrame:
         F.sum(F.col("_ntok") * kept).alias("tokens_kept"),
         (F.count(F.lit(1)) > F.sum(kept)).alias("truncated"),
     )
+
+
+def sft_pairs(
+    turns: DataFrame,
+    context_turns: int = 8,
+    sep: str = "\n",
+    target_role: str = "assistant",
+) -> DataFrame:
+    """SFT (prompt, response) example extraction: one training pair per
+    ``target_role`` turn, where the prompt is the rendered context of up
+    to ``context_turns`` immediately preceding turns (any role, rendered
+    ``role: text`` and joined by ``sep``) and the response is the turn's
+    own text. This is the transcript->training-example projection every
+    instruction-tuning pipeline runs; doing it inside the engine keeps
+    the context rendering next to the dedup/quality/budget operators that
+    gate it.
+
+    Output grain: one row per target turn — ``(conv_id, turn_idx,
+    prompt, response, n_context_turns, prompt_chars, response_chars)``.
+    A target turn with no history gets ``prompt = ''`` (n_context_turns
+    0), so downstream filters can drop or keep context-free pairs
+    explicitly.
+
+    Scale shape: ONE conv_id exchange; the sliding frame
+    ``rowsBetween(-context_turns, -1)`` holds at most ``context_turns``
+    rendered turns per row, so window state is bounded by the cap, not
+    by conversation depth. Output size is bounded by (input rows) x
+    (context_turns + 1) rendered chars — the inherent cost of
+    materializing per-example context, and the reason ``context_turns``
+    is a required cap rather than unbounded history.
+    """
+    if context_turns <= 0:
+        raise ValueError(
+            f"context_turns must be positive, got {context_turns}"
+        )
+    rendered = F.concat_ws(
+        ": ", F.col("role"), F.coalesce(F.col("text"), F.lit(""))
+    )
+    frame = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-context_turns, -1)
+    )
+    with_ctx = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.coalesce(F.col("text"), F.lit("")).alias("_resp"),
+        F.array_join(F.collect_list(rendered).over(frame), sep).alias(
+            "prompt"
+        ),
+        F.count(F.lit(1)).over(frame).alias("n_context_turns"),
+    )
+    return with_ctx.where(F.col("role") == target_role).select(
+        "conv_id",
+        "turn_idx",
+        "prompt",
+        F.col("_resp").alias("response"),
+        "n_context_turns",
+        F.length("prompt").alias("prompt_chars"),
+        F.length("_resp").alias("response_chars"),
+    )
+
+
+def loss_mask_spans(
+    turns: DataFrame,
+    target_role: str = "assistant",
+) -> DataFrame:
+    """Loss-mask span computation for train-on-assistant-only SFT: each
+    conversation renders to ONE training string by concatenating
+    ``<|role|>`` + text + ``\\n`` per turn in turn order, and this
+    operator emits, for every ``target_role`` turn, the 1-based character
+    offset span its text occupies inside that rendered string — the spans
+    a trainer unmasks for loss while the user/system/tool turns stay
+    masked. Computing spans from cumulative arithmetic (never from string
+    search) makes them exact even when the same text recurs.
+
+    Output grain: one row per target turn — ``(conv_id, turn_idx,
+    span_start, span_len, rendered_len)`` where ``rendered_len`` is the
+    full conversation's rendered length (equal on every row of a
+    conversation). Invariant (pinned by test):
+    ``substr(rendered, span_start, span_len) == text``.
+
+    Scale shape: ONE conv_id exchange feeds both windows (prefix cumsum
+    ordered by turn_idx and the unbounded total); per-conversation window
+    state is one running sum. No strings are shuffled beyond the initial
+    exchange; offsets are integer arithmetic over per-turn lengths.
+    """
+    text = F.coalesce(F.col("text"), F.lit(""))
+    # rendered turn = "<|" + role + "|>" + text + "\n"
+    seg_len = F.length("role") + F.lit(4) + F.length(text) + F.lit(1)
+    prefix = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    whole = Window.partitionBy("conv_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    spans = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.length(text).alias("span_len"),
+        (
+            F.coalesce(F.sum(seg_len).over(prefix), F.lit(0))
+            + F.length("role")
+            + F.lit(5)
+        ).alias("span_start"),
+        F.sum(seg_len).over(whole).alias("rendered_len"),
+    )
+    return spans.where(F.col("role") == target_role).select(
+        "conv_id", "turn_idx", "span_start", "span_len", "rendered_len"
+    )

@@ -121,6 +121,38 @@ def main() -> None:
     )
     out["context_kept_tokens"] = row["kept"]
 
+    # sft_pairs / loss_spans: the claim is ONE conv_id exchange each with
+    # window state bounded by the context cap (pairs) / a running sum
+    # (spans); output is aggregated engine-side, never collected.
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        loss_mask_spans,
+        sft_pairs,
+    )
+
+    t0 = time.time()
+    sp = sft_pairs(turns, context_turns=8)
+    row = sp.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.sum("prompt_chars").alias("pchars"),
+        F.avg("n_context_turns").alias("avg_ctx"),
+    ).collect()[0]
+    out["sft_pairs_sec"] = round(time.time() - t0, 1)
+    out["sft_pairs"] = row["pairs"]
+    out["sft_prompt_gb"] = round((row["pchars"] or 0) / 1e9, 2)
+    out["sft_avg_ctx_turns"] = round(row["avg_ctx"] or 0.0, 2)
+
+    t0 = time.time()
+    ls = loss_mask_spans(turns)
+    row = ls.agg(
+        F.count(F.lit(1)).alias("spans"),
+        F.sum("span_len").alias("unmasked"),
+        F.max("rendered_len").alias("max_rendered"),
+    ).collect()[0]
+    out["loss_spans_sec"] = round(time.time() - t0, 1)
+    out["loss_spans"] = row["spans"]
+    out["unmasked_chars"] = row["unmasked"]
+    out["max_rendered_len"] = row["max_rendered"]
+
     sampler.stop()
     out["jvm_peak_rss_gb"] = round(sampler.peak_kb / 1024 / 1024, 2)
     try:

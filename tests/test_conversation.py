@@ -397,3 +397,86 @@ def test_context_budget_suffix_semantics(spark):
     assert got["empty"]["total_tokens"] == 8
     with _pytest.raises(ValueError):
         context_budget(df, 0)
+
+
+def _sft_fixture(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        ("c1", 0, "system", "be terse", None, t0),
+        ("c1", 1, "user", "héllo wörld", None, t0),
+        ("c1", 2, "assistant", "hi — héllo", None, t0),
+        ("c1", 3, "tool", "ran: grep", "grep", t0),
+        ("c1", 4, "assistant", "done", None, t0),
+        ("solo", 0, "assistant", "no history", None, t0),
+        ("nul", 0, "user", None, None, t0),
+        ("nul", 1, "assistant", "after null", None, t0),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+
+
+def test_sft_pairs_context_rendering(spark):
+    """Prompts are the exact rendered window of preceding turns (any
+    role), capped at context_turns; a history-free assistant turn gets
+    prompt=''; NULL texts render empty; non-ASCII lengths are chars."""
+    import pytest as _pytest
+
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        sft_pairs,
+    )
+
+    df = _sft_fixture(spark)
+    got = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in sft_pairs(df, context_turns=2).collect()
+    }
+    assert set(got) == {("c1", 2), ("c1", 4), ("solo", 0), ("nul", 1)}
+    r = got[("c1", 2)]
+    assert r["prompt"] == "system: be terse\nuser: héllo wörld"
+    assert r["response"] == "hi — héllo"
+    assert r["n_context_turns"] == 2
+    assert r["prompt_chars"] == len(r["prompt"])  # chars, not bytes
+    assert r["response_chars"] == 10
+    # cap: turn 4 sees only turns 2-3, NOT turn 1
+    assert got[("c1", 4)]["prompt"] == "assistant: hi — héllo\ntool: ran: grep"
+    assert got[("solo", 0)]["prompt"] == ""
+    assert got[("solo", 0)]["n_context_turns"] == 0
+    assert got[("nul", 1)]["prompt"] == "user: "
+    with _pytest.raises(ValueError):
+        sft_pairs(df, context_turns=0)
+
+
+def test_loss_mask_spans_substr_invariant(spark):
+    """The pinned contract: substr(rendered, span_start, span_len) ==
+    the assistant turn's text, where rendered is built independently in
+    Python; rendered_len equals the full rendered string's length."""
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        loss_mask_spans,
+    )
+
+    df = _sft_fixture(spark)
+    turns = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in df.collect()
+    }
+    rendered = {}
+    for (conv, idx) in sorted(turns):
+        r = turns[(conv, idx)]
+        rendered[conv] = rendered.get(conv, "") + (
+            f"<|{r['role']}|>{r['text'] or ''}\n"
+        )
+    out = loss_mask_spans(df).collect()
+    assert {(r["conv_id"], r["turn_idx"]) for r in out} == {
+        ("c1", 2), ("c1", 4), ("solo", 0), ("nul", 1)
+    }
+    for r in out:
+        s = rendered[r["conv_id"]]
+        assert r["rendered_len"] == len(s), r
+        chunk = s[r["span_start"] - 1 : r["span_start"] - 1 + r["span_len"]]
+        want = turns[(r["conv_id"], r["turn_idx"])]["text"] or ""
+        assert chunk == want, (r, chunk, want)

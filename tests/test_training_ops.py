@@ -1157,3 +1157,83 @@ def test_fixed_k_sample_determinism_and_truncation(spark):
     assert sorted(map(tuple, alt)) != sorted(map(tuple, out))
     with _pytest.raises(ValueError):
         fixed_k_sample(docs, k=0)
+
+
+def test_curriculum_stages_exact_semantics(spark):
+    """Stage = ceil(cum_rank * k / n) with integer arithmetic: distinct
+    scores split evenly; ties always share a stage (heavy bottom ties
+    legitimately leave stage 1 empty); assignment is invariant under
+    repartitioning; k<=0 rejected."""
+    import pytest as _pytest
+
+    from otlp_cardinality_checker_spark.operators.curriculum import (
+        curriculum_stages,
+    )
+    import pyspark.sql.functions as F
+
+    def docs_of(tokens):
+        rows = [(i, " ".join(["w"] * n) if n else "") for i, n in enumerate(tokens)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    # 8 distinct scores, k=4 -> pairs per stage
+    got = {
+        r["doc_id"]: r
+        for r in curriculum_stages(docs_of(range(1, 9)), 4).collect()
+    }
+    assert [got[i]["stage"] for i in range(8)] == [1, 1, 2, 2, 3, 3, 4, 4]
+    assert all(got[i]["stage_size"] == 2 for i in range(8))
+    assert got[7]["difficulty"] == 8
+
+    # heavy ties at the bottom: c(1)=3 of 4 -> ceil(1.5)=2; everyone
+    # lands in stage 2, stage 1 is empty (ties are never split)
+    got = {
+        r["doc_id"]: r
+        for r in curriculum_stages(docs_of([1, 1, 1, 2]), 2).collect()
+    }
+    assert {r["stage"] for r in got.values()} == {2}
+    assert all(r["stage_size"] == 4 for r in got.values())
+
+    # partitioning invariance
+    base = docs_of(list(range(1, 30)) * 3)
+    a = {r["doc_id"]: r["stage"] for r in curriculum_stages(base, 5).collect()}
+    b = {
+        r["doc_id"]: r["stage"]
+        for r in curriculum_stages(base.repartition(13, F.col("doc_id")), 5).collect()
+    }
+    assert a == b
+
+    with _pytest.raises(ValueError):
+        curriculum_stages(docs_of([1]), 0)
+
+
+def test_length_buckets_padding_accounting(spark):
+    """Bucket = smallest boundary holding the doc (inclusive); overflow
+    docs are truncated into the top bucket billed at the cap; pad and
+    waste accounting is integer-exact; empty text is 0 tokens."""
+    import pytest as _pytest
+
+    from otlp_cardinality_checker_spark.operators.curriculum import (
+        length_buckets,
+    )
+
+    rows = [
+        (0, " ".join(["w"] * 10)),   # -> 32, pad 22
+        (1, " ".join(["w"] * 64)),   # boundary-inclusive -> 64, pad 0
+        (2, " ".join(["w"] * 100)),  # -> 128, pad 28
+        (3, " ".join(["w"] * 300)),  # overflow -> 256 truncated, pad 0
+        (4, ""),                     # 0 tokens -> 32, pad 32
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["bucket_cap"]: r
+        for r in length_buckets(docs, boundaries=(32, 64, 128, 256)).collect()
+    }
+    assert set(got) == {32, 64, 128, 256}
+    assert got[32]["n_docs"] == 2 and got[32]["pad_tokens"] == 22 + 32
+    assert got[64]["n_docs"] == 1 and got[64]["pad_tokens"] == 0
+    assert got[128]["pad_tokens"] == 28
+    assert got[256]["n_truncated"] == 1 and got[256]["pad_tokens"] == 0
+    assert got[256]["n_tokens"] == 300  # raw mass still reported
+    assert abs(got[32]["waste_share"] - (22 + 32) / 64) < 1e-9
+    with _pytest.raises(ValueError):
+        length_buckets(docs, boundaries=())
