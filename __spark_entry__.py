@@ -2277,6 +2277,16 @@ def q_loss_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loss_mask_spans(_transcripts(spark, sf_dir))
 
 
+def q_echo_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Response-parroting audit: distinct-token echo share of each
+    assistant turn vs its 8-turn context window."""
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        echo_rate,
+    )
+
+    return echo_rate(_transcripts(spark, sf_dir), context_turns=8)
+
+
 def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum staging: exact integer cumulative-rank-share stages
     (k=4) over the whitespace-token difficulty score; ties share a
@@ -2481,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loss_spans": q_loss_spans,
         "curriculum_stages": q_curriculum_stages,
         "length_buckets": q_length_buckets,
+        "echo_rate": q_echo_rate,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -4610,6 +4621,32 @@ SELECT conv_id, turn_idx, prompt, resp AS response,
        CAST(length(prompt) AS BIGINT) AS prompt_chars,
        CAST(length(resp) AS BIGINT) AS response_chars
 FROM w WHERE role = 'assistant'
+""",
+        "echo_rate": f"""
+WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}')),
+w AS (
+  SELECT conv_id, turn_idx, role, coalesce(text, '') AS resp,
+    coalesce(string_agg(coalesce(text, ''), ' ') OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING), '') AS ctx
+  FROM t
+), tok AS (
+  SELECT conv_id, turn_idx,
+    list_distinct(list_filter(
+      string_split_regex(lower(trim(resp)), '\\s+'), x -> x <> ''))
+      AS rt,
+    list_distinct(list_filter(
+      string_split_regex(lower(trim(ctx)), '\\s+'), x -> x <> ''))
+      AS ct
+  FROM w WHERE role = 'assistant'
+)
+SELECT conv_id, turn_idx,
+       CAST(len(rt) AS BIGINT) AS n_resp_tokens,
+       CAST(len(list_intersect(rt, ct)) AS BIGINT) AS n_echoed,
+       CASE WHEN len(rt) = 0 THEN 0.0
+            ELSE round(len(list_intersect(rt, ct)) * 1.0 / len(rt), 6)
+       END AS echo_rate
+FROM tok
 """,
         "curriculum_stages": """
 WITH s AS (

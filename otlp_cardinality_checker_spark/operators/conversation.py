@@ -647,3 +647,69 @@ def loss_mask_spans(
     return spans.where(F.col("role") == target_role).select(
         "conv_id", "turn_idx", "span_start", "span_len", "rendered_len"
     )
+
+
+def echo_rate(
+    turns: DataFrame,
+    context_turns: int = 8,
+    target_role: str = "assistant",
+) -> DataFrame:
+    """Response-parroting audit: for each ``target_role`` turn, the share
+    of its DISTINCT (lowercased, whitespace-split) tokens that already
+    appear in the preceding ``context_turns`` turns' text. High echo
+    rates flag degenerate assistant behavior (quoting the question back,
+    template restating) that SFT curation usually filters; near-zero
+    rates on tool-heavy turns flag context-free responses. Pure set
+    arithmetic — both engines' array intersection is distinct-output, so
+    the counts are exact cross-engine.
+
+    Output grain: one row per target turn — ``(conv_id, turn_idx,
+    n_resp_tokens, n_echoed, echo_rate)``; ``echo_rate`` is 0.0 for a
+    token-free response.
+
+    Scale shape: the same single conv_id exchange as ``sft_pairs`` (the
+    sliding frame is the only window); token arrays are materialized
+    ONCE per row as columns before the set ops (HOF lambdas get no CSE —
+    the shared-subexpression rule), and each array is bounded by turn
+    length x context cap.
+    """
+    if context_turns <= 0:
+        raise ValueError(
+            f"context_turns must be positive, got {context_turns}"
+        )
+
+    def toks(col):
+        return F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.trim(col)), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        )
+
+    frame = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-context_turns, -1)
+    )
+    ctx_text = F.array_join(
+        F.collect_list(F.coalesce(F.col("text"), F.lit(""))).over(frame),
+        " ",
+    )
+    staged = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        toks(F.coalesce(F.col("text"), F.lit(""))).alias("_rt"),
+        toks(ctx_text).alias("_ct"),
+    ).where(F.col("role") == target_role)
+    n_resp = F.size("_rt")
+    n_echo = F.size(F.array_intersect("_rt", "_ct"))
+    return staged.select(
+        "conv_id",
+        "turn_idx",
+        n_resp.cast("long").alias("n_resp_tokens"),
+        n_echo.cast("long").alias("n_echoed"),
+        F.when(n_resp == 0, F.lit(0.0))
+        .otherwise(F.round(n_echo / n_resp, 6))
+        .alias("echo_rate"),
+    )

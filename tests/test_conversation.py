@@ -480,3 +480,48 @@ def test_loss_mask_spans_substr_invariant(spark):
         chunk = s[r["span_start"] - 1 : r["span_start"] - 1 + r["span_len"]]
         want = turns[(r["conv_id"], r["turn_idx"])]["text"] or ""
         assert chunk == want, (r, chunk, want)
+
+
+def test_echo_rate_set_semantics(spark):
+    """Echo = distinct-token intersection share: full parrot -> 1.0,
+    disjoint -> 0.0, duplicates in the response count once, case folds,
+    empty response -> rate 0 with 0 tokens, context window is capped."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        echo_rate,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        ("c", 0, "user", "Alpha beta GAMMA", None, t0),
+        ("c", 1, "assistant", "alpha ALPHA beta delta", None, t0),  # 3 distinct, 2 echoed
+        ("c", 2, "assistant", "zeta eta", None, t0),               # disjoint-ish
+        ("c", 3, "assistant", "", None, t0),                       # empty
+        ("far", 0, "user", "secret", None, t0),
+        ("far", 1, "user", "x1", None, t0),
+        ("far", 2, "user", "x2", None, t0),
+        ("far", 3, "assistant", "secret", None, t0),  # ctx cap 2: 'secret' out of frame
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in echo_rate(df, context_turns=2).collect()
+    }
+    r = got[("c", 1)]
+    assert r["n_resp_tokens"] == 3 and r["n_echoed"] == 2
+    assert abs(r["echo_rate"] - round(2 / 3, 6)) < 1e-9
+    # turn 2's 2-turn context = turns 0-1; no overlap
+    assert got[("c", 2)]["n_echoed"] == 0 and got[("c", 2)]["echo_rate"] == 0.0
+    assert got[("c", 3)]["n_resp_tokens"] == 0
+    assert got[("c", 3)]["echo_rate"] == 0.0
+    # 'secret' fell out of the 2-turn frame -> not an echo
+    assert got[("far", 3)]["n_echoed"] == 0
+    with _pytest.raises(ValueError):
+        echo_rate(df, context_turns=0)
