@@ -2277,6 +2277,17 @@ def q_loss_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loss_mask_spans(_transcripts(spark, sf_dir))
 
 
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair builder: assistant responses grouped by the
+    masked template of their preceding user turn; chosen/rejected by the
+    tie-free (score, conv_id, turn_idx) key."""
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        preference_pairs,
+    )
+
+    return preference_pairs(_transcripts(spark, sf_dir))
+
+
 def q_echo_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Response-parroting audit: distinct-token echo share of each
     assistant turn vs its 8-turn context window."""
@@ -2492,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_stages": q_curriculum_stages,
         "length_buckets": q_length_buckets,
         "echo_rate": q_echo_rate,
+        "preference_pairs": q_preference_pairs,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -4621,6 +4633,45 @@ SELECT conv_id, turn_idx, prompt, resp AS response,
        CAST(length(prompt) AS BIGINT) AS prompt_chars,
        CAST(length(resp) AS BIGINT) AS response_chars
 FROM w WHERE role = 'assistant'
+""",
+        "preference_pairs": pre
+        + """
+, cand AS (
+  SELECT conv_id, turn_idx, role, text,
+    lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+      AS prev_role,
+    lag(template) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+      AS prompt_template
+  FROM rtruth
+), sc AS (
+  SELECT prompt_template, conv_id, turn_idx,
+    len(list_distinct(list_filter(
+      string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+      x -> x <> ''))) AS score
+  FROM cand WHERE role = 'assistant' AND prev_role IS NOT NULL
+), k AS (
+  SELECT *,
+    lpad(CAST(score AS VARCHAR), 8, '0') || '|' || conv_id || '|'
+      || lpad(CAST(turn_idx AS VARCHAR), 8, '0') AS ordkey
+  FROM sc
+), a AS (
+  SELECT prompt_template, count(*) AS n_candidates,
+    arg_max(conv_id, ordkey) AS chosen_conv,
+    arg_max(turn_idx, ordkey) AS chosen_turn,
+    arg_max(score, ordkey) AS chosen_score,
+    arg_min(conv_id, ordkey) AS rejected_conv,
+    arg_min(turn_idx, ordkey) AS rejected_turn,
+    arg_min(score, ordkey) AS rejected_score
+  FROM k GROUP BY 1
+)
+SELECT md5(prompt_template) AS prompt_fp, prompt_template,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       chosen_conv, chosen_turn,
+       CAST(chosen_score AS BIGINT) AS chosen_score,
+       rejected_conv, rejected_turn,
+       CAST(rejected_score AS BIGINT) AS rejected_score,
+       CAST(chosen_score - rejected_score AS BIGINT) AS score_gap
+FROM a WHERE n_candidates >= 2
 """,
         "echo_rate": f"""
 WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}')),

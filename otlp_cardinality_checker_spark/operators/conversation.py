@@ -713,3 +713,105 @@ def echo_rate(
         .otherwise(F.round(n_echo / n_resp, 6))
         .alias("echo_rate"),
     )
+
+
+def preference_pairs(
+    turns: DataFrame,
+    min_candidates: int = 2,
+    prev_role: str | None = None,
+) -> DataFrame:
+    """DPO/RLHF preference-pair builder over transcripts: group assistant
+    responses by the TEMPLATE of their immediately preceding turn
+    (the masked prompt — same prompt shape, many candidate responses
+    across conversations; pass ``prev_role`` to restrict which role may
+    own the prompt turn), then emit one (chosen, rejected) pair per
+    group: chosen = the candidate with the lexicographically GREATEST
+    (score, conv_id, turn_idx) key, rejected = the least. The score is
+    the response's distinct-token count (lexical richness — a
+    deterministic, engine-portable quality proxy; swap in a model score
+    upstream by adding a column and reusing the same ranking contract).
+    The composite key makes ties impossible, so chosen/rejected are
+    unique and partitioning-invariant.
+
+    Output grain: one row per prompt-template group with >=
+    ``min_candidates`` candidates — ``(prompt_fp, prompt_template,
+    n_candidates, chosen_conv, chosen_turn, chosen_score,
+    rejected_conv, rejected_turn, rejected_score, score_gap)``.
+
+    Scale shape: one conv_id window exchange (lag of role/template) and
+    one aggregation exchange keyed by the prompt template. Every
+    aggregate (count, max_by, min_by) is map-side combinable, so hot
+    templates cost one partial row per task — no skew exposure, no
+    pair-join anywhere (the group IS the candidate set).
+    """
+    from ..functions.masking import template_expr
+
+    if min_candidates < 2:
+        raise ValueError(
+            f"min_candidates must be >= 2, got {min_candidates}"
+        )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    staged = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        template_expr(F.col("text")).alias("_tpl"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.lag("role").over(w).alias("_prev_role"),
+        F.lag("_tpl").over(w).alias("prompt_template"),
+    )
+    prev_ok = (
+        F.col("_prev_role") == prev_role
+        if prev_role is not None
+        else F.col("_prev_role").isNotNull()
+    )
+    cand = staged.where((F.col("role") == "assistant") & prev_ok)
+    score = F.size(
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        )
+    ).cast("long")
+    ord_key = F.concat_ws(
+        "|",
+        F.lpad(score.cast("string"), 8, "0"),
+        F.col("conv_id"),
+        F.lpad(F.col("turn_idx").cast("string"), 8, "0"),
+    )
+    scored = cand.select(
+        "prompt_template",
+        "conv_id",
+        "turn_idx",
+        score.alias("_score"),
+        ord_key.alias("_ord"),
+    )
+    agg = scored.groupBy("prompt_template").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.max_by("conv_id", F.col("_ord")).alias("chosen_conv"),
+        F.max_by("turn_idx", F.col("_ord")).alias("chosen_turn"),
+        F.max_by("_score", F.col("_ord")).alias("chosen_score"),
+        F.min_by("conv_id", F.col("_ord")).alias("rejected_conv"),
+        F.min_by("turn_idx", F.col("_ord")).alias("rejected_turn"),
+        F.min_by("_score", F.col("_ord")).alias("rejected_score"),
+    )
+    return agg.where(F.col("n_candidates") >= min_candidates).select(
+        F.md5("prompt_template").alias("prompt_fp"),
+        "prompt_template",
+        "n_candidates",
+        "chosen_conv",
+        "chosen_turn",
+        "chosen_score",
+        "rejected_conv",
+        "rejected_turn",
+        "rejected_score",
+        (F.col("chosen_score") - F.col("rejected_score")).alias(
+            "score_gap"
+        ),
+    )

@@ -525,3 +525,62 @@ def test_echo_rate_set_semantics(spark):
     assert got[("far", 3)]["n_echoed"] == 0
     with _pytest.raises(ValueError):
         echo_rate(df, context_turns=0)
+
+
+def test_preference_pairs_ranking(spark):
+    """Same masked prompt template across conversations forms one
+    candidate group; chosen/rejected are the greatest/least
+    (score, conv_id, turn_idx) key (tie-free by construction);
+    single-candidate groups are dropped; prev_role restricts the
+    prompt-owning role; min_candidates < 2 rejected."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        preference_pairs,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # three convs share prompt template "fetch item <*>"
+        ("a", 0, "user", "fetch item 42", None, t0),
+        ("a", 1, "assistant", "one two three", None, t0),        # score 3
+        ("b", 0, "user", "fetch item 99", None, t0),
+        ("b", 1, "assistant", "one one", None, t0),              # score 1
+        ("c", 0, "user", "fetch item 7", None, t0),
+        ("c", 1, "assistant", "alpha beta", None, t0),           # score 2
+        # lone group -> dropped
+        ("d", 0, "user", "completely different ask", None, t0),
+        ("d", 1, "assistant", "whatever", None, t0),
+        # same template but prompt owned by system (for prev_role test)
+        ("e", 0, "system", "fetch item 5", None, t0),
+        ("e", 1, "assistant", "zeta", None, t0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = preference_pairs(df).collect()
+    groups = {r["prompt_template"]: r for r in out}
+    assert list(groups) == ["fetch item <*>"]
+    g = groups["fetch item <*>"]
+    assert g["n_candidates"] == 4  # a, b, c + e (prev_role unrestricted)
+    assert (g["chosen_conv"], g["chosen_score"]) == ("a", 3)
+    assert (g["rejected_conv"], g["rejected_score"]) == ("b", 1)
+    assert g["score_gap"] == 2
+
+    restricted = preference_pairs(df, prev_role="user").collect()
+    assert restricted[0]["n_candidates"] == 3  # e's system prompt excluded
+
+    # determinism under repartitioning
+    import pyspark.sql.functions as F
+
+    again = preference_pairs(
+        df.repartition(7, F.col("turn_idx"))
+    ).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in out}
+
+    with _pytest.raises(ValueError):
+        preference_pairs(df, min_candidates=1)
