@@ -2277,6 +2277,25 @@ def q_loss_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loss_mask_spans(_transcripts(spark, sf_dir))
 
 
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary growth: token/type mass, TTR, hapax share."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        vocab_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_stats(docs, by="source")
+
+
+def q_response_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refusal/failure marker audit per (role, marker), zero rows kept."""
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        response_markers,
+    )
+
+    return response_markers(_transcripts(spark, sf_dir))
+
+
 def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DPO preference-pair builder: assistant responses grouped by the
     masked template of their preceding user turn; chosen/rejected by the
@@ -2504,6 +2523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": q_length_buckets,
         "echo_rate": q_echo_rate,
         "preference_pairs": q_preference_pairs,
+        "vocab_stats": q_vocab_stats,
+        "response_markers": q_response_markers,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -4633,6 +4654,37 @@ SELECT conv_id, turn_idx, prompt, resp AS response,
        CAST(length(prompt) AS BIGINT) AS prompt_chars,
        CAST(length(resp) AS BIGINT) AS response_chars
 FROM w WHERE role = 'assistant'
+""",
+        "vocab_stats": """
+WITH tok AS (
+  SELECT source,
+    unnest(list_filter(
+      string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+      x -> x <> '')) AS t
+  FROM documents
+), g AS (
+  SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2
+)
+SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       count(*) AS n_types,
+       round(count(*) * 1.0 / sum(c), 6) AS type_token_ratio,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS hapax_share
+FROM g GROUP BY 1
+""",
+        "response_markers": f"""
+WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}')),
+m(marker) AS (VALUES ('i cannot'), ('i''m sorry'), ('unable to'),
+              ('as an ai'), ('error'), ('failed'), ('timeout'))
+SELECT t.role, m.marker,
+  CAST(sum(CASE WHEN contains(lower(coalesce(t.text, '')), m.marker)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+  count(*) AS role_turns,
+  round(sum(CASE WHEN contains(lower(coalesce(t.text, '')), m.marker)
+            THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS share
+FROM t CROSS JOIN m
+GROUP BY 1, 2
 """,
         "preference_pairs": pre
         + """

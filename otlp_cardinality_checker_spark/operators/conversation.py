@@ -815,3 +815,62 @@ def preference_pairs(
             "score_gap"
         ),
     )
+
+
+DEFAULT_MARKERS = (
+    "i cannot",
+    "i'm sorry",
+    "unable to",
+    "as an ai",
+    "error",
+    "failed",
+    "timeout",
+)
+
+
+def response_markers(
+    turns: DataFrame,
+    markers: tuple[str, ...] = DEFAULT_MARKERS,
+) -> DataFrame:
+    """Marker-phrase audit: per (role, marker), how many turns contain
+    the (lowercased, substring) marker and what share of that role's
+    turns they are. The default set mixes refusal markers ("i cannot",
+    "as an ai" — the SFT-curation filter) with failure markers
+    ("error", "failed", "timeout" — the reliability triage view); pass
+    a custom tuple for either alone.
+
+    Output grain: one row per (role, marker) — ``(role, marker,
+    n_matched, role_turns, share)`` — including zero-match rows, so a
+    marker's absence is an explicit, hash-checkable answer.
+
+    Scale shape: ONE map-side-combined aggregation over a single scan —
+    each marker is a column-wise conditional sum, so rows are never
+    duplicated per marker; the #roles x #markers unpivot then runs on
+    the tiny aggregated frame (stack, no exchange).
+    """
+    if not markers:
+        raise ValueError("markers must be non-empty")
+    low = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    aggs = [F.count(F.lit(1)).alias("role_turns")] + [
+        F.sum(F.contains(low, F.lit(m)).cast("long")).alias(f"_m{i}")
+        for i, m in enumerate(markers)
+    ]
+    per_role = turns.groupBy("role").agg(*aggs)
+    pairs = ", ".join(
+        "'{}', _m{}".format(m.replace("'", "\\'"), i)
+        for i, m in enumerate(markers)
+    )
+    unpivoted = per_role.selectExpr(
+        "role",
+        "role_turns",
+        f"stack({len(markers)}, {pairs}) AS (marker, n_matched)",
+    )
+    return unpivoted.select(
+        "role",
+        "marker",
+        "n_matched",
+        "role_turns",
+        F.round(F.col("n_matched") / F.col("role_turns"), 6).alias(
+            "share"
+        ),
+    )

@@ -766,3 +766,53 @@ def psi_drift(docs: DataFrame, by: str = "source") -> DataFrame:
             4,
         ).alias("psi"),
     ).withColumnRenamed("grp", by)
+
+
+def vocab_stats(docs: DataFrame, by: str = "source") -> DataFrame:
+    """Vocabulary-growth / Zipf-tail stats per group: token mass, type
+    (distinct-token) count, type-token ratio, and the hapax legomenon
+    share — the corpus-health numbers that flag template-generated or
+    boilerplate-heavy sources (unnaturally low TTR / hapax share) before
+    they skew a tokenizer or LM fit.
+
+    Output grain: one row per ``by`` group — ``(by, n_tokens, n_types,
+    type_token_ratio, n_hapax, hapax_share)`` where hapax counts tokens
+    occurring exactly once WITHIN the group.
+
+    Scale shape: tokens are materialized once and exploded via
+    ``explode_outer`` (no inferred re-evaluating size() filter — the
+    repo-wide rule) into ONE map-side-combined (group, token) hash agg —
+    the only full-data exchange, bounded by the group vocabulary; the
+    per-group fold then shuffles type-grain rows only.
+    """
+    toks = F.filter(
+        F.split(
+            F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))),
+            r"\s+",
+        ),
+        lambda x: x != F.lit(""),
+    )
+    tok = docs.select(F.col(by), F.explode_outer(toks).alias("_t")).where(
+        F.col("_t").isNotNull()
+    )
+    grain = tok.groupBy(by, "_t").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        grain.groupBy(by)
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum((F.col("_c") == 1).cast("long")).alias("n_hapax"),
+        )
+        .select(
+            by,
+            "n_tokens",
+            "n_types",
+            F.round(F.col("n_types") / F.col("n_tokens"), 6).alias(
+                "type_token_ratio"
+            ),
+            "n_hapax",
+            F.round(F.col("n_hapax") / F.col("n_types"), 6).alias(
+                "hapax_share"
+            ),
+        )
+    )

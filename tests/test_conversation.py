@@ -584,3 +584,41 @@ def test_preference_pairs_ranking(spark):
 
     with _pytest.raises(ValueError):
         preference_pairs(df, min_candidates=1)
+
+
+def test_response_markers_counts_and_zero_rows(spark):
+    """Substring markers are case-insensitive, counted per turn (not per
+    occurrence); zero-match (role, marker) rows are present; empty
+    marker set rejected."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        response_markers,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        ("c", 0, "assistant", "I CANNOT do that; error error", None, t0),
+        ("c", 1, "assistant", "fine", None, t0),
+        ("c", 2, "user", "why the error?", None, t0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {
+        (r["role"], r["marker"]): r
+        for r in response_markers(df, markers=("i cannot", "error", "i'm sorry")).collect()
+    }
+    assert len(got) == 6  # 2 roles x 3 markers, zero rows included
+    assert got[("assistant", "i cannot")]["n_matched"] == 1
+    assert got[("assistant", "error")]["n_matched"] == 1  # per turn, not per hit
+    assert got[("assistant", "i'm sorry")]["n_matched"] == 0
+    assert got[("user", "error")]["n_matched"] == 1
+    assert got[("assistant", "error")]["role_turns"] == 2
+    assert abs(got[("assistant", "error")]["share"] - 0.5) < 1e-9
+    with _pytest.raises(ValueError):
+        response_markers(df, markers=())

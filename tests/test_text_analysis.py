@@ -234,3 +234,29 @@ def test_compression_stats_corpus(spark):
         ).count()
         == 0
     )
+
+
+def test_vocab_stats_hapax_and_ttr(spark):
+    """Token/type/hapax accounting per group: hapax = exactly-once
+    WITHIN the group; TTR exact; empty text contributes nothing."""
+    rows = [
+        (0, "a a b", "s1"),      # s1 tokens: a x3, b x1, c x1
+        (1, "a c", "s1"),
+        (2, "x y", "s2"),        # all hapax
+        (3, "", "s2"),
+        (4, None, "s2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        vocab_stats,
+    )
+
+    got = {r["source"]: r for r in vocab_stats(docs).collect()}
+    s1 = got["s1"]
+    assert (s1["n_tokens"], s1["n_types"], s1["n_hapax"]) == (5, 3, 2)
+    assert abs(s1["type_token_ratio"] - 0.6) < 1e-9
+    assert abs(s1["hapax_share"] - round(2 / 3, 6)) < 1e-9
+    s2 = got["s2"]
+    assert (s2["n_tokens"], s2["n_types"], s2["n_hapax"]) == (2, 2, 2)
+    assert s2["hapax_share"] == 1.0
