@@ -70,8 +70,15 @@ def curriculum_stages(
         "difficulty"
     )
     scored = docs.select(F.col(id_col), s)
-    grain = scored.groupBy("difficulty").agg(
-        F.count(F.lit(1)).alias("_cnt")
+    # localCheckpoint: three plan branches consume the score-grain frame
+    # (cum left, shifted right, total) and ReuseExchange does not bridge
+    # them — without it each branch re-runs the FULL document scan (the
+    # unigram_cross_entropy idiom; the checkpointed frame is score-grain,
+    # thousands of rows)
+    grain = (
+        scored.groupBy("difficulty")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .localCheckpoint(eager=True)
     )
     total = F.broadcast(grain.agg(F.sum("_cnt").alias("_n")))
     lower = grain.select(

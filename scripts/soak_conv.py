@@ -153,6 +153,47 @@ def main() -> None:
     out["unmasked_chars"] = row["unmasked"]
     out["max_rendered_len"] = row["max_rendered"]
 
+    # echo_rate / preference_pairs / response_markers: one conv_id
+    # exchange each (+ the template agg for pairs); aggregated
+    # engine-side.
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        echo_rate,
+        preference_pairs,
+        response_markers,
+    )
+
+    t0 = time.time()
+    er = echo_rate(turns, context_turns=8)
+    row = er.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("echo_rate").alias("avg_echo"),
+        F.sum((F.col("echo_rate") > 0.8).cast("long")).alias("high"),
+    ).collect()[0]
+    out["echo_rate_sec"] = round(time.time() - t0, 1)
+    out["echo_avg"] = round(row["avg_echo"] or 0.0, 4)
+    out["echo_high_share"] = round(row["high"] / max(row["n"], 1), 4)
+
+    t0 = time.time()
+    pp = preference_pairs(turns)
+    row = pp.agg(
+        F.count(F.lit(1)).alias("groups"),
+        F.sum("n_candidates").alias("cands"),
+        F.avg("score_gap").alias("gap"),
+    ).collect()[0]
+    out["preference_pairs_sec"] = round(time.time() - t0, 1)
+    out["preference_groups"] = row["groups"]
+    out["preference_candidates"] = row["cands"]
+    out["preference_avg_gap"] = round(row["gap"] or 0.0, 2)
+
+    t0 = time.time()
+    rm = response_markers(turns)
+    row = rm.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_matched").alias("matched"),
+    ).collect()[0]
+    out["response_markers_sec"] = round(time.time() - t0, 1)
+    out["marker_matched_turns"] = row["matched"]
+
     sampler.stop()
     out["jvm_peak_rss_gb"] = round(sampler.peak_kb / 1024 / 1024, 2)
     try:
