@@ -2296,6 +2296,34 @@ def q_response_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return response_markers(_transcripts(spark, sf_dir))
 
 
+def q_markers_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming marker audit: two ts-range micro-batches each write a
+    (role, marker) counter partial; both counters are plain sums so the
+    merged state is bit-identical to the batch audit — hashes against
+    the SAME DuckDB oracle as the batch response_markers."""
+    import tempfile
+    from pathlib import Path
+
+    from otlp_cardinality_checker_spark.streaming.stream import (
+        current_markers,
+        markers_stream,
+    )
+
+    turns = _transcripts(spark, sf_dir)
+    cutoff = turns.agg(
+        F.expr("percentile_approx(ts, 0.5)").alias("c")
+    ).collect()[0]["c"]
+    tmp = Path(tempfile.mkdtemp(prefix="markstream_"))
+    src = tmp / "src"
+    _write_microbatch_sources(
+        src,
+        [turns.where(F.col("ts") < F.lit(cutoff)),
+         turns.where(F.col("ts") >= F.lit(cutoff))],
+    )
+    markers_stream(spark, str(src), str(tmp / "out"), str(tmp / "ckpt"))
+    return current_markers(spark, str(tmp / "out"))
+
+
 def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DPO preference-pair builder: assistant responses grouped by the
     masked template of their preceding user turn; chosen/rejected by the
@@ -2525,6 +2553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_pairs": q_preference_pairs,
         "vocab_stats": q_vocab_stats,
         "response_markers": q_response_markers,
+        "markers_stream": q_markers_stream,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -5293,6 +5322,9 @@ JOIN events p
  AND p.ts >= c.ts
  AND p.ts <= c.ts + INTERVAL 30 MINUTE
 """
+    # the streamed marker audit merges to a state BIT-IDENTICAL to the
+    # batch audit, so it hashes against the same oracle
+    oracles["markers_stream"] = oracles["response_markers"]
     return oracles
 
 

@@ -1142,3 +1142,79 @@ def current_cardinality(
     return exact.join(est, key_col).select(
         key_col, "n_rows", "exact_cardinality", "est_cardinality"
     )
+
+
+def markers_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    markers: tuple[str, ...] | None = None,
+    max_files_per_trigger: int = 1,
+) -> int:
+    """Streaming refusal/failure marker audit: each micro-batch writes
+    its (role, marker, n_matched, role_turns) partial table
+    (operators/conversation.response_markers without the share column —
+    counts only), partitioned by batch_id with dynamic overwrite for
+    replay safety. Both counters are plain sums, so the merged streaming
+    state is BIT-IDENTICAL to the batch audit and the final shares
+    hash-match the batch DuckDB oracle — the same partial→merge contract
+    as quantile_stream / cms_stream.
+
+    Scale shape: state grows by <= #roles x #markers rows per batch
+    (dozens); raw turn text never enters state. Returns the number of
+    micro-batches executed.
+    """
+    from ..operators.conversation import DEFAULT_MARKERS, response_markers
+
+    ms = markers if markers is not None else DEFAULT_MARKERS
+    partials_dir = Path(out_dir) / "marker_partials"
+    executed = {"n": 0}
+
+    def on_batch(df: DataFrame, batch_id: int) -> None:
+        (
+            response_markers(df, markers=ms)
+            .select("role", "marker", "n_matched", "role_turns")
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(str(partials_dir))
+        )
+        executed["n"] += 1
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return executed["n"]
+
+
+def current_markers(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merge all streamed marker partials (sum of both counters) and
+    recompute shares — bit-identical to the batch response_markers."""
+    merged = (
+        spark.read.parquet(str(Path(out_dir) / "marker_partials"))
+        .groupBy("role", "marker")
+        .agg(
+            F.sum("n_matched").alias("n_matched"),
+            F.sum("role_turns").alias("role_turns"),
+        )
+    )
+    return merged.select(
+        "role",
+        "marker",
+        "n_matched",
+        "role_turns",
+        F.round(F.col("n_matched") / F.col("role_turns"), 6).alias(
+            "share"
+        ),
+    )

@@ -427,3 +427,50 @@ def test_card_stream_equals_batch_and_replay_safe(spark, tmp_path):
         for r in current_cardinality(spark, str(tmp_path / "out")).collect()
     )
     assert replayed == batch
+
+
+def test_markers_stream_equals_batch_and_replay_safe(spark, tmp_path):
+    """Streamed marker audit == batch response_markers exactly (both
+    counters are plain sums, split-invariant); checkpoint-wiped replay
+    overwrites its batch partitions instead of double counting."""
+    import shutil
+
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        response_markers,
+    )
+    from otlp_cardinality_checker_spark.streaming.stream import (
+        current_markers,
+        markers_stream,
+    )
+
+    turns = spark.read.parquet(
+        "/root/repo/.data/v7_n5000/transcripts.parquet"
+    )
+    pdf = turns.toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    n = len(pdf)
+    pdf.iloc[: n // 2].to_parquet(src / "part0.parquet", index=False)
+    pdf.iloc[n // 2 :].to_parquet(src / "part1.parquet", index=False)
+
+    n_batches = markers_stream(
+        spark, str(src), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    assert n_batches >= 2
+    streamed = sorted(
+        tuple(r)
+        for r in current_markers(spark, str(tmp_path / "out")).collect()
+    )
+    batch = sorted(tuple(r) for r in response_markers(turns).collect())
+    assert streamed == batch
+
+    shutil.rmtree(tmp_path / "ckpt")
+    markers_stream(
+        spark, str(src), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    replayed = sorted(
+        tuple(r)
+        for r in current_markers(spark, str(tmp_path / "out")).collect()
+    )
+    assert replayed == batch
