@@ -2277,6 +2277,36 @@ def q_loss_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loss_mask_spans(_transcripts(spark, sf_dir))
 
 
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit of the customer table: same QI set as
+    k_anonymity, sensitive attribute = market segment re-identified
+    through (nation, balance bucket) classes; (k, l) histogram with
+    at-risk (l < 2) homogeneity classification."""
+    from otlp_cardinality_checker_spark.operators.pii import l_diversity
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0))
+        .cast("long")
+        .alias("bal_k"),
+        "c_mktsegment",
+    )
+    return l_diversity(
+        cust, ["c_nationkey", "bal_k"], "c_mktsegment", l_threshold=2
+    )
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Flesch-Kincaid readability from exact integer
+    word/sentence/vowel-group counts."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        readability_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return readability_stats(docs, by="source")
+
+
 def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source vocabulary growth: token/type mass, TTR, hapax share."""
     from otlp_cardinality_checker_spark.operators.text_analysis import (
@@ -2554,6 +2584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "response_markers": q_response_markers,
         "markers_stream": q_markers_stream,
+        "l_diversity": q_l_diversity,
+        "readability": q_readability,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -4551,6 +4583,48 @@ SELECT CAST(k AS BIGINT) AS k, CAST(n_classes AS BIGINT) AS n_classes,
        k < 5 AS at_risk,
        round(k * n_classes * 1.0 / n_total, 6) AS row_share
 FROM hist CROSS JOIN tot
+""",
+        "l_diversity": """
+WITH cls AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_k,
+         count(*) AS k,
+         count(DISTINCT c_mktsegment) AS l
+  FROM customer GROUP BY 1, 2
+),
+hist AS (SELECT k, l, count(*) AS n_classes FROM cls GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(k * n_classes) AS BIGINT) AS n_total FROM hist)
+SELECT CAST(k AS BIGINT) AS k, CAST(l AS BIGINT) AS l,
+       CAST(n_classes AS BIGINT) AS n_classes,
+       CAST(k * n_classes AS BIGINT) AS n_rows,
+       l < 2 AS at_risk,
+       round(k * n_classes * 1.0 / n_total, 6) AS row_share
+FROM hist CROSS JOIN tot
+""",
+        "readability": """
+WITH s AS (
+  SELECT source,
+    lower(trim(coalesce(text, ''))) AS low
+  FROM documents
+), c AS (
+  SELECT source,
+    CASE WHEN length(low) = 0 THEN 0
+         ELSE len(string_split_regex(low, '\\s+')) END AS words,
+    len(regexp_extract_all(low, '[.!?]+')) AS sentences,
+    len(regexp_extract_all(low, '[aeiouy]+')) AS syllables
+  FROM s
+), a AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(words) AS BIGINT) AS n_words,
+         CAST(sum(sentences) AS BIGINT) AS n_sentences,
+         CAST(sum(syllables) AS BIGINT) AS n_syllables
+  FROM c GROUP BY 1
+)
+SELECT source, n_docs, n_words, n_sentences, n_syllables,
+       round(0.39 * (n_words * 1.0 / greatest(n_sentences, 1))
+             + 11.8 * (n_syllables * 1.0 / greatest(n_words, 1))
+             - 15.59, 4) AS fk_grade
+FROM a
 """,
         "context_budget": f"""
 WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}')),

@@ -141,3 +141,52 @@ def k_anonymity(
             ).alias("row_share"),
         )
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    l_threshold: int = 2,
+) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure companion to
+    :func:`k_anonymity`: a QI equivalence class is l-diverse when it
+    contains at least ``l`` DISTINCT values of the sensitive attribute.
+    A class can be large (k-anonymous) yet still leak the sensitive
+    value outright when every member shares it — the homogeneity attack
+    k-anonymity cannot see.
+
+    Output grain mirrors k_anonymity: one row per distinct (class size
+    k, distinct-sensitive count l) pair with n_classes, n_rows,
+    at_risk (l < l_threshold) and row_share — bounded output no matter
+    how many QI combinations exist.
+
+    Scale shape: one hash-aggregation to the QI grain computing both
+    count(*) and count(distinct sensitive) — count_distinct triggers
+    Spark's standard two-phase expand (QI+value grain partials then the
+    QI fold), both map-side combined; then a tiny histogram agg over
+    (k, l) pairs and a broadcast 1-row total. Hot QI combinations cost
+    one counter set each.
+    """
+    if not qi_cols:
+        raise ValueError("qi_cols must name at least one column")
+    if l_threshold < 1:
+        raise ValueError(f"l_threshold must be >= 1, got {l_threshold}")
+    classes = df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.count_distinct(F.col(sensitive_col)).alias("l"),
+    )
+    hist = classes.groupBy("k", "l").agg(
+        F.count(F.lit(1)).alias("n_classes")
+    )
+    tot = hist.agg(F.sum(F.col("k") * F.col("n_classes")).alias("n_total"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "l",
+        "n_classes",
+        (F.col("k") * F.col("n_classes")).alias("n_rows"),
+        (F.col("l") < F.lit(l_threshold)).alias("at_risk"),
+        F.round(
+            F.col("k") * F.col("n_classes") / F.col("n_total"), 6
+        ).alias("row_share"),
+    )

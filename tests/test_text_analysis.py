@@ -260,3 +260,31 @@ def test_vocab_stats_hapax_and_ttr(spark):
     s2 = got["s2"]
     assert (s2["n_tokens"], s2["n_types"], s2["n_hapax"]) == (2, 2, 2)
     assert s2["hapax_share"] == 1.0
+
+
+def test_readability_counts_and_grade(spark):
+    """Word/sentence/vowel-group counts are exact on crafted text and
+    the FK grade matches the closed form; zero-sentence groups guard."""
+    rows = [
+        (0, "the cat sat. the dog ran!", "s1"),  # 6 words, 2 sent
+        (1, "no sentence marker here", "s2"),    # 4 words, 0 sent
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        readability_stats,
+    )
+
+    got = {r["source"]: r for r in readability_stats(docs).collect()}
+    s1 = got["s1"]
+    # vowel groups: the(1) cat(1) sat(1) the(1) dog(1) ran(1) = 6
+    assert (s1["n_words"], s1["n_sentences"], s1["n_syllables"]) == (6, 2, 6)
+    want = round(0.39 * (6 / 2) + 11.8 * (6 / 6) - 15.59, 4)
+    assert abs(s1["fk_grade"] - want) < 1e-9
+    s2 = got["s2"]
+    assert s2["n_sentences"] == 0
+    # guard: sentences -> greatest(1)
+    # vowel groups: no(1) sentence(3: e,e,e) marker(2: a,e) here(2: e,e) = 8
+    assert s2["n_syllables"] == 8
+    want2 = round(0.39 * (4 / 1) + 11.8 * (8 / 4) - 15.59, 4)
+    assert abs(s2["fk_grade"] - want2) < 1e-9

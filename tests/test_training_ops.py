@@ -1237,3 +1237,28 @@ def test_length_buckets_padding_accounting(spark):
     assert abs(got[32]["waste_share"] - (22 + 32) / 64) < 1e-9
     with _pytest.raises(ValueError):
         length_buckets(docs, boundaries=())
+
+
+def test_l_diversity_homogeneity_detection(spark):
+    """A large-but-homogeneous class is at risk (l=1) while a small
+    diverse class is not; counts are (k, l)-histogram exact."""
+    import pytest as _pytest
+
+    from otlp_cardinality_checker_spark.operators.pii import l_diversity
+
+    rows = (
+        [(1, "qa", "cancer")] * 5          # k=5, l=1 -> homogeneous, at risk
+        + [(2, "qb", "flu"), (2, "qb", "cold")]  # k=2, l=2 -> fine
+        + [(3, "qc", "flu")]               # k=1, l=1 -> at risk
+    )
+    df = spark.createDataFrame(rows, "qi1 long, qi2 string, dx string")
+    got = {(r["k"], r["l"]): r for r in l_diversity(df, ["qi1", "qi2"], "dx").collect()}
+    assert set(got) == {(5, 1), (2, 2), (1, 1)}
+    assert got[(5, 1)]["at_risk"] and got[(1, 1)]["at_risk"]
+    assert not got[(2, 2)]["at_risk"]
+    assert got[(5, 1)]["n_rows"] == 5
+    assert abs(got[(2, 2)]["row_share"] - 0.25) < 1e-9
+    with _pytest.raises(ValueError):
+        l_diversity(df, [], "dx")
+    with _pytest.raises(ValueError):
+        l_diversity(df, ["qi1"], "dx", l_threshold=0)
