@@ -2277,6 +2277,16 @@ def q_loss_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loss_mask_spans(_transcripts(spark, sf_dir))
 
 
+def q_conv_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-outcome rollup: last-turn severity per conversation
+    with depth/tool/first-error enrichments."""
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        conv_outcomes,
+    )
+
+    return conv_outcomes(_routed(spark, sf_dir))
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """l-diversity audit of the customer table: same QI set as
     k_anonymity, sensitive attribute = market segment re-identified
@@ -2586,6 +2596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markers_stream": q_markers_stream,
         "l_diversity": q_l_diversity,
         "readability": q_readability,
+        "conv_outcomes": q_conv_outcomes,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -5399,6 +5410,29 @@ JOIN events p
     # the streamed marker audit merges to a state BIT-IDENTICAL to the
     # batch audit, so it hashes against the same oracle
     oracles["markers_stream"] = oracles["response_markers"]
+    oracles["conv_outcomes"] = (
+        pre
+        + """
+, pc AS (
+  SELECT conv_id,
+    arg_max(severity, turn_idx) AS outcome,
+    count(*) AS turns,
+    sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS tools,
+    min(CASE WHEN severity = 'ERROR' THEN turn_idx END) AS first_err
+  FROM routed GROUP BY 1
+), a AS (
+  SELECT outcome, count(*) AS n_convs,
+    round(avg(turns), 4) AS avg_turns,
+    round(avg(tools), 4) AS avg_tool_calls,
+    round(avg(first_err), 4) AS avg_first_error_turn
+  FROM pc GROUP BY 1
+), t AS (SELECT CAST(sum(n_convs) AS BIGINT) AS tot FROM a)
+SELECT outcome, CAST(n_convs AS BIGINT) AS n_convs,
+       round(n_convs * 1.0 / tot, 6) AS conv_share,
+       avg_turns, avg_tool_calls, avg_first_error_turn
+FROM a CROSS JOIN t
+"""
+    )
     return oracles
 
 

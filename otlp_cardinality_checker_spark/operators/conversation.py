@@ -874,3 +874,45 @@ def response_markers(
             "share"
         ),
     )
+
+
+def conv_outcomes(routed: DataFrame) -> DataFrame:
+    """Conversation-outcome rollup: each conversation's outcome is the
+    severity of its LAST turn (the state the conversation ended in — the
+    triage view an agent-ops dashboard leads with), enriched with how
+    deep conversations of each outcome run, how many tool calls they
+    made, and how early the first ERROR appeared (NULL when none did).
+
+    Input is the routed/enriched frame (needs ``conv_id, turn_idx,
+    severity, tool``). Output grain: one row per outcome —
+    ``(outcome, n_convs, conv_share, avg_turns, avg_tool_calls,
+    avg_first_error_turn)``.
+
+    Scale shape: ONE map-side-combined hash-agg to the conversation
+    grain (max_by picks the last turn's severity; conditional min finds
+    the first error — all combinable, no window), then a tiny
+    per-outcome agg + broadcast 1-row total for the share.
+    """
+    per_conv = routed.groupBy("conv_id").agg(
+        F.max_by("severity", "turn_idx").alias("outcome"),
+        F.count(F.lit(1)).alias("_turns"),
+        F.sum(F.col("tool").isNotNull().cast("long")).alias("_tools"),
+        F.min(
+            F.when(F.col("severity") == "ERROR", F.col("turn_idx"))
+        ).alias("_first_err"),
+    )
+    agg = per_conv.groupBy("outcome").agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.round(F.avg("_turns"), 4).alias("avg_turns"),
+        F.round(F.avg("_tools"), 4).alias("avg_tool_calls"),
+        F.round(F.avg("_first_err"), 4).alias("avg_first_error_turn"),
+    )
+    total = F.broadcast(agg.agg(F.sum("n_convs").alias("_t")))
+    return agg.crossJoin(total).select(
+        "outcome",
+        "n_convs",
+        F.round(F.col("n_convs") / F.col("_t"), 6).alias("conv_share"),
+        "avg_turns",
+        "avg_tool_calls",
+        "avg_first_error_turn",
+    )

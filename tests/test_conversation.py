@@ -622,3 +622,32 @@ def test_response_markers_counts_and_zero_rows(spark):
     assert abs(got[("assistant", "error")]["share"] - 0.5) < 1e-9
     with _pytest.raises(ValueError):
         response_markers(df, markers=())
+
+
+def test_conv_outcomes_last_turn_semantics(spark):
+    """Outcome = LAST turn's severity (not worst); first_error is the
+    earliest ERROR turn or NULL; shares sum to 1 over conversations."""
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        conv_outcomes,
+    )
+
+    rows = [
+        # recovers: ERROR mid-conv but ends INFO
+        ("r", 0, "INFO", None), ("r", 1, "ERROR", "grep"), ("r", 2, "INFO", None),
+        # fails: ends ERROR
+        ("f", 0, "INFO", "ls"), ("f", 1, "ERROR", None),
+        # clean
+        ("c", 0, "INFO", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, severity string, tool string"
+    )
+    got = {r["outcome"]: r for r in conv_outcomes(df).collect()}
+    assert got["INFO"]["n_convs"] == 2  # r recovered + c clean
+    assert got["ERROR"]["n_convs"] == 1
+    assert abs(got["INFO"]["conv_share"] - round(2 / 3, 6)) < 1e-9
+    # r's first error at turn 1; c has none -> avg over INFO convs = 1.0
+    assert got["INFO"]["avg_first_error_turn"] == 1.0
+    assert got["ERROR"]["avg_first_error_turn"] == 1.0
+    assert got["INFO"]["avg_turns"] == 2.0  # (3 + 1) / 2
+    assert got["ERROR"]["avg_tool_calls"] == 1.0
