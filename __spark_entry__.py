@@ -2277,6 +2277,18 @@ def q_loss_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loss_mask_spans(_transcripts(spark, sf_dir))
 
 
+def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-group duplicate-leakage matrix over canonical turn-text
+    fingerprints, grouped by ROLE (the documents fixture has no exact
+    cross-source duplicates — the honest zero — while boilerplate turns
+    genuinely recur across roles): (source_a, source_b, n_shared)."""
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        dup_source_matrix,
+    )
+
+    return dup_source_matrix(_transcripts(spark, sf_dir), by="role")
+
+
 def q_conv_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-outcome rollup: last-turn severity per conversation
     with depth/tool/first-error enrichments."""
@@ -2597,6 +2609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "readability": q_readability,
         "conv_outcomes": q_conv_outcomes,
+        "dup_source_matrix": q_dup_source_matrix,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -4594,6 +4607,19 @@ SELECT CAST(k AS BIGINT) AS k, CAST(n_classes AS BIGINT) AS n_classes,
        k < 5 AS at_risk,
        round(k * n_classes * 1.0 / n_total, 6) AS row_share
 FROM hist CROSS JOIN tot
+""",
+        "dup_source_matrix": f"""
+WITH grain AS (
+  SELECT DISTINCT
+    md5(lower(regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g')))
+      AS fp,
+    role AS src
+  FROM read_parquet('{_transcripts_path()}')
+)
+SELECT a.src AS source_a, b.src AS source_b,
+       count(*) AS n_shared
+FROM grain a JOIN grain b ON a.fp = b.fp AND a.src < b.src
+GROUP BY 1, 2
 """,
         "l_diversity": """
 WITH cls AS (

@@ -819,3 +819,42 @@ def ngram_novelty(
         n_novel.cast("long").alias("n_novel"),
         F.round(n_novel / F.col("n_shingles"), 6).alias("novelty_rate"),
     )
+
+
+def dup_source_matrix(
+    docs: DataFrame, by: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Cross-source duplicate-leakage matrix: for every unordered source
+    pair, how many distinct canonical fingerprints (md5 of
+    whitespace-collapsed lowercase — the fingerprint_store canon) occur
+    in BOTH sources. The inter-source view of exact dedup: a heavy cell
+    means one source is mirroring another's content, which inflates that
+    content's effective epoch count under any per-source mixing plan.
+
+    Output grain: one row per source pair with >= 1 shared fingerprint —
+    ``(source_a, source_b, n_shared)`` with source_a < source_b.
+
+    Scale shape: one hash-agg to the DISTINCT (fingerprint, source)
+    grain (the only full-data exchange — map-side combined, raw text
+    never shuffles, only 32-char digests); the pair join then runs on
+    that digest-grain frame against itself with ``a.src < b.src`` — each
+    fingerprint contributes at most (#sources choose 2) pairs, so the
+    join output is bounded by #fingerprints x #source-pairs, linear for
+    a bounded source dimension.
+    """
+    canon = F.lower(
+        F.regexp_replace(
+            F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+        )
+    )
+    grain = docs.select(
+        F.md5(canon).alias("_fp"), F.col(by).alias("_src")
+    ).distinct()
+    a = grain.select(F.col("_fp"), F.col("_src").alias("source_a"))
+    b = grain.select(F.col("_fp"), F.col("_src").alias("source_b"))
+    return (
+        a.join(b, "_fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

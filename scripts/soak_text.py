@@ -160,6 +160,48 @@ def main() -> None:
     out["data_budget_kept_tokens"] = sum(r["kept_tokens"] for r in db)
     out["data_budget_target"] = budget
 
+    # vocab_stats: the (group, token) hash-agg is the full-data exchange;
+    # the boilerplate-heavy corpus is the low-TTR adversary it detects.
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        readability_stats,
+        vocab_stats,
+    )
+
+    t0 = time.time()
+    vs = vocab_stats(docs, by="source").collect()
+    out["vocab_sec"] = round(time.time() - t0, 1)
+    out["vocab_types"] = sum(r["n_types"] for r in vs)
+    out["vocab_min_ttr"] = min(r["type_token_ratio"] for r in vs)
+
+    t0 = time.time()
+    rd = readability_stats(docs, by="source").collect()
+    out["readability_sec"] = round(time.time() - t0, 1)
+    out["fk_grades"] = sorted(round(r["fk_grade"], 1) for r in rd)[:3]
+
+    # curriculum_stages: one full-data exchange to the score grain (the
+    # localCheckpointed frame), docs broadcast-join the stage map.
+    from otlp_cardinality_checker_spark.operators.curriculum import (
+        curriculum_stages,
+        length_buckets,
+    )
+
+    t0 = time.time()
+    cs = (
+        curriculum_stages(docs, n_stages=4)
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    out["curriculum_sec"] = round(time.time() - t0, 1)
+    out["curriculum_stage_sizes"] = {
+        int(r["stage"]): r["n"] for r in cs
+    }
+
+    t0 = time.time()
+    lb = length_buckets(docs, boundaries=(16, 32, 64, 128)).collect()
+    out["length_buckets_sec"] = round(time.time() - t0, 1)
+    out["pad_waste_total"] = sum(r["pad_tokens"] for r in lb)
+
     sampler.stop()
     out["jvm_peak_rss_gb"] = round(sampler.peak_kb / 1024 / 1024, 2)
     try:

@@ -667,3 +667,27 @@ def test_ngram_novelty_crafted(spark):
     # doc 5: 10 distinct 3-grams, only the 2 seam grams unseen
     assert got[5]["n_shingles"] == 10 and got[5]["n_novel"] == 2
     assert 0 < got[5]["novelty_rate"] < 0.5
+
+
+def test_dup_source_matrix_canon_and_pairs(spark):
+    """Canonical fingerprints (case/whitespace-collapsed) count once per
+    source pair regardless of copy multiplicity; unordered pairs emit
+    once with source_a < source_b; no-overlap pairs are absent."""
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        dup_source_matrix,
+    )
+
+    rows = [
+        (0, "Hello   World", "s1"),
+        (1, "hello world", "s2"),     # canon-dup of 0 across s1/s2
+        (2, "hello world", "s2"),     # extra copy must NOT double count
+        (3, "shared thing", "s1"),
+        (4, "SHARED  THING", "s3"),   # s1/s3
+        (5, "only here", "s3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in dup_source_matrix(docs).collect()
+    }
+    assert got == {("s1", "s2"): 1, ("s1", "s3"): 1}
