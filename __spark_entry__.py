@@ -2277,6 +2277,17 @@ def q_loss_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loss_mask_spans(_transcripts(spark, sf_dir))
 
 
+def q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-health audit: per-vector dim / L2 norm / degenerate
+    flags — pure scan projection, zero exchanges."""
+    from otlp_cardinality_checker_spark.operators.similarity import (
+        embedding_health,
+    )
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_health(vecs)
+
+
 def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-group duplicate-leakage matrix over canonical turn-text
     fingerprints, grouped by ROLE (the documents fixture has no exact
@@ -2610,6 +2621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "conv_outcomes": q_conv_outcomes,
         "dup_source_matrix": q_dup_source_matrix,
+        "embedding_health": q_embedding_health,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -4607,6 +4619,17 @@ SELECT CAST(k AS BIGINT) AS k, CAST(n_classes AS BIGINT) AS n_classes,
        k < 5 AS at_risk,
        round(k * n_classes * 1.0 / n_total, 6) AS row_share
 FROM hist CROSS JOIN tot
+""",
+        "embedding_health": """
+SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+       round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))), 6)
+         AS l2_norm,
+       round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))), 6) = 0.0
+         AS is_zero,
+       len(list_filter(embedding, x -> isnan(x))) > 0 AS has_nan
+FROM embeddings
 """,
         "dup_source_matrix": f"""
 WITH grain AS (

@@ -617,3 +617,28 @@ def label_outliers(emb: DataFrame, k: int = 3) -> DataFrame:
         salt_col="vec_id",
         keep_rank=True,
     )
+
+
+def embedding_health(
+    vecs: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Embedding-health audit: per vector, the dimension, L2 norm, and
+    degenerate-vector flags (zero norm, NaN components) — the sanity
+    scan that runs before any ANN index build, because one NaN vector
+    silently poisons every cosine it touches and zero vectors divide by
+    zero in normalization.
+
+    All expressions are row-local (the same fold order as the package's
+    cosine kernel, rounded at 6 like every similarity output), so the
+    result is hash-exact cross-engine and trivially parallel: a pure
+    scan projection, NO exchange at all.
+    """
+    e = F.col(vec_col)
+    norm = F.round(_norm(F.transform(e, lambda x: x.cast("double"))), 6)
+    return vecs.select(
+        id_col,
+        F.size(e).alias("dim"),
+        norm.alias("l2_norm"),
+        (norm == 0.0).alias("is_zero"),
+        F.exists(e, lambda x: F.isnan(x)).alias("has_nan"),
+    )

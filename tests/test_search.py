@@ -81,3 +81,26 @@ def test_bm25_index_parquet_roundtrip(spark, tmp_path):
     a = sorted(map(tuple, via_index.collect()))
     b = sorted(map(tuple, one_shot.collect()))
     assert a == b and len(a) > 0
+
+
+def test_embedding_health_degenerate_flags(spark):
+    """Zero vectors and NaN components are flagged; norms match the
+    closed form at 6 dp; dim is per-row exact."""
+    import math
+
+    from otlp_cardinality_checker_spark.operators.similarity import (
+        embedding_health,
+    )
+
+    rows = [
+        (0, [3.0, 4.0]),                  # norm 5
+        (1, [0.0, 0.0]),                  # zero
+        (2, [1.0, float("nan")]),         # NaN
+        (3, [1.0, 2.0, 2.0]),             # dim 3, norm 3
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in embedding_health(vecs).collect()}
+    assert got[0]["l2_norm"] == 5.0 and not got[0]["is_zero"]
+    assert got[1]["is_zero"] and not got[1]["has_nan"]
+    assert got[2]["has_nan"] and math.isnan(got[2]["l2_norm"])
+    assert got[3]["dim"] == 3 and got[3]["l2_norm"] == 3.0
