@@ -2277,6 +2277,16 @@ def q_loss_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loss_mask_spans(_transcripts(spark, sf_dir))
 
 
+def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square language-mix drift per source vs the corpus."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        chi2_drift,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chi2_drift(docs, cat="lang", by="source")
+
+
 def q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-health audit: per-vector dim / L2 norm / degenerate
     flags — pure scan projection, zero exchanges."""
@@ -2622,6 +2632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_outcomes": q_conv_outcomes,
         "dup_source_matrix": q_dup_source_matrix,
         "embedding_health": q_embedding_health,
+        "chi2_drift": q_chi2_drift,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -4619,6 +4630,25 @@ SELECT CAST(k AS BIGINT) AS k, CAST(n_classes AS BIGINT) AS n_classes,
        k < 5 AS at_risk,
        round(k * n_classes * 1.0 / n_total, 6) AS row_share
 FROM hist CROSS JOIN tot
+""",
+        "chi2_drift": """
+WITH gb AS (
+  SELECT source AS grp, lang AS cat, count(*) AS c
+  FROM documents GROUP BY 1, 2
+), corpus AS (SELECT cat, sum(c) AS cc FROM gb GROUP BY 1),
+gtot AS (SELECT grp, sum(c) AS n_docs FROM gb GROUP BY 1),
+tot AS (SELECT sum(cc) AS n_total, count(*) AS n_cats FROM corpus),
+dom AS (SELECT * FROM gtot CROSS JOIN corpus CROSS JOIN tot),
+j AS (
+  SELECT d.grp, d.n_docs, d.n_cats,
+         CAST(coalesce(g.c, 0) AS DOUBLE) AS obs,
+         CAST(d.n_docs AS DOUBLE) * d.cc / d.n_total AS exp
+  FROM dom d LEFT JOIN gb g ON d.grp = g.grp AND d.cat = g.cat
+)
+SELECT grp AS source, CAST(max(n_docs) AS BIGINT) AS n_docs,
+       CAST(max(n_cats) AS BIGINT) AS n_cats,
+       round(sum((obs - exp) * (obs - exp) / exp), 4) AS chi2
+FROM j GROUP BY 1
 """,
         "embedding_health": """
 SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,

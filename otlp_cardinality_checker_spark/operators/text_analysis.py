@@ -864,3 +864,63 @@ def readability_stats(docs: DataFrame, by: str = "source") -> DataFrame:
             4,
         ).alias("fk_grade"),
     )
+
+
+def chi2_drift(
+    docs: DataFrame, cat: str = "lang", by: str = "source"
+) -> DataFrame:
+    """Chi-square drift of a CATEGORICAL column per group against the
+    corpus — the categorical companion to :func:`psi_drift` (PSI watches
+    a numeric feature's shape; this watches a label distribution, e.g.
+    language mix per source). chi2 = sum over categories of
+    (observed - expected)^2 / expected with expected = group_total x
+    corpus_share; zero-observation cells contribute their full expected
+    mass via domain completion, and expected is always > 0 because every
+    corpus category has mass by construction.
+
+    Output grain: one row per group — ``(by, n_docs, n_cats, chi2)``
+    (compare chi2 against the critical value at n_cats - 1 dof).
+
+    Scale shape: identical to psi_drift — ONE map-side-combined agg from
+    the raw scan to the (group, category) grain; corpus/group/grand
+    totals all derive from that tiny frame; the domain completion is a
+    broadcast cross join of two bounded dims.
+    """
+    gb = (
+        docs.select(F.col(by).alias("grp"), F.col(cat).alias("cat"))
+        .groupBy("grp", "cat")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    corpus = gb.groupBy("cat").agg(F.sum("c").alias("cc"))
+    gtot = gb.groupBy("grp").agg(F.sum("c").alias("n_docs"))
+    tot = corpus.agg(
+        F.sum("cc").alias("n_total"), F.count(F.lit(1)).alias("n_cats")
+    )
+    dom = gtot.crossJoin(F.broadcast(corpus)).crossJoin(F.broadcast(tot))
+    j = dom.join(gb, ["grp", "cat"], "left").select(
+        "grp",
+        "n_docs",
+        "n_cats",
+        F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("obs"),
+        (
+            F.col("n_docs").cast("double")
+            * F.col("cc")
+            / F.col("n_total")
+        ).alias("exp"),
+    )
+    return (
+        j.groupBy("grp")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("n_cats").alias("n_cats"),
+            F.round(
+                F.sum(
+                    (F.col("obs") - F.col("exp"))
+                    * (F.col("obs") - F.col("exp"))
+                    / F.col("exp")
+                ),
+                4,
+            ).alias("chi2"),
+        )
+        .withColumnRenamed("grp", by)
+    )

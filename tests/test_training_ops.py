@@ -1262,3 +1262,29 @@ def test_l_diversity_homogeneity_detection(spark):
         l_diversity(df, [], "dx")
     with _pytest.raises(ValueError):
         l_diversity(df, ["qi1"], "dx", l_threshold=0)
+
+
+def test_chi2_drift_closed_form(spark):
+    """Identical distributions give chi2 = 0; a fully skewed group
+    matches the hand-computed statistic incl. zero-observation cells."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        chi2_drift,
+    )
+
+    # corpus: 8 en + 8 fr. balanced = 4/4; skewed = 4 en only.
+    rows = (
+        [(i, "t", "en", "balanced") for i in range(4)]
+        + [(10 + i, "t", "fr", "balanced") for i in range(4)]
+        + [(20 + i, "t", "en", "skewed") for i in range(4)]
+        + [(30 + i, "t", "fr", "other") for i in range(4)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {r["source"]: r for r in chi2_drift(docs).collect()}
+    assert got["balanced"]["chi2"] == 0.0  # exactly the corpus mix
+    # skewed: n=4, corpus shares en 8/16, fr 8/16 -> exp 2/2, obs 4/0
+    # chi2 = (4-2)^2/2 + (0-2)^2/2 = 4.0
+    assert got["skewed"]["chi2"] == 4.0
+    assert got["other"]["chi2"] == 4.0
+    assert got["skewed"]["n_cats"] == 2
