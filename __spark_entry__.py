@@ -2277,6 +2277,17 @@ def q_loss_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loss_mask_spans(_transcripts(spark, sf_dir))
 
 
+def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executable epoch schedule under a 60k-token temperature budget:
+    one row per (doc, epoch) read, full epochs + md5-threshold tail."""
+    from otlp_cardinality_checker_spark.operators.sampling import (
+        epoch_plan,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return epoch_plan(docs, budget_tokens=60000, alpha=0.7)
+
+
 def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square language-mix drift per source vs the corpus."""
     from otlp_cardinality_checker_spark.operators.text_analysis import (
@@ -2633,6 +2644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_source_matrix": q_dup_source_matrix,
         "embedding_health": q_embedding_health,
         "chi2_drift": q_chi2_drift,
+        "epoch_plan": q_epoch_plan,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -4630,6 +4642,39 @@ SELECT CAST(k AS BIGINT) AS k, CAST(n_classes AS BIGINT) AS n_classes,
        k < 5 AS at_risk,
        round(k * n_classes * 1.0 / n_total, 6) AS row_share
 FROM hist CROSS JOIN tot
+""",
+        "epoch_plan": """
+WITH per AS (
+  SELECT source,
+         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(pow(n_tokens, 0.7)) AS ta FROM per),
+plan AS (
+  SELECT source, n_tokens, round(pow(n_tokens, 0.7) / ta, 6) AS share
+  FROM per CROSS JOIN tot
+),
+plan2 AS (
+  SELECT source,
+    least(CAST(floor(60000.0 * share / n_tokens) AS BIGINT), 64)
+      AS nfull,
+    CAST(floor((60000.0 * share / n_tokens
+                - floor(60000.0 * share / n_tokens)) * 65536.0)
+         AS BIGINT) AS thr
+  FROM plan
+),
+x AS (
+  SELECT d.source, d.doc_id, p.nfull, p.thr, u.epoch
+  FROM documents d JOIN plan2 p USING (source),
+       unnest(generate_series(1, p.nfull + 1)) AS u(epoch)
+)
+SELECT source, doc_id, epoch,
+       md5(CAST(doc_id AS VARCHAR) || '@' || CAST(epoch AS VARCHAR))
+         AS order_key
+FROM x
+WHERE epoch <= nfull
+   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < printf('%04x', thr)
 """,
         "chi2_drift": """
 WITH gb AS (

@@ -334,3 +334,97 @@ def fixed_k_sample(
         salt_col=id_col,
         keep_rank=True,
     ).select(stratum_col, id_col, F.col("rank").cast("long").alias("rank"))
+
+
+def epoch_plan(
+    docs: DataFrame,
+    budget_tokens: int,
+    alpha: float = 0.7,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    max_epochs: int = 64,
+) -> DataFrame:
+    """The executable EPOCH schedule data_budget only plans: materialize
+    one row per (document, epoch) a loader should actually read under
+    the temperature-mixture token budget. A source with epochs = 2.3
+    repeats every doc for epochs 1-2 and keeps a deterministic 30%
+    subset for epoch 3; a source with epochs = 0.4 gets only the
+    tail epoch at rate 0.4 — which reproduces data_budget's downsample
+    membership EXACTLY, because the tail threshold is the same
+    floor(frac * 2^16) of the same IEEE chain (alpha_share quantized at
+    6 dp first, then identical-order double arithmetic — the
+    cross-engine contract data_budget already hash-verifies).
+
+    ``order_key`` is md5(doc @ epoch): sorting by it yields the
+    per-epoch-decorrelated shuffled read order. The tail-membership
+    digest is md5(doc_id) alone — each doc has exactly ONE tail epoch,
+    and the doc-only digest is what makes the epochs<1 case reproduce
+    data_budget's kept set identically (pinned by test).
+
+    Output grain: one row per scheduled read — ``(stratum, doc_id,
+    epoch, order_key)``.
+
+    Scale shape: source-grain aggs + broadcast plan join (document rows
+    never shuffle — the same shape as data_budget), then a
+    sequence-explode bounded by ceil(epochs) <= ``max_epochs`` (the
+    fan-out is the schedule itself, clamped so a misconfigured budget
+    cannot explode the output; the clamp is part of the contract and
+    mirrored by the oracle).
+    """
+    if budget_tokens <= 0:
+        raise ValueError(
+            f"budget_tokens must be positive, got {budget_tokens}"
+        )
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be positive, got {max_epochs}")
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    per = docs.groupBy(stratum_col).agg(F.sum(ntok).alias("n_tokens"))
+    tot = per.agg(F.sum(F.pow("n_tokens", F.lit(alpha))).alias("_ta"))
+    share = F.round(
+        F.pow("n_tokens", F.lit(alpha)) / F.col("_ta"), 6
+    )
+    alloc = F.lit(float(budget_tokens)) * F.col("_share")
+    epochs_raw = alloc / F.col("n_tokens")
+    plan = (
+        per.crossJoin(F.broadcast(tot))
+        .select(stratum_col, "n_tokens", share.alias("_share"))
+        .select(
+            stratum_col,
+            F.least(
+                F.floor(epochs_raw).cast("long"), F.lit(max_epochs)
+            ).alias("_full"),
+            F.floor(
+                (epochs_raw - F.floor(epochs_raw)) * F.lit(65536.0)
+            )
+            .cast("long")
+            .alias("_thr"),
+        )
+    )
+    joined = docs.select(id_col, stratum_col).join(
+        F.broadcast(plan), stratum_col
+    )
+    exploded = joined.select(
+        stratum_col,
+        id_col,
+        "_full",
+        "_thr",
+        F.explode_outer(
+            F.sequence(F.lit(1), F.col("_full") + F.lit(1))
+        ).alias("epoch"),
+    )
+    digest = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    keep = (F.col("epoch") <= F.col("_full")) | (
+        digest < F.format_string("%04x", F.col("_thr"))
+    )
+    return exploded.where(keep).select(
+        stratum_col,
+        id_col,
+        "epoch",
+        F.md5(
+            F.concat(
+                F.col(id_col).cast("string"),
+                F.lit("@"),
+                F.col("epoch").cast("string"),
+            )
+        ).alias("order_key"),
+    )

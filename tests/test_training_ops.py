@@ -1288,3 +1288,68 @@ def test_chi2_drift_closed_form(spark):
     assert got["skewed"]["chi2"] == 4.0
     assert got["other"]["chi2"] == 4.0
     assert got["skewed"]["n_cats"] == 2
+
+
+def test_epoch_plan_schedule_and_budget_coherence(spark):
+    """Full epochs repeat every doc; the tail epoch is an md5-threshold
+    subset replayable in Python; for an epochs<1 source the tail-epoch
+    membership is EXACTLY data_budget's kept set (same IEEE chain);
+    max_epochs clamps; bad args rejected."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from otlp_cardinality_checker_spark.operators.sampling import (
+        data_budget,
+        epoch_plan,
+    )
+
+    rows = [(i, " ".join(["w"] * 10), "big" if i < 30 else "small")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    out = epoch_plan(docs, budget_tokens=500, alpha=0.7).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    # epochs are contiguous from 1 per scheduled doc
+    for eps in by_doc.values():
+        assert sorted(eps) == list(range(1, len(eps) + 1))
+
+    # independent Python replay of the whole schedule
+    import math
+
+    per = {"big": 300, "small": 100}  # 30 docs x 10 tok, 10 x 10
+    ta = sum(v ** 0.7 for v in per.values())
+    for src, ntok in per.items():
+        share = round(ntok ** 0.7 / ta, 6)
+        er = 500.0 * share / ntok
+        nfull, thr = int(math.floor(er)), int((er - math.floor(er)) * 65536)
+        for doc_id, _t, s in rows:
+            if s != src:
+                continue
+            want = set(range(1, nfull + 1))
+            d = hashlib.md5(str(doc_id).encode()).hexdigest()[:4]
+            if d < format(thr, "04x"):
+                want.add(nfull + 1)
+            assert set(by_doc.get(doc_id, [])) == want, (doc_id, src)
+
+    # coherence: for a pure-downsample budget (epochs < 1 everywhere),
+    # scheduled docs == data_budget's kept membership per source
+    small_budget = 120
+    sched = {
+        r["doc_id"]
+        for r in epoch_plan(docs, budget_tokens=small_budget).collect()
+        if r["epoch"] == 1
+    }
+    db = data_budget(docs, budget_tokens=small_budget).collect()
+    kept_id_sum = sum(r["kept_id_sum"] for r in db)
+    assert sum(sched) == kept_id_sum  # same md5 chain, same membership
+
+    # clamp
+    clamped = epoch_plan(docs, budget_tokens=10_000_000, max_epochs=3)
+    assert clamped.agg({"epoch": "max"}).collect()[0][0] <= 4
+    with _pytest.raises(ValueError):
+        epoch_plan(docs, budget_tokens=0)
+    with _pytest.raises(ValueError):
+        epoch_plan(docs, budget_tokens=10, max_epochs=0)
