@@ -2277,6 +2277,15 @@ def q_loss_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loss_mask_spans(_transcripts(spark, sf_dir))
 
 
+def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: does user_id -> event_type hold on
+    events (it should NOT — the violation accounting is the point)."""
+    from otlp_cardinality_checker_spark.operators.quality import fd_audit
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return fd_audit(ev, ["user_id"], "event_type")
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -2645,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_health": q_embedding_health,
         "chi2_drift": q_chi2_drift,
         "epoch_plan": q_epoch_plan,
+        "fd_audit": q_fd_audit,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -4642,6 +4652,21 @@ SELECT CAST(k AS BIGINT) AS k, CAST(n_classes AS BIGINT) AS n_classes,
        k < 5 AS at_risk,
        round(k * n_classes * 1.0 / n_total, 6) AS row_share
 FROM hist CROSS JOIN tot
+""",
+        "fd_audit": """
+WITH k AS (
+  SELECT user_id, count(*) AS rows_, count(DISTINCT event_type) AS nrhs
+  FROM events GROUP BY 1
+)
+SELECT count(*) AS n_lhs,
+       CAST(sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       round(sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) * 1.0 / count(*),
+             6) AS violation_share,
+       CAST(sum(CASE WHEN nrhs > 1 THEN rows_ ELSE 0 END) AS BIGINT)
+         AS violating_rows,
+       CAST(max(nrhs) AS BIGINT) AS max_rhs_per_lhs
+FROM k
 """,
         "epoch_plan": """
 WITH per AS (

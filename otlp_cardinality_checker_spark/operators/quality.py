@@ -237,3 +237,40 @@ def audit_exit_code(audit: DataFrame) -> int:
     """CI-gate semantics mirroring the reference's report exit codes
     (`internal/report/generator.go:24-59`): 0 = all pass, 1 = any fail."""
     return int(audit.agg(F.min("passed")).first()[0] == 0)
+
+
+def fd_audit(
+    df: DataFrame, lhs: list[str], rhs: str
+) -> DataFrame:
+    """Functional-dependency audit (Metanome-style profiling): does
+    ``lhs -> rhs`` hold? Reports how many distinct LHS values exist, how
+    many map to MORE than one RHS value (the FD violations), the row
+    mass sitting under violating keys, and the worst fan-out. The
+    schema-inference companion to the constraint audit: run it before
+    declaring a lookup/enrich dimension, because a violated FD silently
+    turns a broadcast enrich into nondeterministic row picks.
+
+    Output grain: ONE row — ``(n_lhs, n_violating, violation_share,
+    violating_rows, max_rhs_per_lhs)``.
+
+    Scale shape: one hash-agg to the LHS grain computing count(*) and
+    count_distinct(rhs) (two-phase expand, map-side combined), then a
+    1-row fold over the key-grain frame. Hot LHS keys cost one counter
+    set each.
+    """
+    if not lhs:
+        raise ValueError("lhs must name at least one column")
+    keys = df.groupBy(*[F.col(c) for c in lhs]).agg(
+        F.count(F.lit(1)).alias("_rows"),
+        F.count_distinct(F.col(rhs)).alias("_nrhs"),
+    )
+    viol = (F.col("_nrhs") > 1).cast("long")
+    return keys.agg(
+        F.count(F.lit(1)).alias("n_lhs"),
+        F.sum(viol).alias("n_violating"),
+        F.round(F.sum(viol) / F.count(F.lit(1)), 6).alias(
+            "violation_share"
+        ),
+        F.sum(F.col("_rows") * viol).alias("violating_rows"),
+        F.max("_nrhs").alias("max_rhs_per_lhs"),
+    )

@@ -178,3 +178,29 @@ def test_audit_on_routed_pipeline(tiny_routed):
     )
     m = _metrics(audit)
     assert all(m[k]["passed"] == 1 for k in ("conv", "pk", "sinks"))
+
+
+def test_fd_audit_violation_accounting(spark):
+    """Violating keys, their row mass, and the worst fan-out are exact;
+    a holding FD reports zero violations; empty lhs rejected."""
+    import pytest as _pytest
+
+    from otlp_cardinality_checker_spark.operators.quality import fd_audit
+
+    rows = [
+        ("a", "x"), ("a", "x"),          # a -> x holds, 2 rows
+        ("b", "x"), ("b", "y"), ("b", "z"),  # b violates, fan-out 3
+        ("c", "y"),                      # holds
+    ]
+    df = spark.createDataFrame(rows, "k string, v string")
+    got = fd_audit(df, ["k"], "v").collect()[0]
+    assert got["n_lhs"] == 3
+    assert got["n_violating"] == 1
+    assert got["violating_rows"] == 3
+    assert got["max_rhs_per_lhs"] == 3
+    assert abs(got["violation_share"] - round(1 / 3, 6)) < 1e-9
+
+    holding = fd_audit(df.where("k <> 'b'"), ["k"], "v").collect()[0]
+    assert holding["n_violating"] == 0 and holding["max_rhs_per_lhs"] == 1
+    with _pytest.raises(ValueError):
+        fd_audit(df, [], "v")
