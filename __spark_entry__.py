@@ -2286,6 +2286,33 @@ def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fd_audit(ev, ["user_id"], "event_type")
 
 
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit perceptual average-hash from a REAL PNG decode, packed as
+    two 32-bit halves — oracle-checked bit-for-bit: the nearest-neighbor
+    8x8 sample grid and the integer mean comparison are recomputed by
+    the decoder-less DuckDB oracle from the gradient closed form.
+    sf_dir unused (deterministic fixtures, like the other media queries)."""
+    from otlp_cardinality_checker_spark.operators.multimodal import (
+        image_ahash,
+        synthetic_png_ahash_media,
+    )
+
+    return image_ahash(synthetic_png_ahash_media(spark, 48))
+
+
+def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-duplicates (aHash Hamming <= 3) via the
+    complete-by-pigeonhole 4x16-bit block join; the oracle recomputes
+    both signatures closed-form and verifies every pair O(n^2) — the
+    scalable block join must find EXACTLY the brute-force pair set."""
+    from otlp_cardinality_checker_spark.operators.multimodal import (
+        image_near_dups,
+        synthetic_png_ahash_media,
+    )
+
+    return image_near_dups(synthetic_png_ahash_media(spark, 48), 3)
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -2655,6 +2682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_drift": q_chi2_drift,
         "epoch_plan": q_epoch_plan,
         "fd_audit": q_fd_audit,
+        "image_ahash": q_image_ahash,
+        "image_near_dups": q_image_near_dups,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -4652,6 +4681,81 @@ SELECT CAST(k AS BIGINT) AS k, CAST(n_classes AS BIGINT) AS n_classes,
        k < 5 AS at_risk,
        round(k * n_classes * 1.0 / n_total, 6) AS row_share
 FROM hist CROSS JOIN tot
+""",
+        "image_ahash": """
+WITH imgs AS (
+  SELECT i,
+         printf('pah_%05d', i) AS media_id,
+         CASE WHEN i % 4 = 3 THEN i - 1 ELSE i END AS bi,
+         CASE WHEN i % 4 = 3 THEN 1 ELSE 0 END AS bump
+  FROM range(48) t(i)
+), par AS (
+  SELECT media_id,
+         8 + (bi*3)%17 AS w,
+         6 + (bi*5)%13 AS h,
+         1 + bi%7 AS a,
+         2 + bi%5 AS b,
+         ((bi*29)%256 + bump) % 256 AS c
+  FROM imgs
+), grid AS (
+  SELECT media_id, w, h,
+         CAST(gy*8 + gx AS BIGINT) AS bit,
+         (a * ((gx*w)//8) + b * ((gy*h)//8) + c) % 256 AS s
+  FROM par, unnest(range(8)) tg(gy), unnest(range(8)) tx(gx)
+), tot AS (
+  SELECT media_id, sum(s) AS total FROM grid GROUP BY 1
+), bits AS (
+  SELECT g.media_id, g.w, g.h, g.bit,
+         CASE WHEN 64*g.s > t.total THEN 1 ELSE 0 END AS br
+  FROM grid g JOIN tot t USING (media_id)
+)
+SELECT media_id, CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+       CAST(sum(CASE WHEN bit >= 32
+                     THEN br * (1::BIGINT << greatest(bit - 32, 0))
+                     ELSE 0 END) AS BIGINT) AS ahash_hi,
+       CAST(sum(CASE WHEN bit < 32
+                     THEN br * (1::BIGINT << least(bit, 31))
+                     ELSE 0 END) AS BIGINT) AS ahash_lo,
+       CAST(sum(br) AS INT) AS n_bright
+FROM bits GROUP BY media_id
+""",
+        "image_near_dups": """
+WITH imgs AS (
+  SELECT i,
+         printf('pah_%05d', i) AS media_id,
+         CASE WHEN i % 4 = 3 THEN i - 1 ELSE i END AS bi,
+         CASE WHEN i % 4 = 3 THEN 1 ELSE 0 END AS bump
+  FROM range(48) t(i)
+), par AS (
+  SELECT media_id,
+         8 + (bi*3)%17 AS w,
+         6 + (bi*5)%13 AS h,
+         1 + bi%7 AS a,
+         2 + bi%5 AS b,
+         ((bi*29)%256 + bump) % 256 AS c
+  FROM imgs
+), grid AS (
+  SELECT media_id,
+         CAST(gy*8 + gx AS BIGINT) AS bit,
+         (a * ((gx*w)//8) + b * ((gy*h)//8) + c) % 256 AS s
+  FROM par, unnest(range(8)) tg(gy), unnest(range(8)) tx(gx)
+), tot AS (
+  SELECT media_id, sum(s) AS total FROM grid GROUP BY 1
+), sig AS (
+  SELECT g.media_id,
+         CAST(sum(CASE WHEN g.bit >= 32 AND 64*g.s > t.total
+                       THEN 1::BIGINT << greatest(g.bit - 32, 0)
+                       ELSE 0 END) AS BIGINT) AS hi,
+         CAST(sum(CASE WHEN g.bit < 32 AND 64*g.s > t.total
+                       THEN 1::BIGINT << least(g.bit, 31)
+                       ELSE 0 END) AS BIGINT) AS lo
+  FROM grid g JOIN tot t USING (media_id) GROUP BY 1
+)
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT)
+         AS hamming
+FROM sig a JOIN sig b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
 """,
         "fd_audit": """
 WITH k AS (

@@ -994,3 +994,213 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def synthetic_png_ahash_media(spark, n: int = 48) -> DataFrame:
+    """REAL PNG fixture for the perceptual-hash family, with planted
+    near-duplicates.
+
+    Every image is an ``(a*x + b*y + c) % 256`` grayscale gradient (the
+    closed form the decoder-less DuckDB oracle can recompute, exactly as
+    in :func:`synthetic_png_media`), and every fourth image (``i % 4 ==
+    3``) reuses the previous image's geometry and gradient with ``c + 1``
+    — a +1 luminance shift with wraparound at 255.  Away from wrap
+    points that shift leaves every "sample > mean" comparison unchanged
+    (both sides move by the same amount), so the pair's average-hash
+    Hamming distance is 0 or a few wrap-flipped bits: a planted
+    perceptual near-duplicate that is NOT a byte-exact duplicate.
+    """
+    from ..functions.png import encode_png
+
+    import numpy as np
+
+    def params(i: int) -> tuple[int, int, int, int, int]:
+        if i % 4 == 3:
+            w, h, a, b, c = params(i - 1)
+            return w, h, a, b, (c + 1) % 256
+        return (
+            8 + (i * 3) % 17,
+            6 + (i * 5) % 13,
+            1 + i % 7,
+            2 + i % 5,
+            (i * 29) % 256,
+        )
+
+    rows = []
+    for i in range(n):
+        w, h, a, b, c = params(i)
+        xs = np.arange(w, dtype=np.int64)[None, :]
+        ys = np.arange(h, dtype=np.int64)[:, None]
+        lum = ((a * xs + b * ys + c) % 256).astype(np.uint8)
+        rows.append(
+            (f"pah_{i:05d}", "image", "image/png", w, h, None,
+             encode_png(lum))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("ahash_hi", LongType(), False),
+        StructField("ahash_lo", LongType(), False),
+        StructField("n_bright", IntegerType(), False),
+    ]
+)
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """64-bit average-hash (aHash) perceptual signature from a REAL PNG
+    decode — the classic perceptual-dedup primitive (public aHash/pHash
+    family; e.g. the LAION-style image-dedup pipelines), defined here in
+    engine-neutral EXACT integer arithmetic so a decoder-less oracle can
+    recompute it:
+
+    - sample an 8x8 grid: ``s(gy, gx) = lum(floor(gy*h/8), floor(gx*w/8))``
+      (nearest-neighbor downsample — no fractional averaging, so every
+      sampled value is a decoded pixel, exact in integers);
+    - bit ``b = gy*8 + gx`` is set iff ``64 * s > sum(all 64 samples)``
+      (strict — ties are dark; multiplying through by 64 keeps the
+      mean comparison integer-exact);
+    - the 64 bits are packed as TWO 32-bit halves in BIGINT columns
+      (``ahash_hi`` = bits 32..63, ``ahash_lo`` = bits 0..31): both
+      engines overflow on ``1 << 63`` in signed 64-bit, halves never do.
+
+    Scale shape: one Arrow-batched mapInPandas pass over the payload
+    bytes (numpy-vectorized decode + grid gather per image, Python loop
+    O(rows)); output is 6 narrow columns — the binary payload never
+    reaches a shuffle.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.png import decode_png
+
+        gy, gx = np.meshgrid(
+            np.arange(8, dtype=np.int64),
+            np.arange(8, dtype=np.int64),
+            indexing="ij",
+        )
+        bit = gy * 8 + gx
+        # shift counts are clamped BEFORE the where(): numpy evaluates
+        # both branches, and a negative / >=64 shift is undefined
+        weights_hi = np.where(
+            bit >= 32, np.int64(1) << np.maximum(bit - 32, 0), np.int64(0)
+        )
+        weights_lo = np.where(
+            bit < 32, np.int64(1) << np.minimum(bit, 31), np.int64(0)
+        )
+        cols = [f.name for f in AHASH_SCHEMA]
+        for pdf in it:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_png(payload)
+                h, w = px.shape[:2]
+                lum = px.reshape(h, w, -1).mean(axis=2).astype(np.int64)
+                s = lum[(gy * h) // 8, (gx * w) // 8]
+                bright = 64 * s > s.sum()
+                out.append(
+                    (
+                        media_id, w, h,
+                        int((weights_hi * bright).sum()),
+                        int((weights_lo * bright).sum()),
+                        int(bright.sum()),
+                    )
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.where(F.col("mime_type") == "image/png").mapInPandas(
+        batches, schema=AHASH_SCHEMA
+    )
+
+
+def image_near_dups(
+    media: DataFrame, max_hamming: int = 3, max_block_df: int | None = 100_000
+) -> DataFrame:
+    """Perceptual image near-duplicates: all PNG pairs whose 64-bit aHash
+    signatures differ in at most ``max_hamming`` bits.
+
+    Same complete-by-pigeonhole block join as
+    :func:`..dedup.simhash_hamming_pairs` (Manku/Jain/Das Sarma, WWW'07):
+    with ``max_hamming = 3`` the 64 bits split into 4 x 16-bit blocks —
+    two signatures within distance 3 MUST agree exactly on at least one
+    block, so an equi-join on (block index, block value) never misses a
+    true pair, and the verify step (two XOR + popcount over the packed
+    halves, whole-stage codegen) drops the false candidates.  Blocks are
+    carved from the two 32-bit halves, so no 64-bit packing is ever
+    materialized.  ``max_block_df`` caps degenerate blocks exactly like
+    the SimHash variant (flat images share whole blocks; a corpus of
+    millions of near-black thumbnails would otherwise make one bucket
+    the corpus).
+
+    Scale shape: decode once (mapInPandas), then signatures-only from
+    there — a 4-way block explode on 6 narrow columns, an equi-join whose
+    bucket sizes are block-collision counts, and a codegen verify.
+    Nothing downstream of the decode touches payload bytes.
+
+    Output: media_a, media_b (media_a < media_b), hamming.
+    """
+    assert max_hamming <= 3, "4 x 16-bit blocks cover Hamming <= 3"
+    sigs = image_ahash(media).select("media_id", "ahash_hi", "ahash_lo")
+    blocks = sigs.select(
+        "media_id",
+        "ahash_hi",
+        "ahash_lo",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("blk"),
+                    F.expr("shiftrightunsigned(ahash_hi, 16)").alias("val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("blk"),
+                    F.expr("ahash_hi & 65535").alias("val"),
+                ),
+                F.struct(
+                    F.lit(2).alias("blk"),
+                    F.expr("shiftrightunsigned(ahash_lo, 16)").alias("val"),
+                ),
+                F.struct(
+                    F.lit(3).alias("blk"),
+                    F.expr("ahash_lo & 65535").alias("val"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(
+        "media_id", "ahash_hi", "ahash_lo",
+        F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val"),
+    )
+    if max_block_df is not None:
+        hot = (
+            blocks.groupBy("blk", "val")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_block_df)
+            .select("blk", "val")
+        )
+        blocks = blocks.join(F.broadcast(hot), ["blk", "val"], "left_anti")
+    cand = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), ["blk", "val"])
+        .where(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.ahash_hi").alias("_ha"),
+            F.col("a.ahash_lo").alias("_la"),
+            F.col("b.ahash_hi").alias("_hb"),
+            F.col("b.ahash_lo").alias("_lb"),
+        )
+        .dropDuplicates(["media_a", "media_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.expr("_ha ^ _hb")) + F.bit_count(F.expr("_la ^ _lb")),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming")
+    )
