@@ -2313,6 +2313,28 @@ def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dups(synthetic_png_ahash_media(spark, 48), 3)
 
 
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency power-law fit per source over the top-128
+    token head: least-squares slope/intercept/r2 of ln(count)~ln(rank)."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        zipf_fit,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return zipf_fit(docs, by="source", top_n=128)
+
+
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code/structured-text share per role over the transcripts: exact
+    symbol-ratio + assignment-token features, fixed linear score."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        code_detect,
+    )
+
+    return code_detect(_transcripts(spark, sf_dir), by="role")
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -2684,6 +2706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_audit": q_fd_audit,
         "image_ahash": q_image_ahash,
         "image_near_dups": q_image_near_dups,
+        "zipf_fit": q_zipf_fit,
+        "code_detect": q_code_detect,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -4756,6 +4780,71 @@ SELECT a.media_id AS media_a, b.media_id AS media_b,
          AS hamming
 FROM sig a JOIN sig b ON a.media_id < b.media_id
 WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+""",
+        "zipf_fit": """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(
+           string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+           x -> x <> '')) AS t
+  FROM documents
+), grain AS (
+  SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2
+), ranked AS (
+  SELECT source, t, c,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY c DESC, t ASC) AS r
+  FROM grain
+), top AS (
+  SELECT source, c,
+         ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+  FROM ranked WHERE r <= 128
+), s AS (
+  SELECT source, count(*) AS n_top, CAST(sum(c) AS BIGINT) AS top_mass,
+         sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+         sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM top GROUP BY 1
+)
+SELECT source, n_top, top_mass,
+  round(CASE WHEN n_top * sxx - sx * sx > 1e-9
+             THEN (n_top * sxy - sx * sy) / (n_top * sxx - sx * sx)
+        END, 6) AS zipf_slope,
+  round((sy - CASE WHEN n_top * sxx - sx * sx > 1e-9
+                   THEN (n_top * sxy - sx * sy) / (n_top * sxx - sx * sx)
+              END * sx) / n_top, 6) AS zipf_intercept,
+  round(CASE WHEN n_top * sxx - sx * sx > 1e-9
+              AND n_top * syy - sy * sy > 1e-9
+             THEN (n_top * sxy - sx * sy) * (n_top * sxy - sx * sy)
+                  / ((n_top * sxx - sx * sx) * (n_top * syy - sy * sy))
+        END, 6) AS r2
+FROM s
+""",
+        "code_detect": f"""
+WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}')),
+f AS (
+  SELECT role, trim(coalesce(text, '')) AS txt FROM t
+), g AS (
+  SELECT role,
+         greatest(length(txt), 1) AS nc,
+         len(regexp_extract_all(txt, '[{{}}\\[\\]();=<>]')) AS sym,
+         list_filter(string_split_regex(txt, '\\s+'),
+                     x -> x <> '') AS toks
+  FROM f
+), sc AS (
+  SELECT role,
+         6.0 * sym / nc
+         + 1.5 * len(list_filter(toks,
+                                 x -> contains(x, '=') OR suffix(x, ';')))
+           / greatest(len(toks), 1) AS s
+  FROM g
+)
+SELECT role, count(*) AS n_rows,
+       CAST(sum(CASE WHEN s > 0.25 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_code,
+       round(sum(CASE WHEN s > 0.25 THEN 1 ELSE 0 END) * 1.0 / count(*),
+             6) AS code_share,
+       round(avg(s), 6) AS avg_score
+FROM sc GROUP BY 1
 """,
         "fd_audit": """
 WITH k AS (

@@ -924,3 +924,159 @@ def chi2_drift(
         )
         .withColumnRenamed("grp", by)
     )
+
+
+def zipf_fit(docs: DataFrame, by: str = "source", top_n: int = 128) -> DataFrame:
+    """Zipf power-law fit per group: least-squares slope of
+    ``ln(count) ~ ln(rank)`` over the group's ``top_n`` most frequent
+    tokens. Natural text sits near slope -1 (Zipf's law); template- or
+    machine-generated sources flatten toward 0 (many tokens equally
+    frequent) or collapse steeply (a few tokens dominate). Complements
+    `vocab_stats` (which reads the TAIL via hapax share): the fit reads
+    the HEAD of the rank-frequency curve.
+
+    Output grain: one row per group — ``(by, n_top, top_mass, zipf_slope,
+    zipf_intercept, r2)``. ``zipf_slope`` is NULL when the head has
+    fewer than 2 types (zero rank variance); ``r2`` is additionally NULL
+    when all head counts are identical (zero y-variance — the slope is a
+    meaningful 0 there, but goodness-of-fit is undefined).
+
+    Determinism: ranks are dense integers assigned by ``(count DESC,
+    token ASC)`` — a total order both engines share (ASCII byte compare);
+    the regression inputs are ``ln`` of exact integers, so cross-engine
+    float drift is confined to the final sums (rounded to 6dp, the
+    repo's psi/chi2 precedent).
+
+    Scale shape: one exploded map-side-combined (group, token) hash agg
+    (the only full-data exchange, bounded by the group vocabulary — same
+    as `vocab_stats`); the rank window then runs on the vocab grain
+    partitioned by group, and only ``top_n`` rows per group survive into
+    the tiny regression fold.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(
+            F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))),
+            r"\s+",
+        ),
+        lambda x: x != F.lit(""),
+    )
+    tok = docs.select(F.col(by), F.explode_outer(toks).alias("_t")).where(
+        F.col("_t").isNotNull()
+    )
+    grain = tok.groupBy(by, "_t").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy(by).orderBy(F.col("_c").desc(), F.col("_t").asc())
+    top = (
+        grain.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= top_n)
+        .select(
+            by,
+            F.col("_c"),
+            F.log(F.col("_r").cast("double")).alias("_x"),
+            F.log(F.col("_c").cast("double")).alias("_y"),
+        )
+    )
+    s = top.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_top"),
+        F.sum("_c").alias("top_mass"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+    )
+    n = F.col("n_top").cast("double")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    # tolerance guard, not ==0: a degenerate axis (all-equal values)
+    # yields a variance that is mathematically 0 but float-sums to a tiny
+    # residual; real variances are O(n^2) so 1e-9 cleanly separates them
+    slope = F.when(vx > F.lit(1e-9), cov / vx)
+    return s.select(
+        by,
+        "n_top",
+        "top_mass",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias(
+            "zipf_intercept"
+        ),
+        F.round(
+            F.when((vx > F.lit(1e-9)) & (vy > F.lit(1e-9)),
+                   cov * cov / (vx * vy)), 6
+        ).alias("r2"),
+    )
+
+
+# fixed, documented weights — like `quality_classifier`, the value at
+# pipeline level is the SCORING plumbing (features -> linear score ->
+# threshold -> per-group share); swapping in a learned model replaces one
+# expression. Weights chosen so key=value/brace/semicolon-dense text
+# clears the threshold and prose stays well under it.
+_CODE_SYM_W = 6.0  # weight on structural-symbol char ratio
+_CODE_KV_W = 1.5  # weight on key=value / assignment token share
+_CODE_THRESHOLD = 0.25
+
+
+def code_detect(
+    docs: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    threshold: float = _CODE_THRESHOLD,
+) -> DataFrame:
+    """Code/structured-text share per group — the standard corpus-mix
+    audit separating prose from code, config, and machine-formatted
+    records before fixing a training mixture (code-heavy slices want
+    different dedup/quality thresholds than prose).
+
+    Two exact per-row features, both integer counts over one scan:
+
+    * ``sym_ratio`` — structural characters ``{}[]();=<>`` per text char
+      (code and key=value records are dense in them, prose is not);
+    * ``kv_share`` — whitespace tokens containing ``=`` / ``:=`` or
+      ending in ``;`` per token (assignment-shaped tokens).
+
+    ``score = 6.0*sym_ratio + 1.5*kv_share``; a row is "code-like" when
+    score > ``threshold``. On the log-shaped transcripts fixture this
+    flags the ``tool_call name=... args_len=...`` turns and leaves prose
+    log lines under threshold — the honest structured-text split of that
+    corpus.
+
+    Output grain: one row per group — ``(by, n_rows, n_code,
+    code_share, avg_score)``, floats rounded 6dp.
+
+    Scale shape: ONE scan projection (two regexp counts + a split) into
+    ONE map-side-combined agg; no explode, no window, no join.
+    """
+    txt = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    nc = F.greatest(F.length(txt), F.lit(1))
+    sym = F.size(F.regexp_extract_all(txt, F.lit(r"[{}\[\]();=<>]"), 0))
+    toks = F.filter(F.split(txt, r"\s+"), lambda x: x != F.lit(""))
+    ntok = F.greatest(F.size(toks), F.lit(1))
+    kv = F.size(
+        F.filter(
+            toks,
+            lambda t: t.contains("=") | t.endswith(";"),
+        )
+    )
+    score = (
+        F.lit(_CODE_SYM_W) * sym.cast("double") / nc.cast("double")
+        + F.lit(_CODE_KV_W) * kv.cast("double") / ntok.cast("double")
+    )
+    rows = docs.select(F.col(by), score.alias("_s"))
+    return (
+        rows.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("_s") > threshold).cast("long")).alias("n_code"),
+            F.round(F.avg("_s"), 6).alias("avg_score"),
+        )
+        .select(
+            by,
+            "n_rows",
+            "n_code",
+            F.round(F.col("n_code") / F.col("n_rows"), 6).alias("code_share"),
+            "avg_score",
+        )
+    )

@@ -288,3 +288,86 @@ def test_readability_counts_and_grade(spark):
     assert s2["n_syllables"] == 8
     want2 = round(0.39 * (4 / 1) + 11.8 * (8 / 4) - 15.59, 4)
     assert abs(s2["fk_grade"] - want2) < 1e-9
+
+
+def test_zipf_fit_exact_synthetic_powerlaw(spark):
+    """Counts c_r = 1024 >> (r-1) for ranks 1..8 give a closed-form
+    slope of -ln(2)/d(ln r) regression — compute it independently in
+    Python and require 6dp agreement; a uniform source fits NULL."""
+    import math
+
+    from otlp_cardinality_checker_spark.operators.text_analysis import zipf_fit
+
+    rows = []
+    # power source: token t{r} appears 2**(10-r) times
+    for r in range(1, 9):
+        rows += [("pow", f"t{r:02d} " * (1 << (10 - r)))]
+    # uniform source: 5 tokens, 7 occurrences each -> vy degenerate
+    for t in "abcde":
+        rows += [("uni", f"{t} " * 7)]
+    docs = spark.createDataFrame(
+        [(i, s, txt) for i, (s, txt) in enumerate(rows)],
+        "doc_id long, source string, text string",
+    )
+    got = {r["source"]: r for r in zipf_fit(docs, top_n=128).collect()}
+
+    xs = [math.log(r) for r in range(1, 9)]
+    ys = [math.log(1 << (10 - r)) for r in range(1, 9)]
+    n = 8.0
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    syy = sum(y * y for y in ys)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    p = got["pow"]
+    assert p["n_top"] == 8 and p["top_mass"] == sum(1 << (10 - r) for r in range(1, 9))
+    assert abs(p["zipf_slope"] - round(slope, 6)) <= 1e-6
+    assert abs(p["r2"] - round(r2, 6)) <= 1e-6
+    assert p["zipf_slope"] < 0
+
+    u = got["uni"]
+    assert u["n_top"] == 5 and u["top_mass"] == 35
+    # flat head: slope is a meaningful 0; r2 is undefined (zero y-variance)
+    assert u["zipf_slope"] == 0.0 and u["r2"] is None
+
+
+def test_zipf_fit_top_n_cap_and_tiebreak(spark):
+    """top_n caps the head; count ties rank by token ASC so the cap cut
+    is deterministic."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import zipf_fit
+
+    docs = spark.createDataFrame(
+        [(0, "s", "b b b a a c")],
+        "doc_id long, source string, text string",
+    )
+    row = zipf_fit(docs, top_n=2).collect()[0]
+    # head = b(3), a(2); c cut by the cap
+    assert row["n_top"] == 2 and row["top_mass"] == 5
+
+
+def test_code_detect_separates_structured_from_prose(spark):
+    from otlp_cardinality_checker_spark.operators.text_analysis import code_detect
+
+    rows = [
+        (0, "code", "def f(x): return {x: [1, 2]};"),
+        (1, "code", "name=tool_0 args_len=3 retries=4 status=ok"),
+        (2, "prose", "the quick brown fox jumps over the lazy dog"),
+        (3, "prose", "plain sentence with no structure at all here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in code_detect(docs).collect()}
+    assert got["code"]["n_code"] == 2 and got["code"]["code_share"] == 1.0
+    assert got["prose"]["n_code"] == 0 and got["prose"]["code_share"] == 0.0
+    assert got["code"]["avg_score"] > got["prose"]["avg_score"]
+
+
+def test_code_detect_empty_text_guard(spark):
+    from otlp_cardinality_checker_spark.operators.text_analysis import code_detect
+
+    docs = spark.createDataFrame(
+        [(0, "s", ""), (1, "s", None)],
+        "doc_id long, source string, text string",
+    )
+    row = code_detect(docs).collect()[0]
+    assert row["n_rows"] == 2 and row["n_code"] == 0 and row["avg_score"] == 0.0
