@@ -2335,6 +2335,17 @@ def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_detect(_transcripts(spark, sf_dir), by="role")
 
 
+
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export-shard plan (1000-token shards over the global
+    (source, doc_id) order) via the three-level hierarchical cumsum —
+    must equal the oracle's flat global window cumsum bit-for-bit."""
+    from otlp_cardinality_checker_spark.operators.packing import shard_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shard_plan(docs, budget=1000, block_size=64)
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -2708,6 +2719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dups": q_image_near_dups,
         "zipf_fit": q_zipf_fit,
         "code_detect": q_code_detect,
+        "shard_plan": q_shard_plan,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -4845,6 +4857,28 @@ SELECT role, count(*) AS n_rows,
              6) AS code_share,
        round(avg(s), 6) AS avg_score
 FROM sc GROUP BY 1
+""",
+        "shard_plan": """
+WITH n AS (
+  SELECT source, doc_id,
+    CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+         ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+'))
+    END AS ntok
+  FROM documents
+), c AS (
+  SELECT source, ntok,
+         sum(ntok) OVER (ORDER BY source, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - ntok AS doc_start
+  FROM n
+)
+SELECT CAST(doc_start // 1000 AS BIGINT) AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS shard_tokens,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(min(doc_start) AS BIGINT) AS start_token,
+       CAST(max(doc_start + ntok) AS BIGINT) AS end_token
+FROM c GROUP BY 1
 """,
         "fd_audit": """
 WITH k AS (

@@ -185,3 +185,113 @@ def chunk_documents(
             )
         ).alias("chunk_digest"),
     )
+
+
+def shard_plan(
+    docs: DataFrame,
+    budget: int = 1000,
+    block_size: int = 64,
+) -> DataFrame:
+    """Export-shard planning over a GLOBAL document order: assign every
+    document to the shard that contains its first token under a
+    ``budget``-tokens-per-shard layout, then report the per-shard balance
+    accounting (docs, tokens, sources, token span) a pipeline inspects
+    before a 100-TB export — shard skew here becomes reader skew in every
+    downstream training job.
+
+    Unlike `pack_sequences` (which deliberately shards FIRST and packs
+    independently), the export plan needs ONE corpus-wide token cumsum in
+    ``(source, doc_id)`` order. A single global window is the textbook
+    scale-killer (one partition sorts the corpus), so the cumsum is
+    computed hierarchically in three bounded levels:
+
+    1. doc grain: running sum WITHIN ``(source, block)`` where
+       ``block = doc_id // block_size`` — every window partition holds at
+       most ``block_size`` rows;
+    2. block grain: running sum of block totals WITHIN source — one row
+       per block, corpus/block_size rows total;
+    3. source grain: preceding-source offsets via a broadcast self-join
+       on the tiny per-source totals frame (O(S^2) pairs, S = #sources).
+
+    ``doc_start = source_offset + (block_cum - block_total) +
+    (intra_cum - ntok)`` equals the flat cumsum exactly — all integers,
+    so the DuckDB oracle (a plain global window cumsum) must match
+    bit-for-bit; the hierarchical==flat equivalence IS the correctness
+    claim.
+
+    Output grain: one row per shard — ``(shard_id, n_docs, shard_tokens,
+    n_sources, start_token, end_token)``. Every shard except possibly the
+    last spans ``budget`` start-token positions; ``shard_tokens`` can
+    exceed ``budget`` by at most one document's tail (start-token
+    assignment never splits a document).
+
+    Scale shape: one scan for token counts; window partitions bounded by
+    ``block_size`` (level 1) and blocks-per-source (level 2 — raise
+    ``block_size`` with corpus size so both stay executor-sized); the
+    level-3 join is broadcast; the final per-shard agg is map-side
+    combinable. No global sort, no driver loop.
+    """
+    ntok = F.when(
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) == 0,
+        F.lit(0),
+    ).otherwise(
+        F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"))
+    )
+    base = docs.select(
+        "source",
+        "doc_id",
+        F.floor(F.col("doc_id") / F.lit(block_size)).alias("blk"),
+        ntok.cast("long").alias("ntok"),
+    )
+    w_doc = (
+        Window.partitionBy("source", "blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lvl1 = base.withColumn("intra_cum", F.sum("ntok").over(w_doc))
+
+    btot = base.groupBy("source", "blk").agg(F.sum("ntok").alias("bt"))
+    w_blk = (
+        Window.partitionBy("source")
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lvl2 = btot.withColumn("blk_cum", F.sum("bt").over(w_blk))
+
+    stot = btot.groupBy("source").agg(F.sum("bt").alias("st"))
+    off = (
+        stot.alias("a")
+        .join(
+            F.broadcast(stot.alias("b")),
+            F.col("b.source") < F.col("a.source"),
+            "left",
+        )
+        .groupBy(F.col("a.source").alias("source"))
+        .agg(F.coalesce(F.sum("b.st"), F.lit(0)).alias("src_off"))
+    )
+
+    placed = (
+        lvl1.join(lvl2.select("source", "blk", "bt", "blk_cum"), ["source", "blk"])
+        .join(F.broadcast(off), "source")
+        .select(
+            "source",
+            "ntok",
+            (
+                F.col("src_off")
+                + (F.col("blk_cum") - F.col("bt"))
+                + (F.col("intra_cum") - F.col("ntok"))
+            ).alias("doc_start"),
+        )
+    )
+    return (
+        placed.groupBy(
+            F.floor(F.col("doc_start") / F.lit(budget)).alias("shard_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("shard_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_start").alias("start_token"),
+            F.max(F.col("doc_start") + F.col("ntok")).alias("end_token"),
+        )
+    )

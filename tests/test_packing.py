@@ -127,3 +127,67 @@ def test_chunk_documents_layout(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_shard_plan_equals_flat_python_cumsum(spark):
+    """The three-level hierarchical cumsum must reproduce a flat Python
+    cumsum over (source, doc_id) order exactly — multi-source, multi-block
+    (block_size=4 forces level-2 work), empty and None texts included."""
+    from otlp_cardinality_checker_spark.operators.packing import shard_plan
+
+    rows = []
+    for i in range(37):
+        src = f"s{i % 3}"
+        txt = None if i == 5 else ("" if i == 11 else "w " * ((i * 7) % 13 + 1))
+        rows.append((i, src, txt))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def ntok(t):
+        return 0 if not t or not t.strip() else len(t.split())
+
+    flat = sorted(rows, key=lambda r: (r[1], r[0]))
+    cum, starts = 0, {}
+    for doc_id, src, txt in flat:
+        starts[doc_id] = (src, cum, ntok(txt))
+        cum += ntok(txt)
+
+    budget = 10
+    want = {}
+    for doc_id, (src, st, n) in starts.items():
+        sid = st // budget
+        d = want.setdefault(sid, dict(n_docs=0, toks=0, srcs=set(),
+                                      lo=None, hi=None))
+        d["n_docs"] += 1
+        d["toks"] += n
+        d["srcs"].add(src)
+        d["lo"] = st if d["lo"] is None else min(d["lo"], st)
+        d["hi"] = st + n if d["hi"] is None else max(d["hi"], st + n)
+
+    got = {r["shard_id"]: r for r in
+           shard_plan(docs, budget=budget, block_size=4).collect()}
+    assert set(got) == set(want)
+    for sid, w in want.items():
+        g = got[sid]
+        assert g["n_docs"] == w["n_docs"]
+        assert g["shard_tokens"] == w["toks"]
+        assert g["n_sources"] == len(w["srcs"])
+        assert g["start_token"] == w["lo"]
+        assert g["end_token"] == w["hi"]
+
+
+def test_shard_plan_conservation_and_contiguity(spark):
+    """Token mass is conserved across shards and shard ids are the
+    contiguous prefix 0..max (no start-token position is skipped when
+    every shard's span is covered by documents)."""
+    from otlp_cardinality_checker_spark.operators.packing import shard_plan
+
+    docs = spark.createDataFrame(
+        [(i, "s", "t " * 5) for i in range(40)],
+        "doc_id long, source string, text string",
+    )
+    out = shard_plan(docs, budget=25, block_size=8).collect()
+    ids = sorted(r["shard_id"] for r in out)
+    assert ids == list(range(len(ids)))
+    assert sum(r["shard_tokens"] for r in out) == 200
+    # uniform 5-token docs, budget 25 -> every shard holds exactly 5 docs
+    assert all(r["n_docs"] == 5 and r["shard_tokens"] == 25 for r in out)
