@@ -2346,6 +2346,18 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_plan(docs, budget=1000, block_size=64)
 
 
+
+def q_winsorize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization impact audit on events.value per event_type:
+    exact p01/p99 bounds + clipped-row/clipped-mass accounting."""
+    from otlp_cardinality_checker_spark.operators.anomaly import (
+        winsorize_audit,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return winsorize_audit(ev)
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -2720,6 +2732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "code_detect": q_code_detect,
         "shard_plan": q_shard_plan,
+        "winsorize_audit": q_winsorize_audit,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -4879,6 +4892,33 @@ SELECT CAST(doc_start // 1000 AS BIGINT) AS shard_id,
        CAST(min(doc_start) AS BIGINT) AS start_token,
        CAST(max(doc_start + ntok) AS BIGINT) AS end_token
 FROM c GROUP BY 1
+""",
+        "winsorize_audit": """
+WITH v AS (
+  SELECT event_type AS grp, value AS v FROM events WHERE value IS NOT NULL
+), b AS (
+  SELECT grp,
+         quantile_cont(v, 0.01) AS lo_b,
+         quantile_cont(v, 0.99) AS hi_b
+  FROM v GROUP BY 1
+), j AS (
+  SELECT v.grp, v.v, b.lo_b, b.hi_b FROM v JOIN b USING (grp)
+)
+SELECT grp AS event_type,
+       count(*) AS n_rows,
+       round(max(lo_b), 6) AS lo_bound,
+       round(max(hi_b), 6) AS hi_bound,
+       CAST(sum(CASE WHEN v < lo_b THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(sum(CASE WHEN v > hi_b THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high,
+       round((sum(CASE WHEN v < lo_b THEN 1 ELSE 0 END)
+              + sum(CASE WHEN v > hi_b THEN 1 ELSE 0 END)) * 1.0
+             / count(*), 6) AS clipped_share,
+       round(sum(CASE WHEN v < lo_b THEN lo_b - v
+                      WHEN v > hi_b THEN v - hi_b
+                      ELSE 0.0 END), 4) AS excess_mass
+FROM j GROUP BY 1
 """,
         "fd_audit": """
 WITH k AS (

@@ -82,3 +82,79 @@ def volume_spikes(
         F.when(usable, F.round(z, 6)).alias("z"),
         F.when(usable, (z >= z_threshold).cast("int")).alias("is_spike"),
     ).orderBy("group", "window_start")
+
+
+def winsorize_audit(
+    events: DataFrame,
+    by: str = "event_type",
+    value_col: str = "value",
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Winsorization impact audit per group: exact (p_lo, p_hi) clip
+    bounds over a numeric column plus the accounting a pipeline reviews
+    before committing to outlier clipping — how many rows each tail
+    clips and how much mass the clip removes. Feature/label columns in
+    training data are routinely winsorized; clipping blind (or at the
+    wrong quantile) silently reshapes the distribution, so the audit
+    comes first.
+
+    Bounds are EXACT interpolated percentiles (``F.percentile`` — the
+    repo's established bit-exact pair with DuckDB ``quantile_cont``), not
+    approximations, so the flagged-row counts are reproducible integers.
+
+    Output grain: one row per group — ``(by, n_rows, lo_bound, hi_bound,
+    n_clipped_low, n_clipped_high, clipped_share, excess_mass)`` where
+    ``excess_mass`` is the total |value - bound| the clip would remove
+    (both tails), rounded 4dp.
+
+    Scale shape: pass 1 is one hash agg per group for the two exact
+    percentiles (sort-based inside the agg — swap in `quantiles.py`'s
+    mergeable sketch when exactness can yield, same join shape); pass 2
+    re-scans with the tiny bounds frame broadcast-joined back. Null
+    values are excluded from both passes.
+    """
+    vals = events.where(F.col(value_col).isNotNull()).select(
+        F.col(by).alias("grp"), F.col(value_col).alias("v")
+    )
+    bounds = vals.groupBy("grp").agg(
+        F.percentile(F.col("v"), F.lit(lo)).alias("lo_b"),
+        F.percentile(F.col("v"), F.lit(hi)).alias("hi_b"),
+    )
+    j = vals.join(F.broadcast(bounds), "grp")
+    return (
+        j.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.max("lo_b"), 6).alias("lo_bound"),
+            F.round(F.max("hi_b"), 6).alias("hi_bound"),
+            F.sum((F.col("v") < F.col("lo_b")).cast("long")).alias(
+                "n_clipped_low"
+            ),
+            F.sum((F.col("v") > F.col("hi_b")).cast("long")).alias(
+                "n_clipped_high"
+            ),
+            F.round(
+                F.sum(
+                    F.when(F.col("v") < F.col("lo_b"), F.col("lo_b") - F.col("v"))
+                    .when(F.col("v") > F.col("hi_b"), F.col("v") - F.col("hi_b"))
+                    .otherwise(F.lit(0.0))
+                ),
+                4,
+            ).alias("excess_mass"),
+        )
+        .select(
+            F.col("grp").alias(by),
+            "n_rows",
+            "lo_bound",
+            "hi_bound",
+            "n_clipped_low",
+            "n_clipped_high",
+            F.round(
+                (F.col("n_clipped_low") + F.col("n_clipped_high"))
+                / F.col("n_rows"),
+                6,
+            ).alias("clipped_share"),
+            "excess_mass",
+        )
+    )

@@ -73,3 +73,39 @@ def test_no_false_alarm_below_threshold(planted):
 def test_trailing_validation(planted):
     with pytest.raises(ValueError, match="trailing"):
         volume_spikes(planted, "svc", trailing=1)
+
+
+def test_winsorize_audit_hand_computed(spark):
+    """1..100 with two planted outliers: exact interpolated p01/p99
+    bounds and clip accounting recomputed by hand (numpy linear
+    quantile = Spark percentile = DuckDB quantile_cont)."""
+    import numpy as np
+
+    from otlp_cardinality_checker_spark.operators.anomaly import (
+        winsorize_audit,
+    )
+
+    vals = list(range(1, 101)) + [10_000, -10_000]
+    rows = [(i, "a", float(v)) for i, v in enumerate(vals)]
+    rows += [(200, "b", 1.0), (201, "b", None)]  # null excluded
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    got = {r["event_type"]: r for r in winsorize_audit(ev).collect()}
+
+    a = np.array(sorted(float(v) for v in vals))
+    lo_b = float(np.quantile(a, 0.01))
+    hi_b = float(np.quantile(a, 0.99))
+    g = got["a"]
+    assert g["n_rows"] == 102
+    assert abs(g["lo_bound"] - round(lo_b, 6)) <= 1e-6
+    assert abs(g["hi_bound"] - round(hi_b, 6)) <= 1e-6
+    n_lo = int((a < lo_b).sum())
+    n_hi = int((a > hi_b).sum())
+    assert g["n_clipped_low"] == n_lo and g["n_clipped_high"] == n_hi
+    excess = float(((lo_b - a[a < lo_b]).sum() + (a[a > hi_b] - hi_b).sum()))
+    assert abs(g["excess_mass"] - round(excess, 4)) <= 1e-3
+
+    b = got["b"]  # single non-null value: bounds collapse onto it
+    assert b["n_rows"] == 1 and b["n_clipped_low"] == 0
+    assert b["n_clipped_high"] == 0 and b["excess_mass"] == 0.0
