@@ -2358,6 +2358,27 @@ def q_winsorize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize_audit(ev)
 
 
+
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM sustained-shift monitor on hourly event volume per type,
+    via the prefix-scan identity (running sum minus clamped running
+    min) — bit-deterministic cross-engine by construction."""
+    from otlp_cardinality_checker_spark.operators.anomaly import cusum_drift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cusum_drift(ev)
+
+
+def q_norm_dedup_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-reveal dedup audit per role over the transcripts:
+    digit-masked/lowercased dedup vs byte-exact dedup."""
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        norm_dedup_gain,
+    )
+
+    return norm_dedup_gain(_transcripts(spark, sf_dir), by="role")
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -2733,6 +2754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_detect": q_code_detect,
         "shard_plan": q_shard_plan,
         "winsorize_audit": q_winsorize_audit,
+        "cusum_drift": q_cusum_drift,
+        "norm_dedup_gain": q_norm_dedup_gain,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -4919,6 +4942,66 @@ SELECT grp AS event_type,
                       WHEN v > hi_b THEN v - hi_b
                       ELSE 0.0 END), 4) AS excess_mass
 FROM j GROUP BY 1
+""",
+        "cusum_drift": """
+WITH gb AS (
+  SELECT event_type AS grp, date_trunc('hour', ts) AS bucket,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT grp, count(*) AS nb,
+         CAST(sum(n_events) AS BIGINT) AS s1,
+         CAST(sum(n_events * n_events) AS BIGINT) AS s2
+  FROM gb GROUP BY 1
+), st2 AS (
+  SELECT grp,
+         CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE) AS mu,
+         sqrt(greatest(
+           (CAST(nb AS DOUBLE) * CAST(s2 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+           / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)), 0.0)) AS sigma
+  FROM st
+), p AS (
+  SELECT gb.grp, gb.bucket, gb.n_events, st2.sigma,
+         sum(CAST(gb.n_events AS DOUBLE) - st2.mu - 0.5 * st2.sigma)
+           OVER (PARTITION BY gb.grp ORDER BY gb.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+  FROM gb JOIN st2 USING (grp)
+), m AS (
+  SELECT grp, bucket, n_events, sigma, pp,
+         min(pp) OVER (PARTITION BY grp ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS runmin
+  FROM p
+)
+SELECT grp AS event_type, bucket, n_events,
+       round(pp - least(0.0, runmin), 6) AS cusum,
+       (pp - least(0.0, runmin)) > 4.0 * sigma AS alarm
+FROM m
+""",
+        "norm_dedup_gain": f"""
+WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}')),
+g AS (
+  SELECT role,
+         md5(coalesce(text, '')) AS rfp,
+         md5(trim(regexp_replace(regexp_replace(
+             lower(coalesce(text, '')), '[0-9]+', '#', 'g'),
+             '\\s+', ' ', 'g'))) AS nfp
+  FROM t
+), a AS (
+  SELECT role, count(*) AS n_rows,
+         count(DISTINCT rfp) AS n_raw_distinct,
+         count(DISTINCT nfp) AS n_norm_distinct
+  FROM g GROUP BY 1
+)
+SELECT role, n_rows, n_raw_distinct, n_norm_distinct,
+       round((n_rows - n_raw_distinct) * 1.0 / n_rows, 6)
+         AS raw_dup_share,
+       round((n_rows - n_norm_distinct) * 1.0 / n_rows, 6)
+         AS norm_dup_share,
+       round((n_raw_distinct - n_norm_distinct) * 1.0 / n_raw_distinct, 6)
+         AS reveal_gain
+FROM a
 """,
         "fd_audit": """
 WITH k AS (

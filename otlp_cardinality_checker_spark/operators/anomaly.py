@@ -158,3 +158,77 @@ def winsorize_audit(
             "excess_mass",
         )
     )
+
+
+def cusum_drift(
+    events: DataFrame,
+    by: str = "event_type",
+    window: str = "1 hour",
+    k_sigma: float = 0.5,
+    h_sigma: float = 4.0,
+) -> DataFrame:
+    """One-sided CUSUM change-point monitor on windowed event volume per
+    group — the drift alarm that catches a slow sustained upward shift
+    `volume_spikes`' single-window z-score misses (each window is only
+    slightly high; the cumulative excess is not).
+
+    The textbook recursion ``S_t = max(0, S_{t-1} + x_t)`` (with
+    ``x_t = c_t - mu - k*sigma``) looks imperative, but has the exact
+    prefix-scan identity ``S_t = P_t - min(0, min_{j<=t} P_j)`` where
+    ``P`` is the plain running sum of ``x`` — so the whole monitor is two
+    window functions over the (group, bucket) grain, no recursion, no
+    UDF, no state store.
+
+    Cross-engine determinism by construction: ``mu`` and ``sigma`` come
+    from INTEGER count sums (``var = (n*sum(c^2) - sum(c)^2) / n^2``,
+    exact integer numerator — never F.stddev, whose float accumulation
+    order is engine-dependent), and the running sums add doubles in the
+    bucket order both engines share, so every ``S_t`` is bit-identical.
+
+    Output grain: one row per (group, bucket) — ``(by, bucket, n_events,
+    cusum, alarm)`` with ``alarm = S_t > h_sigma * sigma``. Empty buckets
+    produce no row (they contribute no excess; densify upstream for
+    gap-sensitive monitoring, same note as `volume_spikes`).
+
+    Scale shape: one map-side-combined hash agg to the (group, bucket)
+    grain (the only full-data exchange); the per-group stats ride a tiny
+    second agg broadcast back; both window passes share one
+    (group)-partitioned sort whose partitions hold #buckets rows
+    (time-bounded, never corpus-bounded).
+    """
+    bucket = F.window(F.col("ts"), window).start.alias("bucket")
+    gb = (
+        events.select(F.col(by).alias("grp"), bucket)
+        .groupBy("grp", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    stats = gb.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    nb = F.col("nb").cast("double")
+    mu = F.col("s1").cast("double") / nb
+    var = (nb * F.col("s2").cast("double") - F.col("s1").cast("double")
+           * F.col("s1").cast("double")) / (nb * nb)
+    stats = stats.select(
+        "grp", mu.alias("mu"), F.sqrt(F.greatest(var, F.lit(0.0))).alias("sigma")
+    )
+    from pyspark.sql import Window
+
+    x = (F.col("n_events").cast("double") - F.col("mu")
+         - F.lit(k_sigma) * F.col("sigma"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = gb.join(F.broadcast(stats), "grp").withColumn("_p", F.sum(x).over(w))
+    s_t = F.col("_p") - F.least(F.lit(0.0), F.min("_p").over(w))
+    return j.select(
+        F.col("grp").alias(by),
+        "bucket",
+        "n_events",
+        F.round(s_t, 6).alias("cusum"),
+        (s_t > F.lit(h_sigma) * F.col("sigma")).alias("alarm"),
+    )

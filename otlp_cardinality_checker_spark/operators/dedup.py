@@ -858,3 +858,66 @@ def dup_source_matrix(
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def norm_dedup_gain(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Normalization-reveal audit: how many *additional* duplicates a
+    cheap text normalization (lowercase + digit-masking + whitespace
+    squeeze) exposes over byte-exact dedup, per group. The standard
+    pre-flight before choosing a dedup key at corpus scale — if the gain
+    is large, byte-exact dedup is leaving near-identical text (ids,
+    timestamps, counters baked into otherwise-identical rows) in the
+    training set; if it is ~0, the cheaper exact pass suffices.
+
+    ``norm = trim(regexp_replace(regexp_replace(lower(text), '[0-9]+',
+    '#'), '\\s+', ' '))`` — deliberately the same masking DIRECTION as
+    `functions/masking.py`'s template pipeline but a fixed 3-step subset,
+    so the audit is a pure-Catalyst single scan either engine replays.
+
+    Output grain: one row per group — ``(by, n_rows, n_raw_distinct,
+    n_norm_distinct, raw_dup_share, norm_dup_share, reveal_gain)`` where
+    ``reveal_gain = (n_raw_distinct - n_norm_distinct) /
+    n_raw_distinct``.
+
+    Scale shape: ONE scan; distinct counting runs on md5 digests (fixed
+    16-byte shuffle keys, never full text — the repo's dedup idiom); two
+    count-distincts in one agg expand to a grouping-set pass, all
+    map-side combinable.
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(raw), "[0-9]+", "#"), r"\s+", " "
+        )
+    )
+    g = df.select(
+        F.col(by).alias("grp"),
+        F.md5(raw).alias("rfp"),
+        F.md5(norm).alias("nfp"),
+    )
+    agg = g.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("rfp").alias("n_raw_distinct"),
+        F.countDistinct("nfp").alias("n_norm_distinct"),
+    )
+    return agg.select(
+        F.col("grp").alias(by),
+        "n_rows",
+        "n_raw_distinct",
+        "n_norm_distinct",
+        F.round(
+            (F.col("n_rows") - F.col("n_raw_distinct")) / F.col("n_rows"), 6
+        ).alias("raw_dup_share"),
+        F.round(
+            (F.col("n_rows") - F.col("n_norm_distinct")) / F.col("n_rows"), 6
+        ).alias("norm_dup_share"),
+        F.round(
+            (F.col("n_raw_distinct") - F.col("n_norm_distinct"))
+            / F.col("n_raw_distinct"),
+            6,
+        ).alias("reveal_gain"),
+    )

@@ -109,3 +109,61 @@ def test_winsorize_audit_hand_computed(spark):
     b = got["b"]  # single non-null value: bounds collapse onto it
     assert b["n_rows"] == 1 and b["n_clipped_low"] == 0
     assert b["n_clipped_high"] == 0 and b["excess_mass"] == 0.0
+
+
+def test_cusum_prefix_scan_identity_vs_recursion(spark):
+    """The declarative S = P - min(0, runmin(P)) must equal the textbook
+    recursion S_t = max(0, S_{t-1} + x_t) computed in Python, on a
+    planted level-shift series (stable weeks then a sustained +3/hour
+    shift) — and the shift must raise the alarm while the stable prefix
+    stays quiet."""
+    import datetime as dt
+    import math
+
+    from otlp_cardinality_checker_spark.operators.anomaly import cusum_drift
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    counts = [5, 6, 5, 4, 5, 6, 5, 4] * 6 + [9, 10, 9, 10, 9, 10, 9, 10]
+    for h, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, "a", base + dt.timedelta(hours=h, minutes=1)))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+    got = sorted(
+        cusum_drift(ev, k_sigma=0.5, h_sigma=4.0).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert len(got) == len(counts)
+
+    n = len(counts)
+    s1, s2 = sum(counts), sum(c * c for c in counts)
+    mu = s1 / n
+    sigma = math.sqrt(max((n * s2 - s1 * s1) / (n * n), 0.0))
+    s_ref, alarms = 0.0, []
+    for c, r in zip(counts, got):
+        s_ref = max(0.0, s_ref + (c - mu - 0.5 * sigma))
+        assert abs(r["cusum"] - round(s_ref, 6)) <= 1e-6
+        alarms.append(r["alarm"])
+    assert not any(alarms[:48])          # stable prefix: quiet
+    assert any(alarms[48:])              # sustained shift: alarm fires
+
+
+def test_cusum_resets_after_excursion(spark):
+    """A single spike followed by a long quiet run drains S back to ~0
+    (the max(0, .) clamp) — pin that the identity reproduces the drain."""
+    import datetime as dt
+
+    from otlp_cardinality_checker_spark.operators.anomaly import cusum_drift
+
+    base = dt.datetime(2024, 1, 1)
+    counts = [5] * 10 + [50] + [5] * 30
+    rows, eid = [], 0
+    for h, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, "a", base + dt.timedelta(hours=h, minutes=1)))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+    got = sorted(cusum_drift(ev).collect(), key=lambda r: r["bucket"])
+    assert got[10]["cusum"] > got[9]["cusum"]      # spike raises S
+    assert got[-1]["cusum"] == 0.0                 # long quiet run drains it

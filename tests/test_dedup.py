@@ -691,3 +691,24 @@ def test_dup_source_matrix_canon_and_pairs(spark):
         for r in dup_source_matrix(docs).collect()
     }
     assert got == {("s1", "s2"): 1, ("s1", "s3"): 1}
+
+
+def test_norm_dedup_gain_hand_case(spark):
+    from otlp_cardinality_checker_spark.operators.dedup import norm_dedup_gain
+
+    rows = [
+        (0, "a", "Request 123 done"),
+        (1, "a", "request 456   done"),   # same after norm, distinct raw
+        (2, "a", "request # done"),       # digit-mask collides with 0/1
+        (3, "a", "totally different"),
+        (4, "b", "x"), (5, "b", "x"),     # raw dup: norm adds nothing
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in norm_dedup_gain(df).collect()}
+    a = got["a"]
+    assert a["n_rows"] == 4 and a["n_raw_distinct"] == 4
+    assert a["n_norm_distinct"] == 2
+    assert a["reveal_gain"] == 0.5
+    b = got["b"]
+    assert b["n_raw_distinct"] == 1 and b["n_norm_distinct"] == 1
+    assert b["reveal_gain"] == 0.0 and b["raw_dup_share"] == 0.5
