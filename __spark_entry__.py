@@ -2379,6 +2379,18 @@ def q_norm_dedup_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return norm_dedup_gain(_transcripts(spark, sf_dir), by="role")
 
 
+
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 symmetric-quantization audit per label: reconstruction
+    noise power and SNR — row-local folds, one agg, no explode."""
+    from otlp_cardinality_checker_spark.operators.similarity import (
+        embedding_quantization,
+    )
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_quantization(vecs)
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -2756,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_audit": q_winsorize_audit,
         "cusum_drift": q_cusum_drift,
         "norm_dedup_gain": q_norm_dedup_gain,
+        "embedding_quantization": q_embedding_quantization,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -5001,6 +5014,41 @@ SELECT role, n_rows, n_raw_distinct, n_norm_distinct,
          AS norm_dup_share,
        round((n_raw_distinct - n_norm_distinct) * 1.0 / n_raw_distinct, 6)
          AS reveal_gain
+FROM a
+""",
+        "embedding_quantization": """
+WITH e AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), f AS (
+  SELECT label,
+         list_max(list_transform(v, x -> abs(x))) AS maxabs,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale,
+         v
+  FROM e
+), g AS (
+  SELECT label, scale,
+         list_sum(list_transform(v, x -> x * x)) AS sig,
+         CASE WHEN maxabs = 0 THEN 0.0 ELSE
+           list_sum(list_transform(v, x ->
+             (x - scale * greatest(-127.0,
+                  least(127.0, round(x / scale, 0))))
+             * (x - scale * greatest(-127.0,
+                  least(127.0, round(x / scale, 0))))))
+         END AS err
+  FROM f
+), a AS (
+  SELECT label, count(*) AS n_vecs, avg(scale) AS avg_s,
+         sum(sig) AS sp, sum(err) AS np_
+  FROM g GROUP BY 1
+)
+SELECT label, n_vecs,
+       round(avg_s, 8) AS avg_scale,
+       round(sp, 6) AS signal_power,
+       round(np_, 6) AS noise_power,
+       round(CASE WHEN np_ > 0.0 THEN 10.0 * log10(sp / np_) END, 4)
+         AS snr_db
 FROM a
 """,
         "fd_audit": """

@@ -642,3 +642,93 @@ def embedding_health(
         (norm == 0.0).alias("is_zero"),
         F.exists(e, lambda x: F.isnan(x)).alias("has_nan"),
     )
+
+
+def embedding_quantization(
+    vecs: DataFrame,
+    vec_col: str = "embedding",
+    by: str = "label",
+    n_bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector int-quantization audit: the storage decision
+    every 100-TB embedding corpus faces is float32 -> int8 (4x smaller,
+    SIMD-friendly distance kernels); this operator reports what that
+    costs BEFORE committing — per group: reconstruction error and
+    signal-to-noise of ``q_i = clamp(round(v_i / scale), -Q, Q)`` with
+    the standard per-vector symmetric scale ``scale = max|v| / Q``
+    (``Q = 2^(n_bits-1) - 1``).
+
+    Output grain: one row per group — ``(by, n_vecs, avg_scale,
+    signal_power, noise_power, snr_db)`` where powers are the group sums
+    of per-element ``v^2`` and ``(v - scale*q)^2`` and ``snr_db =
+    10*log10(signal/noise)``. Zero vectors contribute zero to both
+    powers (scale 0 reconstructs exactly).
+
+    Determinism: per-vector folds add elements in array order (both
+    engines share it); `round` ties go away-from-zero in Spark (HALF_UP)
+    and DuckDB alike, and tie inputs are vanishing on real floats; the
+    only cross-engine float drift is the final group sums (rounded 6dp,
+    psi/chi2 precedent).
+
+    Scale shape: pure row-local fold into ONE map-side-combined agg —
+    no explode (the per-element work stays inside two HOF folds per
+    row), no join, no window.
+    """
+    q_max = float((1 << (n_bits - 1)) - 1)
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    scale = maxabs / F.lit(q_max)
+    # reconstruction v_hat = scale * clamp(round(v/scale), -Q, Q);
+    # scale==0 => whole vector is zero => exact reconstruction
+    err = F.when(maxabs == 0.0, F.lit(0.0)).otherwise(
+        F.aggregate(
+            e,
+            F.lit(0.0),
+            # diff*diff, never pow(diff, 2): pow is not guaranteed to
+            # equal the exact product, and the oracle multiplies
+            lambda acc, x: acc
+            + (
+                x
+                - scale
+                * F.greatest(
+                    F.lit(-q_max),
+                    F.least(F.lit(q_max), F.round(x / scale, 0)),
+                )
+            )
+            * (
+                x
+                - scale
+                * F.greatest(
+                    F.lit(-q_max),
+                    F.least(F.lit(q_max), F.round(x / scale, 0)),
+                )
+            ),
+        )
+    )
+    sig = F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x)
+    rows = vecs.select(
+        F.col(by).alias("grp"),
+        scale.alias("_s"),
+        sig.alias("_sig"),
+        err.alias("_err"),
+    )
+    agg = rows.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.avg("_s").alias("avg_s"),
+        F.sum("_sig").alias("sp"),
+        F.sum("_err").alias("np_"),
+    )
+    return agg.select(
+        F.col("grp").alias(by),
+        "n_vecs",
+        F.round(F.col("avg_s"), 8).alias("avg_scale"),
+        F.round(F.col("sp"), 6).alias("signal_power"),
+        F.round(F.col("np_"), 6).alias("noise_power"),
+        F.round(
+            F.when(
+                F.col("np_") > 0.0,
+                F.lit(10.0) * F.log(10.0, F.col("sp") / F.col("np_")),
+            ),
+            4,
+        ).alias("snr_db"),
+    )

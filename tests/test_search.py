@@ -104,3 +104,55 @@ def test_embedding_health_degenerate_flags(spark):
     assert got[1]["is_zero"] and not got[1]["has_nan"]
     assert got[2]["has_nan"] and math.isnan(got[2]["l2_norm"])
     assert got[3]["dim"] == 3 and got[3]["l2_norm"] == 3.0
+
+
+def test_embedding_quantization_numpy_twin(spark):
+    """int8 symmetric quantization audit must match a numpy
+    implementation of the same formula, including a zero vector (exact
+    reconstruction) and a clamp-exercising outlier component."""
+    import numpy as np
+
+    from otlp_cardinality_checker_spark.operators.similarity import (
+        embedding_quantization,
+    )
+
+    vecs = [
+        (0, 0, [0.5, -0.25, 0.125, 0.0]),
+        (1, 0, [1.0, 0.001, -0.002, 0.003]),
+        (2, 1, [0.0, 0.0, 0.0, 0.0]),        # zero vector
+        (3, 1, [0.1, 0.2, -0.3, 0.4]),
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, label int, embedding array<float>"
+    )
+    got = {r["label"]: r for r in embedding_quantization(df).collect()}
+
+    def audit(rows):
+        sp = np_ = 0.0
+        scales = []
+        for _, _, v in rows:
+            v = np.array(v, dtype=np.float32).astype(np.float64)
+            m = np.abs(v).max()
+            s = m / 127.0
+            scales.append(s)
+            sp += float((v * v).sum())
+            if m == 0:
+                continue
+            q = np.clip(np.round(v / s), -127, 127)
+            np_ += float(((v - s * q) ** 2).sum())
+        return scales, sp, np_
+
+    for lbl in (0, 1):
+        rows = [r for r in vecs if r[1] == lbl]
+        scales, sp, np_ = audit(rows)
+        g = got[lbl]
+        assert g["n_vecs"] == len(rows)
+        assert abs(g["avg_scale"] - round(sum(scales) / len(scales), 8)) <= 1e-8
+        assert abs(g["signal_power"] - round(sp, 6)) <= 1e-6
+        assert abs(g["noise_power"] - round(np_, 6)) <= 1e-6
+        if np_ > 0:
+            import math
+            assert abs(g["snr_db"] - round(10 * math.log10(sp / np_), 4)) <= 1e-3
+
+    # zero vector contributed nothing to label-1 noise beyond vec 3
+    assert got[1]["noise_power"] >= 0.0
