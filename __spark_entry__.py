@@ -2391,6 +2391,22 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_quantization(vecs)
 
 
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs (subset/excerpt detector);
+    max_df=None opt-in so the uncapped DuckDB oracle sees identical
+    pair sets (operator default stays capped for web scale)."""
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        containment_pairs,
+        word_shingles,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return containment_pairs(
+        word_shingles(docs), min_containment=0.5, max_df=None
+    )
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -2769,6 +2785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_drift": q_cusum_drift,
         "norm_dedup_gain": q_norm_dedup_gain,
         "embedding_quantization": q_embedding_quantization,
+        "containment_pairs": q_containment_pairs,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -5050,6 +5067,33 @@ SELECT label, n_vecs,
        round(CASE WHEN np_ > 0.0 THEN 10.0 * log10(sp / np_) END, 4)
          AS snr_db
 FROM a
+""",
+        "containment_pairs": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), shingled AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+         THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                             for i in range(1, len(t) - 1)])
+         ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+), pairs AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_common
+  FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(shingles) AS n FROM shingled)
+SELECT doc_a, doc_b, n_common,
+  CAST(sa.n AS INT) AS size_a, CAST(sb.n AS INT) AS size_b,
+  round(CAST(n_common AS DOUBLE) / least(sa.n, sb.n), 6) AS containment,
+  round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / least(sa.n, sb.n) >= 0.5
 """,
         "fd_audit": """
 WITH k AS (

@@ -921,3 +921,73 @@ def norm_dedup_gain(
             6,
         ).alias("reveal_gain"),
     )
+
+
+def containment_pairs(
+    shingled: DataFrame,
+    min_containment: float = 0.5,
+    max_df: int | None = DEFAULT_MAX_DF,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT join: pairs where the smaller
+    document's shingle set is (mostly) a subset of the larger's —
+    ``containment = |A ∩ B| / min(|A|, |B|)``. This is the quote/
+    excerpt/boilerplate-wrapper detector Jaccard structurally misses: a
+    200-token snippet fully embedded in a 20k-token page has containment
+    1.0 but Jaccard ~0.01, so a Jaccard-thresholded dedup keeps both and
+    the snippet trains twice. (Broder's resemblance vs containment
+    distinction — the two have needed separate thresholds since the
+    original shingling work.)
+
+    Output grain: one row per pair passing the UNROUNDED threshold —
+    ``(doc_a, doc_b, n_common, size_a, size_b, containment, jaccard)``
+    (jaccard included for the contrast audit: high-containment/low-
+    jaccard rows are the subset relationships).
+
+    Scale shape: identical to `exact_jaccard` — the capped inverted-index
+    equi-join (stop-grams dropped, per-shingle fan-out bounded by
+    ``max_df^2/2``), pair grain only for docs sharing >=1 surviving
+    shingle; sizes join on the filtered sets. No new shuffle surface.
+    """
+    inv, sizes = _capped_inverted_index(shingled, max_df)
+    pairs = (
+        inv.alias("l")
+        .join(
+            inv.alias("r"),
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    with_sizes = (
+        pairs.join(
+            sizes.withColumnsRenamed(
+                {"doc_id": "doc_a", "n_shingles": "size_a"}
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnsRenamed(
+                {"doc_id": "doc_b", "n_shingles": "size_b"}
+            ),
+            "doc_b",
+        )
+    )
+    cont = F.col("n_common") / F.least(F.col("size_a"), F.col("size_b"))
+    jac = F.col("n_common") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
+    return (
+        with_sizes.where(cont >= min_containment)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "size_a",
+            "size_b",
+            F.round(cont, 6).alias("containment"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

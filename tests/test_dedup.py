@@ -712,3 +712,51 @@ def test_norm_dedup_gain_hand_case(spark):
     b = got["b"]
     assert b["n_raw_distinct"] == 1 and b["n_norm_distinct"] == 1
     assert b["reveal_gain"] == 0.0 and b["raw_dup_share"] == 0.5
+
+
+def test_containment_catches_subset_that_jaccard_misses(spark):
+    """A short doc fully embedded in a long doc: containment 1.0 but
+    Jaccard far below any dedup threshold — the pair must appear in
+    containment_pairs and NOT in exact_jaccard at matching bars."""
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        containment_pairs,
+        exact_jaccard,
+        word_shingles,
+    )
+
+    snippet = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        (0, snippet),                      # the excerpt
+        (1, f"{filler} {snippet}"),        # page embedding the excerpt
+        (2, "totally unrelated words here only"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = word_shingles(docs)
+
+    cont = containment_pairs(sh, min_containment=0.9, max_df=None).collect()
+    assert len(cont) == 1
+    p = cont[0]
+    assert (p["doc_a"], p["doc_b"]) == (0, 1)
+    assert p["containment"] == 1.0
+    assert p["jaccard"] < 0.1                     # Jaccard can't see it
+
+    jac = exact_jaccard(sh, min_jaccard=0.5, max_df=None).collect()
+    assert all((r["doc_a"], r["doc_b"]) != (0, 1) for r in jac)
+
+
+def test_containment_respects_max_df_cap(spark):
+    """With a df cap, stop-grams drop out of BOTH the intersection and
+    the sizes — a pair whose overlap is all stop-grams disappears."""
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        containment_pairs,
+        word_shingles,
+    )
+
+    common = "the quick brown fox jumps"
+    rows = [(i, f"{common} tail{i} end{i} x{i}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = word_shingles(docs)
+    capped = containment_pairs(sh, min_containment=0.5, max_df=3).collect()
+    # every shared shingle has df=6 > 3 -> all dropped -> no pairs
+    assert capped == []
