@@ -2407,6 +2407,18 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier audit on events.value per event_type
+    (modified z-score, Iglewicz-Hoaglin 3.5 bar)."""
+    from otlp_cardinality_checker_spark.operators.anomaly import (
+        robust_outliers,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return robust_outliers(ev)
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -2786,6 +2798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "norm_dedup_gain": q_norm_dedup_gain,
         "embedding_quantization": q_embedding_quantization,
         "containment_pairs": q_containment_pairs,
+        "robust_outliers": q_robust_outliers,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -5094,6 +5107,35 @@ FROM pairs
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(n_common AS DOUBLE) / least(sa.n, sb.n) >= 0.5
+""",
+        "robust_outliers": """
+WITH v AS (
+  SELECT event_type AS grp, value AS v FROM events WHERE value IS NOT NULL
+), m AS (
+  SELECT grp, quantile_cont(v, 0.5) AS med FROM v GROUP BY 1
+), d AS (
+  SELECT v.grp, v.v, m.med, abs(v.v - m.med) AS ad
+  FROM v JOIN m USING (grp)
+), md AS (
+  SELECT grp, quantile_cont(ad, 0.5) AS mad FROM d GROUP BY 1
+), j AS (
+  SELECT d.grp, d.v, d.med, d.ad, md.mad,
+         CASE WHEN md.mad > 0.0
+              THEN d.ad / (1.4826 * md.mad) END AS z
+  FROM d JOIN md USING (grp)
+)
+SELECT grp AS event_type,
+       count(*) AS n_rows,
+       round(max(med), 6) AS median,
+       round(max(mad), 6) AS mad,
+       CAST(sum(CASE WHEN z > 3.5 THEN 1
+                     WHEN z IS NULL THEN NULL ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       round(sum(CASE WHEN z > 3.5 THEN 1
+                      WHEN z IS NULL THEN NULL ELSE 0 END) * 1.0
+             / count(*), 6) AS outlier_share,
+       round(max(z), 4) AS max_robust_z
+FROM j GROUP BY 1
 """,
         "fd_audit": """
 WITH k AS (

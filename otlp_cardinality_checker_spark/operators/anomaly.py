@@ -232,3 +232,74 @@ def cusum_drift(
         F.round(s_t, 6).alias("cusum"),
         (s_t > F.lit(h_sigma) * F.col("sigma")).alias("alarm"),
     )
+
+
+def robust_outliers(
+    events: DataFrame,
+    by: str = "event_type",
+    value_col: str = "value",
+    z_max: float = 3.5,
+) -> DataFrame:
+    """Median/MAD robust outlier audit per group — the heavy-tail-safe
+    counterpart to `winsorize_audit`'s quantile clip and `volume_spikes`'
+    mean/sigma z-score: one extreme value inflates a mean-based sigma
+    enough to hide its own outlierness, while the median absolute
+    deviation barely moves. Flags rows with modified z-score
+    ``|v - median| / (1.4826 * MAD) > z_max`` (1.4826 = the normal
+    consistency constant, z_max 3.5 per Iglewicz-Hoaglin).
+
+    Both the median and the MAD are EXACT interpolated percentiles (the
+    repo's bit-exact `F.percentile` / `quantile_cont` pair), so the
+    flagged counts are reproducible integers. ``MAD == 0`` (over half
+    the group identical) makes the score undefined — those groups report
+    NULL outlier columns rather than dividing by zero or silently
+    flagging everything.
+
+    Output grain: one row per group — ``(by, n_rows, median, mad,
+    n_outliers, outlier_share, max_robust_z)``.
+
+    Scale shape: three passes over the (group-pruned) scan — median agg,
+    MAD agg over |v - median|, accounting agg — each one map-side-
+    combinable hash agg with the tiny per-group stats broadcast back;
+    no window, no pair join. Swap the exact percentiles for
+    `quantiles.py` sketches to fuse passes when exactness can yield.
+    """
+    vals = events.where(F.col(value_col).isNotNull()).select(
+        F.col(by).alias("grp"), F.col(value_col).alias("v")
+    )
+    med = vals.groupBy("grp").agg(
+        F.percentile(F.col("v"), F.lit(0.5)).alias("med")
+    )
+    dev = vals.join(F.broadcast(med), "grp").select(
+        "grp", "v", "med", F.abs(F.col("v") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("grp").agg(
+        F.percentile(F.col("ad"), F.lit(0.5)).alias("mad")
+    )
+    # guard INSIDE the expression: ANSI mode turns mad==0 divisions into
+    # runtime errors, not infinities — the WHEN must gate the division
+    z = F.when(
+        F.col("mad") > 0.0, F.col("ad") / (F.lit(1.4826) * F.col("mad"))
+    )
+    j = dev.join(F.broadcast(mad), "grp")
+    return (
+        j.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.max("med"), 6).alias("median"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum((z > z_max).cast("long")).alias("n_outliers"),
+            F.round(F.max(z), 4).alias("max_robust_z"),
+        )
+        .select(
+            F.col("grp").alias(by),
+            "n_rows",
+            "median",
+            "mad",
+            "n_outliers",
+            F.round(F.col("n_outliers") / F.col("n_rows"), 6).alias(
+                "outlier_share"
+            ),
+            "max_robust_z",
+        )
+    )

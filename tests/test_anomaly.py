@@ -167,3 +167,43 @@ def test_cusum_resets_after_excursion(spark):
     got = sorted(cusum_drift(ev).collect(), key=lambda r: r["bucket"])
     assert got[10]["cusum"] > got[9]["cusum"]      # spike raises S
     assert got[-1]["cusum"] == 0.0                 # long quiet run drains it
+
+
+def test_robust_outliers_catches_what_sigma_hides(spark):
+    """99 values near 10 plus one at 10_000: the outlier inflates a
+    mean/sigma z below 3.5 zmax... but the modified z flags it; and a
+    constant group (MAD 0) reports NULL outlier columns, never
+    divide-by-zero flags."""
+    import numpy as np
+
+    from otlp_cardinality_checker_spark.operators.anomaly import (
+        robust_outliers,
+    )
+
+    base = [10.0 + (i % 7) * 0.1 for i in range(99)]
+    vals = base + [10_000.0]
+    rows = [(i, "a", v) for i, v in enumerate(vals)]
+    rows += [(200 + i, "const", 5.0) for i in range(10)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    got = {r["event_type"]: r for r in robust_outliers(ev).collect()}
+
+    a = np.array(vals)
+    med = float(np.quantile(a, 0.5))
+    mad = float(np.quantile(np.abs(a - med), 0.5))
+    g = got["a"]
+    assert g["n_rows"] == 100
+    assert abs(g["median"] - round(med, 6)) <= 1e-6
+    assert abs(g["mad"] - round(mad, 6)) <= 1e-6
+    assert g["n_outliers"] == int((np.abs(a - med) / (1.4826 * mad) > 3.5).sum())
+    assert g["n_outliers"] >= 1           # the planted outlier is flagged
+    # classic mean/sigma z of the same point stays under ~10 while the
+    # robust z is astronomically larger — the masking effect, quantified
+    sigma = a.std()
+    assert (10_000.0 - a.mean()) / sigma < 10.0
+    assert g["max_robust_z"] > 1000.0
+
+    c = got["const"]
+    assert c["mad"] == 0.0
+    assert c["n_outliers"] is None and c["max_robust_z"] is None
