@@ -170,6 +170,23 @@ def main() -> None:
             sum(per_q.values()) / (len(per_q) * args.n), 4
         )
 
+    # embedding_quantization: row-local HOF folds into one agg — wall
+    # time must track the scan; label = vec_id % 16 keeps the group
+    # count bounded
+    from otlp_cardinality_checker_spark.operators.similarity import (
+        embedding_quantization,
+    )
+
+    t0 = time.time()
+    q = embedding_quantization(
+        corpus.withColumn("label", F.pmod(F.col("vec_id"), F.lit(16))),
+        by="label",
+    ).collect()
+    out["quantization_sec"] = round(time.time() - t0, 1)
+    out["quantization_snr_db_min"] = min(
+        r["snr_db"] for r in q if r["snr_db"] is not None
+    )
+
     print(json.dumps(out))
     spark.stop()
 

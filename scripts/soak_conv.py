@@ -194,6 +194,27 @@ def main() -> None:
     out["response_markers_sec"] = round(time.time() - t0, 1)
     out["marker_matched_turns"] = row["matched"]
 
+    # code_detect / norm_dedup_gain: pure single-scan aggs — wall time
+    # is the scan, shuffle is #groups rows (scale-proof by construction)
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        norm_dedup_gain,
+    )
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        code_detect,
+    )
+
+    t0 = time.time()
+    cd = code_detect(turns, by="role").collect()
+    out["code_detect_sec"] = round(time.time() - t0, 1)
+    out["code_share_by_role"] = {
+        r["role"]: round(r["code_share"], 3) for r in cd
+    }
+
+    t0 = time.time()
+    ng = norm_dedup_gain(turns, by="role").collect()
+    out["norm_gain_sec"] = round(time.time() - t0, 1)
+    out["norm_reveal_gain_max"] = max(r["reveal_gain"] for r in ng)
+
     sampler.stop()
     out["jvm_peak_rss_gb"] = round(sampler.peak_kb / 1024 / 1024, 2)
     try:

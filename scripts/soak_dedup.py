@@ -175,6 +175,23 @@ def main() -> None:
         sums[engine] = row["h"]
     out["simhash_engines_agree"] = sums["sql"] == sums["pandas"]
 
+    # containment_pairs (capped): same inverted-index join budget as the
+    # k-gram Jaccard leg — the leg pins that adding the asymmetric
+    # containment grain does not change the candidate-pair envelope
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        containment_pairs,
+        word_shingles,
+    )
+
+    t0 = time.time()
+    cp = (
+        containment_pairs(word_shingles(docs), min_containment=0.9)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()[0]["n"]
+    )
+    out["containment_sec"] = round(time.time() - t0, 1)
+    out["containment_pairs"] = cp
+
     sampler.stop()
     out["jvm_peak_rss_gb"] = round(sampler.peak_kb / 1024 / 1024, 2)
     try:

@@ -202,6 +202,40 @@ def main() -> None:
     out["length_buckets_sec"] = round(time.time() - t0, 1)
     out["pad_waste_total"] = sum(r["pad_tokens"] for r in lb)
 
+    # zipf_fit: same (group, token) exchange as vocab_stats plus a
+    # rank window on the VOCAB grain — wall time must stay in vocab_stats'
+    # family, not the corpus's.
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        zipf_fit,
+    )
+
+    t0 = time.time()
+    zf = zipf_fit(docs, by="source", top_n=128).collect()
+    out["zipf_sec"] = round(time.time() - t0, 1)
+    out["zipf_slopes"] = sorted(
+        round(r["zipf_slope"], 2) for r in zf if r["zipf_slope"] is not None
+    )[:3]
+
+    # shard_plan: the three-level hierarchical cumsum — the claim is NO
+    # global sort (window partitions bounded by block_size / blocks-per-
+    # source) while still equaling a flat corpus-wide cumsum.
+    from otlp_cardinality_checker_spark.operators.packing import shard_plan
+
+    t0 = time.time()
+    sp = shard_plan(docs, budget=100_000, block_size=4096).collect()
+    out["shard_plan_sec"] = round(time.time() - t0, 1)
+    out["shard_plan_shards"] = len(sp)
+    out["shard_plan_tokens"] = sum(r["shard_tokens"] for r in sp)
+    out["shard_plan_max_skew"] = (
+        round(
+            max(r["shard_tokens"] for r in sp)
+            / (sum(r["shard_tokens"] for r in sp) / len(sp)),
+            3,
+        )
+        if sp
+        else None
+    )
+
     sampler.stop()
     out["jvm_peak_rss_gb"] = round(sampler.peak_kb / 1024 / 1024, 2)
     try:
