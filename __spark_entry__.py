@@ -2419,6 +2419,17 @@ def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robust_outliers(ev)
 
 
+
+def q_pii_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII value propagation across conversation turns, per pattern
+    class — staged extraction mirrors pii_scan's redaction contract."""
+    from otlp_cardinality_checker_spark.operators.pii import (
+        pii_propagation,
+    )
+
+    return pii_propagation(_transcripts(spark, sf_dir))
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -2799,6 +2810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantization": q_embedding_quantization,
         "containment_pairs": q_containment_pairs,
         "robust_outliers": q_robust_outliers,
+        "pii_propagation": q_pii_propagation,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -5137,6 +5149,10 @@ SELECT grp AS event_type,
        round(max(z), 4) AS max_robust_z
 FROM j GROUP BY 1
 """,
+        "pii_propagation": f"""
+WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}'))
+{_pii_propagation_sql()}
+""",
         "fd_audit": """
 WITH k AS (
   SELECT user_id, count(*) AS rows_, count(DISTINCT event_type) AS nrhs
@@ -6068,6 +6084,42 @@ FROM a CROSS JOIN t
     )
     return oracles
 
+
+
+def _pii_propagation_sql() -> str:
+    """Generated from the SAME pattern table as the operator (the
+    _pii_stats_sql contract): class i extracted from text already
+    redacted by classes 0..i-1."""
+    from otlp_cardinality_checker_spark.operators.pii import PII_PATTERNS
+
+    selects = []
+    staged = "coalesce(text, '')"
+    for name, pat, placeholder in PII_PATTERNS:
+        selects.append(
+            f"SELECT conv_id, turn_idx, '{name}' AS kind,\n"
+            f"       unnest(regexp_extract_all({staged}, '{pat}')) AS v\n"
+            f"FROM t"
+        )
+        staged = f"regexp_replace({staged}, '{pat}', '{placeholder}', 'g')"
+    union = "\n  UNION ALL\n  ".join(selects)
+    return f"""
+, hits AS (
+  {union}
+), pv AS (
+  SELECT kind, conv_id, v, count(DISTINCT turn_idx) AS n_turns,
+         min(turn_idx) AS ft, max(turn_idx) AS lt
+  FROM hits GROUP BY 1, 2, 3
+)
+SELECT kind, count(*) AS n_values,
+  CAST(sum(CASE WHEN n_turns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_propagated,
+  round(sum(CASE WHEN n_turns > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+    AS propagation_rate,
+  CAST(max(lt - ft) AS BIGINT) AS max_spread_turns,
+  round(avg(CASE WHEN n_turns > 1 THEN lt - ft END), 4)
+    AS avg_spread_turns
+FROM pv GROUP BY 1
+"""
 
 def _pii_stats_sql() -> str:
     """Generated from the SAME pattern table the Spark operator compiles,

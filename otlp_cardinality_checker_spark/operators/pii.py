@@ -190,3 +190,84 @@ def l_diversity(
             F.col("k") * F.col("n_classes") / F.col("n_total"), 6
         ).alias("row_share"),
     )
+
+
+def pii_propagation(turns: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII propagation audit: once a concrete identifier value (a UUID,
+    email, IP, long number) enters a conversation, does it REAPPEAR in
+    later turns? Redaction-at-ingest only has to catch the first
+    occurrence; assistant echoes, tool results, and quoted context then
+    re-leak the same value — the propagation rate is the number that
+    says whether per-turn scanning suffices or conversation-level
+    scrubbing is needed.
+
+    Pattern class i is extracted from text already redacted by classes
+    0..i-1 — the SAME staging contract as `pii_scan` (a UUID's 12-hex
+    tail never double-counts as a long number).
+
+    Output grain: one row per pattern class with >=1 match —
+    ``(kind, n_values, n_propagated, propagation_rate,
+    max_spread_turns, avg_spread_turns)`` where a "value" is a distinct
+    (conversation, matched string) pair, "propagated" means it appears
+    in more than one distinct turn, and spread is last_turn -
+    first_turn (avg over propagated values only).
+
+    Scale shape: ONE scan (the four staged extracts fold into one
+    projection; per-kind match arrays flatten into a single explode);
+    then one hash agg to the (kind, conv, value) grain — bounded by
+    actual match volume, not turns — and a tiny per-kind fold. Matched
+    strings are short (<= a few dozen bytes) so the value-grain shuffle
+    stays narrow; swap in md5(v) as the group key if a corpus ever
+    carries pathological match lengths.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+
+    # a 1-arg closure per kind: a 2-parameter lambda would be read by
+    # F.transform as (element, index) and the index would shadow the kind
+    def _tag(kind: str):
+        return lambda v: F.struct(F.lit(kind).alias("kind"), v.alias("v"))
+
+    arrs = [
+        F.transform(
+            F.regexp_extract_all(
+                _redact_chain(txt, i), F.lit(pat), F.lit(0)
+            ),
+            _tag(name),
+        )
+        for i, (name, pat, _ph) in enumerate(PII_PATTERNS)
+    ]
+    hits = (
+        turns.select(
+            "conv_id",
+            "turn_idx",
+            F.explode_outer(F.flatten(F.array(*arrs))).alias("h"),
+        )
+        .where(F.col("h").isNotNull())
+        .select("conv_id", "turn_idx", F.col("h.kind").alias("kind"),
+                F.col("h.v").alias("v"))
+    )
+    per_val = hits.groupBy("kind", "conv_id", "v").agg(
+        F.countDistinct("turn_idx").alias("n_turns"),
+        F.min("turn_idx").alias("ft"),
+        F.max("turn_idx").alias("lt"),
+    )
+    return per_val.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum((F.col("n_turns") > 1).cast("long")).alias("n_propagated"),
+        F.round(
+            F.sum((F.col("n_turns") > 1).cast("long"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("propagation_rate"),
+        F.max((F.col("lt") - F.col("ft")).cast("long")).alias(
+            "max_spread_turns"
+        ),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("n_turns") > 1, F.col("lt") - F.col("ft")
+                )
+            ),
+            4,
+        ).alias("avg_spread_turns"),
+    )

@@ -1353,3 +1353,37 @@ def test_epoch_plan_schedule_and_budget_coherence(spark):
         epoch_plan(docs, budget_tokens=0)
     with _pytest.raises(ValueError):
         epoch_plan(docs, budget_tokens=10, max_epochs=0)
+
+
+def test_pii_propagation_echo_vs_one_shot(spark):
+    """A UUID echoed by the assistant two turns later is propagated
+    (spread 2); a one-shot email is not; a UUID's hex tail must never
+    leak into the longnum class (staging contract)."""
+    from otlp_cardinality_checker_spark.operators.pii import pii_propagation
+
+    u = "deadbeef-1234-5678-9abc-def012345678"
+    rows = [
+        ("c1", 0, f"ticket {u} opened"),
+        ("c1", 1, "looking into it"),
+        ("c1", 2, f"resolved {u} now"),          # echo -> propagated
+        ("c1", 3, "contact ops@example.com"),     # one-shot email
+        ("c2", 0, f"unrelated {u} mention"),      # same value, other conv
+        ("c2", 1, "account 1234567 charged"),
+        ("c2", 4, "account 1234567 refunded"),    # longnum echo, spread 3
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {r["kind"]: r for r in pii_propagation(df).collect()}
+
+    uu = got["uuid"]
+    assert uu["n_values"] == 2            # (c1, u) and (c2, u) are distinct
+    assert uu["n_propagated"] == 1 and uu["max_spread_turns"] == 2
+    assert uu["propagation_rate"] == 0.5
+
+    em = got["email"]
+    assert em["n_values"] == 1 and em["n_propagated"] == 0
+    assert em["avg_spread_turns"] is None
+
+    ln = got["longnum"]
+    # only the account number: the UUID tail was redacted before this class
+    assert ln["n_values"] == 1
+    assert ln["n_propagated"] == 1 and ln["max_spread_turns"] == 3
