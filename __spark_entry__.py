@@ -2430,6 +2430,28 @@ def q_pii_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_propagation(_transcripts(spark, sf_dir))
 
 
+
+def q_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-8-token prefix duplication per role over the transcripts
+    (shared-opener audit; md5-digest prefix grain)."""
+    from otlp_cardinality_checker_spark.operators.dedup import prefix_dups
+
+    return prefix_dups(_transcripts(spark, sf_dir), by="role", k=8)
+
+
+def q_jaccard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative dedup-yield curve over Jaccard thresholds 0.1..0.9 in
+    one pass; integer cross-multiplication thresholding, uncapped
+    oracle opt-in (operator default stays capped)."""
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        jaccard_threshold_curve,
+        word_shingles,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return jaccard_threshold_curve(word_shingles(docs), max_df=None)
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -2811,6 +2833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "robust_outliers": q_robust_outliers,
         "pii_propagation": q_pii_propagation,
+        "prefix_dups": q_prefix_dups,
+        "jaccard_curve": q_jaccard_curve,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -5152,6 +5176,61 @@ FROM j GROUP BY 1
         "pii_propagation": f"""
 WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}'))
 {_pii_propagation_sql()}
+""",
+        "prefix_dups": f"""
+WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}')),
+p AS (
+  SELECT role,
+         md5(array_to_string(
+           list_filter(string_split_regex(
+             lower(trim(coalesce(text, ''))), '\\s+'), x -> x <> '')[1:8],
+           ' ')) AS pfp
+  FROM t
+), g AS (
+  SELECT role, pfp, count(*) AS c FROM p GROUP BY 1, 2
+)
+SELECT role,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       count(*) AS n_prefixes,
+       round(1.0 - count(*) * 1.0 / sum(c), 6) AS prefix_dup_share,
+       CAST(max(c) AS BIGINT) AS max_prefix_count
+FROM g GROUP BY 1
+""",
+        "jaccard_curve": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), shingled AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+         THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                             for i in range(1, len(t) - 1)])
+         ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+), pairs AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS nc
+  FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(shingles) AS n FROM shingled),
+pu AS (
+  SELECT nc, sa.n + sb.n - nc AS un
+  FROM pairs
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+), tot AS (SELECT count(*) AS candidate_pairs FROM pu),
+td AS (SELECT unnest(range(1, 10)) AS t),
+curve AS (
+  SELECT td.t, count(pu.nc) AS n_pairs
+  FROM td LEFT JOIN pu ON pu.nc * 10 >= td.t * pu.un
+  GROUP BY 1
+)
+SELECT t / 10.0 AS threshold,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(candidate_pairs AS BIGINT) AS candidate_pairs,
+       round(n_pairs * 1.0 / candidate_pairs, 6) AS share
+FROM curve CROSS JOIN tot
 """,
         "fd_audit": """
 WITH k AS (

@@ -991,3 +991,129 @@ def containment_pairs(
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+def prefix_dups(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Prompt-prefix duplication audit: how much of each group starts
+    with the same first-``k`` tokens. SFT and RAG corpora accumulate
+    shared openers ("You are a helpful...", boilerplate headers, log
+    preambles); full-text dedup keeps them all, but a model trained on
+    them overweights the opener distribution — this audit is the number
+    reviewed before prefix-aware sampling.
+
+    Output grain: one row per group — ``(by, n_rows, n_prefixes,
+    prefix_dup_share, max_prefix_count)`` where ``prefix_dup_share =
+    1 - n_prefixes/n_rows`` and ``max_prefix_count`` is the largest
+    single-prefix cohort.
+
+    Scale shape: ONE scan; the (group, prefix-digest) hash agg is the
+    only full-data exchange and shuffles fixed 16-byte md5 keys (never
+    text); the per-group fold then runs on the prefix grain.
+    """
+    toks = F.filter(
+        F.split(
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+            r"\s+",
+        ),
+        lambda x: x != F.lit(""),
+    )
+    pre = F.md5(F.concat_ws(" ", F.slice(toks, 1, k)))
+    grain = (
+        df.select(F.col(by).alias("grp"), pre.alias("pfp"))
+        .groupBy("grp", "pfp")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        grain.groupBy("grp")
+        .agg(
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_prefixes"),
+            F.max("c").alias("max_prefix_count"),
+        )
+        .select(
+            F.col("grp").alias(by),
+            "n_rows",
+            "n_prefixes",
+            F.round(
+                F.lit(1.0) - F.col("n_prefixes") / F.col("n_rows"), 6
+            ).alias("prefix_dup_share"),
+            "max_prefix_count",
+        )
+    )
+
+
+def jaccard_threshold_curve(
+    shingled: DataFrame,
+    max_df: int | None = DEFAULT_MAX_DF,
+) -> DataFrame:
+    """Dedup-yield curve: how many candidate pairs survive each Jaccard
+    threshold 0.1..0.9 — computed in ONE pass over the SAME pair frame
+    `exact_jaccard` builds, so choosing a dedup bar stops being
+    run-the-pipeline-nine-times. The threshold tests are integer
+    cross-multiplications (``10*|∩| >= t*|∪|``) — no float ratio ever
+    crosses an engine boundary, so the curve is exact by construction.
+
+    Output grain: one row per threshold tenth — ``(threshold, n_pairs,
+    candidate_pairs, share)`` where ``candidate_pairs`` is the full
+    >=1-shared-shingle pair count (the curve's denominator, constant
+    across rows by design) and the curve is cumulative (a pair at
+    jaccard 0.45 counts under thresholds 0.1-0.4).
+
+    Scale shape: the capped inverted-index pair join (the family's
+    bounded candidate generator) feeds a pair-grain frame crossJoined
+    with a broadcast 9-row threshold dim; the final per-threshold agg is
+    map-side combined. Adding the curve costs one extra tiny agg over
+    what exact_jaccard already shuffles.
+    """
+    inv, sizes = _capped_inverted_index(shingled, max_df)
+    pairs = (
+        inv.alias("l")
+        .join(
+            inv.alias("r"),
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    with_sizes = (
+        pairs.join(
+            sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "sa"}),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "doc_b", "n_shingles": "sb"}),
+            "doc_b",
+        )
+        .select(
+            "nc", (F.col("sa") + F.col("sb") - F.col("nc")).alias("un")
+        )
+    )
+    spark = shingled.sparkSession
+    tdim = spark.range(1, 10).select(F.col("id").alias("t"))
+    tot = with_sizes.agg(F.count(F.lit(1)).alias("candidate_pairs"))
+    curve = (
+        with_sizes.crossJoin(F.broadcast(tdim))
+        .where(F.col("nc") * 10 >= F.col("t") * F.col("un"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    # right join the threshold dim so empty tenths still report 0
+    full = tdim.join(curve, "t", "left").select(
+        "t", F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs")
+    )
+    return full.crossJoin(F.broadcast(tot)).select(
+        (F.col("t") / F.lit(10.0)).alias("threshold"),
+        "n_pairs",
+        "candidate_pairs",
+        F.round(F.col("n_pairs") / F.col("candidate_pairs"), 6).alias(
+            "share"
+        ),
+    )

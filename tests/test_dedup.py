@@ -760,3 +760,45 @@ def test_containment_respects_max_df_cap(spark):
     capped = containment_pairs(sh, min_containment=0.5, max_df=3).collect()
     # every shared shingle has df=6 > 3 -> all dropped -> no pairs
     assert capped == []
+
+
+def test_prefix_dups_shared_opener(spark):
+    from otlp_cardinality_checker_spark.operators.dedup import prefix_dups
+
+    opener = "you are a helpful assistant that answers questions about"
+    rows = [(i, "sft", f"{opener} topic{i}") for i in range(5)]
+    rows += [(9, "sft", "completely different opener here")]
+    rows += [(10, "web", "every web doc starts differently " + "x" * 5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in prefix_dups(df, k=8).collect()}
+    s = got["sft"]
+    # first 8 tokens of the opener are identical across the 5 docs
+    assert s["n_rows"] == 6 and s["n_prefixes"] == 2
+    assert s["max_prefix_count"] == 5
+    assert abs(s["prefix_dup_share"] - round(1 - 2 / 6, 6)) <= 1e-6
+    assert got["web"]["prefix_dup_share"] == 0.0
+
+
+def test_jaccard_curve_cumulative_and_exact(spark):
+    """Three docs: an identical pair (jaccard 1.0) and a partial pair —
+    the curve must be cumulative, integer-exact at every tenth, and
+    report empty tenths as explicit zeros."""
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        jaccard_threshold_curve,
+        word_shingles,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta"
+    rows = [(0, a), (1, a), (2, "alpha beta gamma other words here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["threshold"]: r for r in
+           jaccard_threshold_curve(word_shingles(docs), max_df=None).collect()}
+    assert len(got) == 9
+    assert all(r["candidate_pairs"] == 3 for r in got.values())
+    # identical pair survives every tenth; counts are non-increasing
+    counts = [got[t / 10]["n_pairs"] for t in range(1, 10)]
+    assert counts[0] >= counts[-1] >= 1
+    assert all(x >= y for x, y in zip(counts, counts[1:]))
+    assert got[0.9]["n_pairs"] == 1          # only the identical pair
+    # shares are n_pairs / candidate_pairs
+    assert got[0.9]["share"] == round(1 / 3, 6)
