@@ -2452,6 +2452,30 @@ def q_jaccard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_threshold_curve(word_shingles(docs), max_df=None)
 
 
+
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 PMI collocations per source (min_count 5, marginals from
+    the bigram table — one tokenization pass)."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        pmi_bigrams,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pmi_bigrams(docs, by="source", k=10, min_count=5)
+
+
+def q_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the near-dup clustering (the dedup
+    review's first chart: singleton-dominated = healthy)."""
+    from otlp_cardinality_checker_spark.operators.graph import (
+        cluster_size_hist,
+        jaccard_clusters,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cluster_size_hist(jaccard_clusters(docs, min_jaccard=0.2, n=3))
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -2835,6 +2859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_propagation": q_pii_propagation,
         "prefix_dups": q_prefix_dups,
         "jaccard_curve": q_jaccard_curve,
+        "pmi_bigrams": q_pmi_bigrams,
+        "cluster_size_hist": q_cluster_size_hist,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -5231,6 +5257,87 @@ SELECT t / 10.0 AS threshold,
        CAST(candidate_pairs AS BIGINT) AS candidate_pairs,
        round(n_pairs * 1.0 / candidate_pairs, 6) AS share
 FROM curve CROSS JOIN tot
+""",
+        "pmi_bigrams": """
+WITH toks AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> length(x) >= 1) AS t
+  FROM documents
+), idx AS (
+  SELECT source, t, unnest(generate_series(1, length(t) - 1)) AS i
+  FROM toks
+), ex AS (
+  SELECT source, t[i] AS w1, t[i + 1] AS w2 FROM idx
+), grain AS (
+  SELECT source, w1, w2, count(*) AS c12 FROM ex GROUP BY 1, 2, 3
+), l AS (
+  SELECT source, w1, CAST(sum(c12) AS BIGINT) AS cl
+  FROM grain GROUP BY 1, 2
+), r AS (
+  SELECT source, w2, CAST(sum(c12) AS BIGINT) AS cr
+  FROM grain GROUP BY 1, 2
+), tt AS (
+  SELECT source, CAST(sum(c12) AS BIGINT) AS nb FROM grain GROUP BY 1
+), j AS (
+  SELECT g.source, g.w1, g.w2, g.c12,
+         ln(CAST(g.c12 AS DOUBLE) * CAST(nb AS DOUBLE)
+            / (CAST(cl AS DOUBLE) * CAST(cr AS DOUBLE))) AS pmi
+  FROM grain g
+  JOIN l USING (source, w1)
+  JOIN r USING (source, w2)
+  JOIN tt USING (source)
+  WHERE g.c12 >= 5
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rank
+  FROM j
+)
+SELECT source, w1, w2, c12 AS n_pair, round(pmi, 6) AS pmi,
+       CAST(rank AS INT) AS rank
+FROM rk WHERE rank <= 10
+""",
+        "cluster_size_hist": """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), shingled AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+         THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                             for i in range(1, len(t) - 1)])
+         ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+), pairs AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_common
+  FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(shingles) AS n FROM shingled),
+edges0 AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+), edges AS (SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0),
+reach AS (
+  SELECT u AS node, v AS r FROM edges
+  UNION
+  SELECT w.node, e.v FROM reach w JOIN edges e ON w.r = e.u
+), labels AS (
+  SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node
+), lab AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+), pc AS (
+  SELECT cluster_id, count(*) AS sz FROM lab GROUP BY 1
+), tt AS (SELECT count(*) AS n_total FROM lab)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       count(*) AS n_clusters,
+       CAST(sz * count(*) AS BIGINT) AS n_docs,
+       round(sz * count(*) * 1.0 / n_total, 6) AS doc_share
+FROM pc CROSS JOIN tt GROUP BY sz, n_total
 """,
         "fd_audit": """
 WITH k AS (

@@ -252,3 +252,41 @@ def split_assignment(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def cluster_size_hist(clusters: DataFrame) -> DataFrame:
+    """Cluster-size histogram over a (doc_id, cluster_id, cluster_size)
+    clustering (the `jaccard_clusters` / `embedding_clusters` output):
+    one row per size — ``(cluster_size, n_clusters, n_docs, doc_share)``.
+    The shape a dedup review reads first: a healthy near-dup graph is
+    singleton-dominated with a thin tail; a fat tail means the
+    similarity threshold (or a stop-gram leak) is fusing unrelated docs
+    into mega-clusters — the failure the conv_near_dups cap lesson in
+    BENCH.md documents.
+
+    Scale shape: one hash agg to the cluster grain (cluster_id, size —
+    already computed upstream), one to the size grain, broadcast 1-row
+    total for the share; all map-side combinable.
+    """
+    per_cluster = clusters.groupBy("cluster_id").agg(
+        F.max("cluster_size").alias("sz")
+    )
+    tot = clusters.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        per_cluster.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            F.round(
+                F.col("cluster_size")
+                * F.col("n_clusters")
+                / F.col("n_total"),
+                6,
+            ).alias("doc_share"),
+        )
+    )

@@ -1080,3 +1080,85 @@ def code_detect(
             "avg_score",
         )
     )
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    by: str = "source",
+    k: int = 10,
+    min_count: int = 5,
+    min_len: int = 1,
+) -> DataFrame:
+    """Top-k pointwise-mutual-information bigrams per group — the
+    collocation detector (Church & Hanks): which token pairs co-occur
+    far above chance. In a curation pipeline high-PMI bigrams surface
+    templated constructions and source-specific jargon; a collapse of
+    the PMI head toward 0 flags machine-generated filler.
+
+    Marginals come from the bigram table itself (``c(w1,*)``,
+    ``c(*,w2)``, ``N = sum c``), so ONE tokenization pass feeds
+    everything: ``pmi = ln(c12 * N / (c(w1,*) * c(*,w2)))``. The
+    ``min_count`` floor (applied BEFORE ranking) is the standard
+    variance guard — count-1 pairs otherwise own the top of every PMI
+    list.
+
+    Output grain: top-k rows per group — ``(by, w1, w2, n_pair, pmi,
+    rank)``; rank orders by the UNROUNDED pmi desc then (w1, w2) asc
+    (both engines compute the identical double from identical integer
+    inputs, so the order is deterministic cross-engine).
+
+    Scale shape: one exploded map-side-combined (group, w1, w2) hash agg
+    (the only full-data exchange, bounded by the group's bigram
+    vocabulary, localCheckpointed — three consumers must not re-scan the
+    corpus); marginals and totals are vocab-grain folds of that frame;
+    the rank window runs per group on the min_count-filtered grain only.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"),
+        lambda t: F.length(t) >= min_len,
+    )
+    with_t = docs.select(F.col(by).alias("grp"), toks.alias("t"))
+    n_pairs = F.greatest(F.size("t") - 1, F.lit(0))
+    bigs = F.zip_with(
+        F.slice("t", 1, n_pairs),
+        F.slice(F.col("t"), 2, n_pairs),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    grain = (
+        with_t.select("grp", F.explode_outer(bigs).alias("b"))
+        .where(F.col("b").isNotNull())
+        .groupBy("grp", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    left = grain.groupBy("grp", "w1").agg(F.sum("c12").alias("cl"))
+    right = grain.groupBy("grp", "w2").agg(F.sum("c12").alias("cr"))
+    tot = grain.groupBy("grp").agg(F.sum("c12").alias("nb"))
+    j = (
+        grain.where(F.col("c12") >= min_count)
+        .join(left, ["grp", "w1"])
+        .join(right, ["grp", "w2"])
+        .join(F.broadcast(tot), "grp")
+    )
+    pmi = F.log(
+        F.col("c12").cast("double")
+        * F.col("nb").cast("double")
+        / (F.col("cl").cast("double") * F.col("cr").cast("double"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy(
+        pmi.desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias(by),
+            "w1",
+            "w2",
+            F.col("c12").alias("n_pair"),
+            F.round(pmi, 6).alias("pmi"),
+            "rank",
+        )
+    )

@@ -145,3 +145,23 @@ def test_split_assignment_no_cross_split_leakage(spark):
     assert {r["doc_id"]: r["cluster_id"] for r in out} == {
         r["doc_id"]: r["cluster_id"] for r in out2
     }  # clustering itself is salt-independent
+
+
+def test_cluster_size_hist_shape(spark):
+    from otlp_cardinality_checker_spark.operators.graph import (
+        cluster_size_hist,
+    )
+
+    rows = [
+        (0, 0, 3), (1, 0, 3), (2, 0, 3),     # one 3-cluster
+        (3, 3, 2), (4, 3, 2),                # one 2-cluster
+        (5, 5, 1), (6, 6, 1), (7, 7, 1),     # three singletons
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, cluster_id long, cluster_size long"
+    )
+    got = {r["cluster_size"]: r for r in cluster_size_hist(df).collect()}
+    assert got[3]["n_clusters"] == 1 and got[3]["n_docs"] == 3
+    assert got[2]["n_clusters"] == 1 and got[2]["n_docs"] == 2
+    assert got[1]["n_clusters"] == 3 and got[1]["n_docs"] == 3
+    assert abs(sum(r["doc_share"] for r in got.values()) - 1.0) <= 1e-5

@@ -371,3 +371,47 @@ def test_code_detect_empty_text_guard(spark):
     )
     row = code_detect(docs).collect()[0]
     assert row["n_rows"] == 2 and row["n_code"] == 0 and row["avg_score"] == 0.0
+
+
+def test_pmi_bigrams_collocation_beats_frequency(spark):
+    """'san francisco' (always together, rare) must out-PMI 'the the'
+    style frequent-but-independent pairs; the min_count floor drops
+    count-1 noise; hand-compute the top pair's PMI from the marginals."""
+    import math
+
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        pmi_bigrams,
+    )
+
+    # 6 x "san francisco" embedded in independent filler pairs
+    filler = "the cat the dog the cat the dog the cat"
+    rows = [(i, "s", f"san francisco {filler}") for i in range(6)]
+    rows += [(9, "s", "rare pair once")]  # count-1 bigrams -> floored out
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = pmi_bigrams(docs, k=5, min_count=5).collect()
+    by_rank = {r["rank"]: r for r in got}
+    top = by_rank[1]
+    assert (top["w1"], top["w2"]) == ("san", "francisco")
+    assert top["n_pair"] == 6
+    # marginals from the bigram table: c(san,*)=6, c(*,francisco)=6
+    nb = sum(r["n_pair"] for r in got)  # not the total; recompute below
+    # total bigrams: 6 docs x (2 + 9) bigrams + 2 from the rare doc
+    n_total = 6 * 11 + 2
+    want = math.log(6 * n_total / (6 * 6))
+    assert abs(top["pmi"] - round(want, 6)) <= 1e-6
+    assert all("rare" not in (r["w1"], r["w2"]) for r in got)
+
+
+def test_pmi_bigrams_rank_is_deterministic_on_ties(spark):
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        pmi_bigrams,
+    )
+
+    # two bigrams with identical counts/marginals -> identical pmi;
+    # rank must break by (w1, w2) ascending
+    rows = [(i, "s", "aa bb cc dd") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = sorted(pmi_bigrams(docs, k=10, min_count=5).collect(),
+                 key=lambda r: r["rank"])
+    pairs = [(r["w1"], r["w2"]) for r in got]
+    assert pairs == sorted(pairs)  # equal pmi -> lexicographic order
