@@ -215,6 +215,17 @@ def main() -> None:
     out["norm_gain_sec"] = round(time.time() - t0, 1)
     out["norm_reveal_gain_max"] = max(r["reveal_gain"] for r in ng)
 
+    # pii_propagation: match-volume-bounded (kind, conv, value) agg —
+    # the transcripts corpus carries a UUID per tool turn, the adversary
+    from otlp_cardinality_checker_spark.operators.pii import (
+        pii_propagation,
+    )
+
+    t0 = time.time()
+    pp2 = pii_propagation(turns).collect()
+    out["pii_propagation_sec"] = round(time.time() - t0, 1)
+    out["pii_propagated_values"] = sum(r["n_propagated"] for r in pp2)
+
     sampler.stop()
     out["jvm_peak_rss_gb"] = round(sampler.peak_kb / 1024 / 1024, 2)
     try:

@@ -236,6 +236,25 @@ def main() -> None:
         else None
     )
 
+    # pmi_bigrams: the bigram-vocab-grain agg + rank window over the
+    # min_count-filtered grain; prefix_dups: digest-grain single scan
+    from otlp_cardinality_checker_spark.operators.dedup import prefix_dups
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        pmi_bigrams,
+    )
+
+    t0 = time.time()
+    pm = pmi_bigrams(docs, by="source", k=10, min_count=5).collect()
+    out["pmi_sec"] = round(time.time() - t0, 1)
+    out["pmi_rows"] = len(pm)
+
+    t0 = time.time()
+    pd_rows = prefix_dups(docs, by="source", k=8).collect()
+    out["prefix_dups_sec"] = round(time.time() - t0, 1)
+    out["prefix_dup_share_max"] = max(
+        r["prefix_dup_share"] for r in pd_rows
+    )
+
     sampler.stop()
     out["jvm_peak_rss_gb"] = round(sampler.peak_kb / 1024 / 1024, 2)
     try:
