@@ -2476,6 +2476,37 @@ def q_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_size_hist(jaccard_clusters(docs, min_jaccard=0.2, n=3))
 
 
+
+def q_cusum_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM: two ts-range micro-batches each write a
+    (type, hour-bucket) count partial; sums merge bit-identically to the
+    batch stage-1 frame, and the batch tail runs on the merged state —
+    hashes against the SAME DuckDB oracle as the batch cusum_drift."""
+    import tempfile
+    from pathlib import Path
+
+    from otlp_cardinality_checker_spark.streaming.stream import (
+        cusum_stream,
+        current_cusum,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "user_id", "value", "ts"
+    )
+    cutoff = ev.agg(
+        F.expr("percentile_approx(ts, 0.5)").alias("c")
+    ).collect()[0]["c"]
+    tmp = Path(tempfile.mkdtemp(prefix="cusumstream_"))
+    src = tmp / "src"
+    _write_microbatch_sources(
+        src,
+        [ev.where(F.col("ts") < F.lit(cutoff)),
+         ev.where(F.col("ts") >= F.lit(cutoff))],
+    )
+    cusum_stream(spark, str(src), str(tmp / "out"), str(tmp / "ckpt"))
+    return current_cusum(spark, str(tmp / "out"))
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -2861,6 +2892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_curve": q_jaccard_curve,
         "pmi_bigrams": q_pmi_bigrams,
         "cluster_size_hist": q_cluster_size_hist,
+        "cusum_stream": q_cusum_stream,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -5049,6 +5081,42 @@ SELECT grp AS event_type,
 FROM j GROUP BY 1
 """,
         "cusum_drift": """
+WITH gb AS (
+  SELECT event_type AS grp, date_trunc('hour', ts) AS bucket,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT grp, count(*) AS nb,
+         CAST(sum(n_events) AS BIGINT) AS s1,
+         CAST(sum(n_events * n_events) AS BIGINT) AS s2
+  FROM gb GROUP BY 1
+), st2 AS (
+  SELECT grp,
+         CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE) AS mu,
+         sqrt(greatest(
+           (CAST(nb AS DOUBLE) * CAST(s2 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+           / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)), 0.0)) AS sigma
+  FROM st
+), p AS (
+  SELECT gb.grp, gb.bucket, gb.n_events, st2.sigma,
+         sum(CAST(gb.n_events AS DOUBLE) - st2.mu - 0.5 * st2.sigma)
+           OVER (PARTITION BY gb.grp ORDER BY gb.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+  FROM gb JOIN st2 USING (grp)
+), m AS (
+  SELECT grp, bucket, n_events, sigma, pp,
+         min(pp) OVER (PARTITION BY grp ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS runmin
+  FROM p
+)
+SELECT grp AS event_type, bucket, n_events,
+       round(pp - least(0.0, runmin), 6) AS cusum,
+       (pp - least(0.0, runmin)) > 4.0 * sigma AS alarm
+FROM m
+""",
+        "cusum_stream": """
 WITH gb AS (
   SELECT event_type AS grp, date_trunc('hour', ts) AS bucket,
          count(*) AS n_events

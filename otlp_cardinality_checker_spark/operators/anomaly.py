@@ -202,6 +202,19 @@ def cusum_drift(
         .groupBy("grp", "bucket")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+    return cusum_from_buckets(gb, by=by, k_sigma=k_sigma, h_sigma=h_sigma)
+
+
+def cusum_from_buckets(
+    gb: DataFrame,
+    by: str = "event_type",
+    k_sigma: float = 0.5,
+    h_sigma: float = 4.0,
+) -> DataFrame:
+    """CUSUM stages 2-3 over an already-bucketed (grp, bucket,
+    n_events) frame — split out so the STREAMING twin can merge
+    sum-mergeable bucket-count partials and reuse the identical tail
+    (bit-identical to the batch monitor by construction)."""
     stats = gb.groupBy("grp").agg(
         F.count(F.lit(1)).alias("nb"),
         F.sum("n_events").alias("s1"),

@@ -1218,3 +1218,78 @@ def current_markers(spark: SparkSession, out_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+def cusum_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    group_col: str = "event_type",
+    window: str = "1 hour",
+    max_files_per_trigger: int = 1,
+) -> int:
+    """Streaming CUSUM state: each micro-batch contributes its
+    (group, hour-bucket, n_events) COUNT partial — plain sums, so the
+    merged state is bit-identical to the batch monitor's stage-1 frame —
+    written partitioned by batch_id with dynamic overwrite (the
+    replay-safety contract shared by quantile_stream / cms_stream /
+    markers_stream; on a real cluster: MERGE INTO keyed by batch_id).
+
+    `current_cusum` then runs the EXACT batch tail
+    (operators/anomaly.cusum_from_buckets) over the merged buckets, so
+    the streamed monitor hash-matches the batch DuckDB oracle — the
+    mu/sigma baseline is always recomputed over the full merged history,
+    never frozen at a batch boundary.
+
+    Scale shape: state grows by <= (#groups x #buckets-touched) rows per
+    batch; raw events never enter state. Returns micro-batches executed.
+    """
+    partials_dir = Path(out_dir) / "cusum_partials"
+    executed = {"n": 0}
+
+    def on_batch(df: DataFrame, batch_id: int) -> None:
+        (
+            df.select(
+                F.col(group_col).alias("grp"),
+                F.window(F.col("ts"), window).start.alias("bucket"),
+            )
+            .groupBy("grp", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(str(partials_dir))
+        )
+        executed["n"] += 1
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return executed["n"]
+
+
+def current_cusum(
+    spark: SparkSession, out_dir: str, by: str = "event_type"
+) -> DataFrame:
+    """Merge all streamed bucket partials (sum) and run the batch CUSUM
+    tail — bit-identical to operators/anomaly.cusum_drift on the union
+    of all micro-batches."""
+    from ..operators.anomaly import cusum_from_buckets
+
+    merged = (
+        spark.read.parquet(str(Path(out_dir) / "cusum_partials"))
+        .groupBy("grp", "bucket")
+        .agg(F.sum("n_events").alias("n_events"))
+    )
+    return cusum_from_buckets(merged, by=by)

@@ -474,3 +474,51 @@ def test_markers_stream_equals_batch_and_replay_safe(spark, tmp_path):
         for r in current_markers(spark, str(tmp_path / "out")).collect()
     )
     assert replayed == batch
+
+
+def test_cusum_stream_equals_batch_and_replay_safe(spark, tmp_path):
+    """Streamed CUSUM state (sum-merged bucket counts + the batch tail)
+    must equal the batch monitor row-for-row, and a checkpoint-wiped
+    replay of the same files must leave the state unchanged (dynamic
+    partition overwrite, no double counting)."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from otlp_cardinality_checker_spark.operators.anomaly import cusum_drift
+    from otlp_cardinality_checker_spark.streaming.stream import (
+        cusum_stream,
+        current_cusum,
+    )
+
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).select("event_id", "event_type", "user_id", "value", "ts")
+    pdf = ev.toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    n = len(pdf)
+    pdf.iloc[: n // 2].to_parquet(src / "part0.parquet", index=False)
+    pdf.iloc[n // 2 :].to_parquet(src / "part1.parquet", index=False)
+
+    n_batches = cusum_stream(
+        spark, str(src), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    assert n_batches >= 2
+    streamed = sorted(
+        tuple(r) for r in current_cusum(spark, str(tmp_path / "out")).collect()
+    )
+    batch = sorted(tuple(r) for r in cusum_drift(ev).collect())
+    assert streamed == batch
+
+    # replay: wipe the checkpoint, re-run over the same files — dynamic
+    # overwrite must absorb the duplicate batch ids
+    shutil.rmtree(tmp_path / "ckpt")
+    cusum_stream(
+        spark, str(src), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    replayed = sorted(
+        tuple(r) for r in current_cusum(spark, str(tmp_path / "out")).collect()
+    )
+    assert replayed == streamed
