@@ -2507,6 +2507,25 @@ def q_cusum_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return current_cusum(spark, str(tmp / "out"))
 
 
+
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP count-release audit per source (deterministic md5-seeded
+    Laplace(1/eps) noise next to the true counts, eps=1)."""
+    from otlp_cardinality_checker_spark.operators.pii import dp_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dp_counts(docs, by="source", epsilon=1.0)
+
+
+def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly top-5 token leaderboard over the transcripts."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        trending_terms,
+    )
+
+    return trending_terms(_transcripts(spark, sf_dir), k=5)
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -2893,6 +2912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_bigrams": q_pmi_bigrams,
         "cluster_size_hist": q_cluster_size_hist,
         "cusum_stream": q_cusum_stream,
+        "dp_counts": q_dp_counts,
+        "trending_terms": q_trending_terms,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -5406,6 +5427,44 @@ SELECT CAST(sz AS BIGINT) AS cluster_size,
        CAST(sz * count(*) AS BIGINT) AS n_docs,
        round(sz * count(*) * 1.0 / n_total, 6) AS doc_share
 FROM pc CROSS JOIN tt GROUP BY sz, n_total
+""",
+        "dp_counts": """
+WITH a AS (
+  SELECT source AS grp, count(*) AS true_count FROM documents GROUP BY 1
+), u AS (
+  SELECT grp, true_count,
+         CAST(('0x' || substr(md5('' || grp), 1, 8)) AS BIGINT)
+           / 4294967296.0 - 0.5 AS v
+  FROM a
+), nz AS (
+  SELECT grp, true_count,
+         -1.0 * sign(v) * ln(greatest(1.0 - 2.0 * abs(v), 1e-12)) AS noise
+  FROM u
+)
+SELECT grp AS source, true_count,
+       1.0 AS epsilon,
+       round(noise, 4) AS noise,
+       round(true_count + noise, 4) AS released_count
+FROM nz
+""",
+        "trending_terms": f"""
+WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}')),
+tok AS (
+  SELECT date_trunc('hour', ts) AS bucket,
+         unnest(list_filter(
+           regexp_split_to_array(lower(coalesce(text, '')), '[^a-z]+'),
+           x -> length(x) >= 3)) AS tok
+  FROM t
+), grain AS (
+  SELECT bucket, tok, count(*) AS n FROM tok GROUP BY 1, 2
+), rk AS (
+  SELECT bucket, tok, n,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY n DESC, tok ASC) AS rank
+  FROM grain
+)
+SELECT bucket, tok AS token, n, CAST(rank AS INT) AS rank
+FROM rk WHERE rank <= 5
 """,
         "fd_audit": """
 WITH k AS (

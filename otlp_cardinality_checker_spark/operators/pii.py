@@ -271,3 +271,57 @@ def pii_propagation(turns: DataFrame, text_col: str = "text") -> DataFrame:
             4,
         ).alias("avg_spread_turns"),
     )
+
+
+def dp_counts(
+    df: DataFrame,
+    by: str = "source",
+    epsilon: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Differentially-private count release AUDIT: per-group row counts
+    with Laplace(1/epsilon) noise, shown NEXT TO the true counts so a
+    privacy review can calibrate epsilon before anything ships (the
+    released artifact would carry only the noised column; this operator
+    is the pre-release audit of the noise magnitude, like
+    `winsorize_audit` is for clipping).
+
+    The noise is DETERMINISTIC: the Laplace sample is inverse-CDF over a
+    uniform derived from ``md5(salt || group)`` (the package's standard
+    cross-engine md5-prefix integer idiom) — so the audit reproduces
+    bit-for-bit on any engine and a different ``salt`` is an independent
+    re-release. Swapping the hash-uniform for a secure RNG is the ONLY
+    change production release needs; every other line (sensitivity-1
+    count query, scale 1/epsilon, inverse-CDF transform) is the real DP
+    mechanism.
+
+    Output grain: one row per group — ``(by, true_count, epsilon,
+    noise, released_count)`` (noise/released rounded 4dp; the ln's
+    argument is clamped at 1e-12 so a pathological hash landing exactly
+    on the distribution edge cannot produce infinity).
+
+    Scale shape: ONE map-side-combined count agg; the noise expression
+    runs on the tiny group grain.
+    """
+    n = F.count(F.lit(1)).alias("true_count")
+    agg = df.groupBy(F.col(by).alias("grp")).agg(n)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col("grp"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    v = u - F.lit(0.5)
+    mag = F.greatest(F.lit(1.0) - F.lit(2.0) * F.abs(v), F.lit(1e-12))
+    noise = (
+        F.lit(-1.0 / epsilon) * F.signum(v) * F.log(mag)
+    )
+    return agg.select(
+        F.col("grp").alias(by),
+        "true_count",
+        F.lit(epsilon).alias("epsilon"),
+        F.round(noise, 4).alias("noise"),
+        F.round(F.col("true_count") + noise, 4).alias("released_count"),
+    )

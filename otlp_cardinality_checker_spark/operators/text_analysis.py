@@ -1162,3 +1162,52 @@ def pmi_bigrams(
             "rank",
         )
     )
+
+
+def trending_terms(
+    df: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    k: int = 5,
+    min_len: int = 3,
+    window: str = "hour",
+) -> DataFrame:
+    """Windowed top-k token leaderboard — the "trending terms" view
+    every log-analytics surface ships: which tokens dominate each time
+    bucket's volume. A token surging into the head flags an incident
+    signature or a new template; bucket-over-bucket head churn is a
+    cheap drift signal alongside `psi_drift`/`cusum_drift`.
+
+    Output grain: top-k rows per bucket — ``(bucket, token, n, rank)``;
+    rank orders by (count desc, token asc) — a total order both engines
+    share, so the cut is deterministic. ``window`` is a date_trunc unit
+    (the bucket stays timestamp-typed for cross-engine hash parity).
+
+    Scale shape: one exploded map-side-combined (bucket, token) hash agg
+    (the only full-data exchange, bounded by buckets x per-bucket
+    vocabulary); the rank window partitions by bucket over that vocab
+    grain and only k rows per bucket survive.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z]+"),
+        lambda t: F.length(t) >= min_len,
+    )
+    grain = (
+        df.select(
+            F.date_trunc(window, F.col(ts_col)).alias("bucket"),
+            F.explode_outer(toks).alias("tok"),
+        )
+        .where(F.col("tok").isNotNull())
+        .groupBy("bucket", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("n").desc(), F.col("tok").asc()
+    )
+    return (
+        grain.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("bucket", F.col("tok").alias("token"), "n", "rank")
+    )

@@ -1387,3 +1387,58 @@ def test_pii_propagation_echo_vs_one_shot(spark):
     # only the account number: the UUID tail was redacted before this class
     assert ln["n_values"] == 1
     assert ln["n_propagated"] == 1 and ln["max_spread_turns"] == 3
+
+
+def test_dp_counts_deterministic_and_calibrated(spark):
+    """Noise replays across runs and salts change it; the Laplace
+    inverse-CDF is recomputed in Python from the same md5 prefix."""
+    import hashlib
+    import math
+
+    from otlp_cardinality_checker_spark.operators.pii import dp_counts
+
+    rows = [(i, "a" if i < 7 else "b", "x") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in dp_counts(df, epsilon=2.0).collect()}
+    again = {r["source"]: r for r in dp_counts(df, epsilon=2.0).collect()}
+    assert got == again                         # fully deterministic
+
+    for src, n in (("a", 7), ("b", 3)):
+        u = int(hashlib.md5(src.encode()).hexdigest()[:8], 16) / 2**32
+        v = u - 0.5
+        want = -(1 / 2.0) * math.copysign(1, v) * math.log(
+            max(1 - 2 * abs(v), 1e-12)
+        ) if v != 0 else 0.0
+        assert got[src]["true_count"] == n
+        assert abs(got[src]["noise"] - round(want, 4)) <= 1e-4
+        assert abs(
+            got[src]["released_count"] - round(n + want, 4)
+        ) <= 1e-3
+
+    salted = {r["source"]: r for r in
+              dp_counts(df, epsilon=2.0, salt="v2").collect()}
+    assert salted["a"]["noise"] != got["a"]["noise"]  # independent release
+
+
+def test_trending_terms_rank_and_window(spark):
+    import datetime as dt
+
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        trending_terms,
+    )
+
+    b0 = dt.datetime(2024, 1, 1, 10, 5)
+    b1 = dt.datetime(2024, 1, 1, 11, 5)
+    rows = [(0, b0, "alpha alpha alpha beta beta gamma"),
+            (1, b0, "alpha delta"),
+            (2, b1, "zeta zeta eta")]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, text string")
+    got = trending_terms(df, k=2).collect()
+    hours = {r["bucket"].hour for r in got}
+    assert hours == {10, 11}
+    h10 = sorted([r for r in got if r["bucket"].hour == 10],
+                 key=lambda r: r["rank"])
+    assert [(r["token"], r["n"]) for r in h10] == [("alpha", 4), ("beta", 2)]
+    h11 = sorted([r for r in got if r["bucket"].hour == 11],
+                 key=lambda r: r["rank"])
+    assert [(r["token"], r["n"]) for r in h11] == [("zeta", 2), ("eta", 1)]
