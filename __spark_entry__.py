@@ -2526,6 +2526,18 @@ def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trending_terms(_transcripts(spark, sf_dir), k=5)
 
 
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact unbinned KS drift of token-length per source vs rest of
+    corpus (triangular-join ECDFs on the bounded length grain)."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        ks_drift,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ks_drift(docs, by="source")
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -2914,6 +2926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_stream": q_cusum_stream,
         "dp_counts": q_dp_counts,
         "trending_terms": q_trending_terms,
+        "ks_drift": q_ks_drift,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -5465,6 +5478,49 @@ tok AS (
 )
 SELECT bucket, tok AS token, n, CAST(rank AS INT) AS rank
 FROM rk WHERE rank <= 5
+""",
+        "ks_drift": """
+WITH n AS (
+  SELECT source AS grp,
+    CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+         ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+'))
+    END AS l
+  FROM documents
+), g AS (
+  SELECT grp, l, count(*) AS c FROM n GROUP BY 1, 2
+), corp AS (
+  SELECT l, CAST(sum(c) AS BIGINT) AS cc FROM g GROUP BY 1
+), ns AS (
+  SELECT grp, CAST(sum(c) AS BIGINT) AS n_s FROM g GROUP BY 1
+), tot AS (SELECT CAST(sum(cc) AS BIGINT) AS n_tot FROM corp),
+dom AS (SELECT l AS d FROM corp),
+ccum AS (
+  SELECT dom.d, CAST(sum(corp.cc) AS BIGINT) AS ccum
+  FROM dom JOIN corp ON corp.l <= dom.d GROUP BY 1
+), sd AS (
+  SELECT ns.grp, ns.n_s, dom.d FROM ns CROSS JOIN dom
+), scum AS (
+  SELECT sd.grp, sd.d, sd.n_s,
+         CAST(coalesce(sum(g.c), 0) AS BIGINT) AS scum
+  FROM sd LEFT JOIN g ON g.grp = sd.grp AND g.l <= sd.d
+  GROUP BY 1, 2, 3
+), j AS (
+  SELECT scum.grp, scum.d, scum.n_s,
+         CASE WHEN n_tot > scum.n_s THEN
+           abs(scum.scum * 1.0 / scum.n_s
+               - (ccum.ccum - scum.scum) * 1.0 / (n_tot - scum.n_s))
+         END AS dev
+  FROM scum JOIN ccum USING (d) CROSS JOIN tot
+), mx AS (
+  SELECT grp, max(n_s) AS n_docs, max(dev) AS mdev FROM j GROUP BY 1
+), at AS (
+  SELECT j.grp, min(j.d) AS ks_at
+  FROM j JOIN mx ON j.grp = mx.grp AND j.dev = mx.mdev
+  GROUP BY 1
+)
+SELECT mx.grp AS source, mx.n_docs, round(mx.mdev, 6) AS ks_stat,
+       CAST(at.ks_at AS BIGINT) AS ks_at
+FROM mx LEFT JOIN at ON mx.grp = at.grp
 """,
         "fd_audit": """
 WITH k AS (

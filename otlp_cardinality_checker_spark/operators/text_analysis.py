@@ -1211,3 +1211,99 @@ def trending_terms(
         .where(F.col("rank") <= k)
         .select("bucket", F.col("tok").alias("token"), "n", "rank")
     )
+
+
+def ks_drift(docs: DataFrame, by: str = "source") -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov drift of the token-length
+    distribution: each group vs the REST of the corpus. The unbinned
+    companion to `psi_drift` — PSI's octave bins can hide a shift that
+    stays inside one bin; the KS statistic ``D = sup |ECDF_g - ECDF_rest|``
+    is binning-free and exact here because the sup over step functions
+    is attained at a data point, so evaluating both ECDFs at every
+    distinct length in the corpus domain is sufficient.
+
+    Output grain: one row per group — ``(by, n_docs, ks_stat, ks_at)``
+    where ``ks_at`` is the smallest length attaining the sup (tie-broken
+    deterministically). ``ks_stat`` is NULL for a group that IS the
+    whole corpus (no rest to compare).
+
+    Scale shape: one map-side-combined (group, length) hash agg from the
+    raw scan (the same single full-data exchange as psi_drift); the
+    cumulative ECDFs come from TRIANGULAR joins on the tiny
+    length-domain frame (O(L^2) pairs with L = distinct lengths —
+    hundreds, never corpus-sized; the curriculum_stages idiom), so no
+    window ever sees corpus rows and no empty-partition window exists.
+    """
+    ntok = F.when(
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) == 0,
+        F.lit(0),
+    ).otherwise(
+        F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"))
+    )
+    g = (
+        docs.select(F.col(by).alias("grp"), ntok.alias("len"))
+        .groupBy("grp", "len")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    corp = g.groupBy("len").agg(F.sum("c").alias("cc"))
+    ns = g.groupBy("grp").agg(F.sum("c").alias("n_s"))
+    tot = corp.agg(F.sum("cc").alias("n_tot"))
+    dom = corp.select(F.col("len").alias("d"))
+
+    # corpus ECDF numerator at every domain point (triangular join)
+    ccum = (
+        dom.join(F.broadcast(corp), F.col("len") <= F.col("d"))
+        .groupBy("d")
+        .agg(F.sum("cc").alias("ccum"))
+    )
+    # per-(group, domain point) cumulative counts; full domain per group
+    # so groups with no mass below d still evaluate there
+    sd = ns.crossJoin(F.broadcast(dom)).alias("sd")
+    gg = g.alias("gg")
+    scum = (
+        sd.join(
+            gg,
+            (F.col("sd.grp") == F.col("gg.grp"))
+            & (F.col("gg.len") <= F.col("sd.d")),
+            "left",
+        )
+        .groupBy(F.col("sd.grp").alias("grp"), F.col("sd.d").alias("d"),
+                 F.col("sd.n_s").alias("n_s"))
+        .agg(F.coalesce(F.sum("gg.c"), F.lit(0)).alias("scum"))
+    )
+    j = (
+        scum.join(F.broadcast(ccum), "d")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "grp",
+            "d",
+            "n_s",
+            F.when(
+                F.col("n_tot") > F.col("n_s"),
+                F.abs(
+                    F.col("scum") / F.col("n_s")
+                    - (F.col("ccum") - F.col("scum"))
+                    / (F.col("n_tot") - F.col("n_s"))
+                ),
+            ).alias("dev"),
+        )
+    )
+    mx = j.groupBy("grp").agg(
+        F.max("n_s").alias("n_docs"), F.max("dev").alias("mdev")
+    )
+    at = (
+        j.join(mx.select("grp", "mdev"), "grp")
+        .where(F.col("dev") == F.col("mdev"))
+        .groupBy("grp")
+        .agg(F.min("d").alias("ks_at"))
+    )
+    return (
+        mx.join(at, "grp", "left")
+        .select(
+            F.col("grp").alias(by),
+            "n_docs",
+            F.round(F.col("mdev"), 6).alias("ks_stat"),
+            "ks_at",
+        )
+    )

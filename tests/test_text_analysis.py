@@ -415,3 +415,41 @@ def test_pmi_bigrams_rank_is_deterministic_on_ties(spark):
                  key=lambda r: r["rank"])
     pairs = [(r["w1"], r["w2"]) for r in got]
     assert pairs == sorted(pairs)  # equal pmi -> lexicographic order
+
+
+def test_ks_drift_matches_numpy_two_sample(spark):
+    """Planted shift: source 'b' docs are systematically longer; the KS
+    stat for each group vs rest must equal the numpy ECDF sup-difference
+    computed directly; a single-source corpus reports NULL."""
+    import numpy as np
+
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        ks_drift,
+    )
+
+    a_lens = [3, 4, 4, 5, 5, 5, 6]
+    b_lens = [8, 9, 9, 10]
+    rows = [(i, "a", "w " * n) for i, n in enumerate(a_lens)]
+    rows += [(100 + i, "b", "w " * n) for i, n in enumerate(b_lens)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in ks_drift(docs).collect()}
+
+    def ks(x, y):
+        pts = sorted(set(x) | set(y))
+        x, y = np.array(x), np.array(y)
+        devs = [abs((x <= p).mean() - (y <= p).mean()) for p in pts]
+        best = max(devs)
+        at = pts[devs.index(best)]
+        return best, at
+
+    d_a, at_a = ks(a_lens, b_lens)
+    assert abs(got["a"]["ks_stat"] - round(d_a, 6)) <= 1e-6
+    assert got["a"]["ks_at"] == at_a
+    # disjoint supports -> full separation for the planted shift
+    assert got["a"]["ks_stat"] == 1.0 and got["b"]["ks_stat"] == 1.0
+
+    solo = spark.createDataFrame(
+        [(0, "only", "w w w")], "doc_id long, source string, text string"
+    )
+    r = ks_drift(solo).collect()[0]
+    assert r["ks_stat"] is None
