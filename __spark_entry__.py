@@ -2538,6 +2538,22 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_drift(docs, by="source")
 
 
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source fertility + chars/token under the 40-merge BPE table.
+    Rows-only (iterative BPE training has no SQL oracle; pinned by the
+    independent second trainer + closed-form fertility test)."""
+    from otlp_cardinality_checker_spark.operators.bpe import (
+        bpe_train,
+        tokenizer_fertility,
+        word_histogram,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train(word_histogram(docs), n_merges=40)
+    return tokenizer_fertility(docs, merges, by="source")
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -2927,6 +2943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_counts": q_dp_counts,
         "trending_terms": q_trending_terms,
         "ks_drift": q_ks_drift,
+        "tokenizer_fertility": q_tokenizer_fertility,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,

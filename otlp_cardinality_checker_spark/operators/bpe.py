@@ -173,3 +173,62 @@ def bpe_token_stats(docs: DataFrame, merges: list[tuple[str, str]],
             )
 
     return docs.select("doc_id", text_col).mapInPandas(run, schema=fields)
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility audit per group under a learned BPE merge
+    table: ``fertility = subword tokens per whitespace word`` and
+    ``chars_per_token`` — the two numbers a tokenizer review reads
+    before committing a vocab to a 100-TB corpus (high-fertility groups
+    pay proportionally more sequence length for the same text; a
+    chars/token collapse flags byte-soup sources the merges never
+    learned).
+
+    Output grain: one row per group — ``(by, n_docs, n_words, n_tokens,
+    fertility, chars_per_token)``.
+
+    Rows-only by design (same justification as `bpe_tokens`: iterative
+    argmax BPE training has no cross-engine SQL oracle); correctness
+    rides the independent second trainer in tests/test_bpe.py plus a
+    closed-form fertility test on a hand-trained merge table.
+
+    Scale shape: the Arrow-batched encode touches text once
+    (bpe_token_stats' memoized kernel); the group rollup is one
+    map-side-combined agg over the doc-grain stats joined to the
+    (doc_id, group, n_chars) projection.
+    """
+    stats = bpe_token_stats(docs, merges, text_col=text_col)
+    meta = docs.select(
+        "doc_id",
+        F.col(by).alias("grp"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("nch"),
+    )
+    j = stats.join(meta, "doc_id")
+    return (
+        j.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("nch").alias("n_chars"),
+        )
+        .select(
+            F.col("grp").alias(by),
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens") / F.greatest(F.col("n_words"), F.lit(1)),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.col("n_chars") / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("chars_per_token"),
+        )
+    )

@@ -180,3 +180,33 @@ def test_max_vocab_truncates_by_documented_order(spark):
         assert bpe_train(hist, 30, max_vocab=10**6) == _reference_bpe(
             words, 30
         )
+
+
+def test_tokenizer_fertility_closed_form(spark):
+    """With an empty merge table every word encodes to its characters,
+    so fertility == chars-per-word exactly; with merges fully covering a
+    word, that word costs 1 token — both closed forms checked."""
+    from otlp_cardinality_checker_spark.operators.bpe import (
+        tokenizer_fertility,
+    )
+
+    rows = [(0, "s", "ab ab"), (1, "s", "abc")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    no_merges = tokenizer_fertility(docs, [], by="source").collect()[0]
+    # every word encodes to chars + the </w> marker: (2+1)*2 + (3+1) = 10
+    assert no_merges["n_words"] == 3 and no_merges["n_tokens"] == 10
+    assert no_merges["fertility"] == round(10 / 3, 6)
+    # n_chars counts raw text incl. the space: 5 + 3 = 8
+    assert no_merges["chars_per_token"] == round(8 / 10, 6)
+
+    from otlp_cardinality_checker_spark.operators.bpe import (
+        END,
+        encode_word,
+    )
+
+    merges = [("a", "b"), ("ab", END), ("ab", "c"), ("abc", END)]
+    assert len(encode_word("ab", {p: i for i, p in enumerate(merges)})) == 1
+    merged = tokenizer_fertility(docs, merges, by="source").collect()[0]
+    # each word fully merges into ONE token
+    assert merged["n_tokens"] == 3 and merged["fertility"] == 1.0
