@@ -2554,6 +2554,58 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(docs, merges, by="source")
 
 
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape over the fixture tables: revenue from LOCAL
+    supply chains (customer and supplier in the same nation) per nation
+    of one region and one order-date year. Catalyst plans the 6-table
+    join with the four dims broadcast and lineitem<->orders as the only
+    shuffle pair — the classic join-ordering showcase (Q1/Q3 siblings:
+    pricing_summary / top_orders)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(su),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(rev), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+
+def q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass numeric column profile of lineitem (nulls, exact
+    distincts, range, mean per column — the pre-join table health scan)."""
+    from otlp_cardinality_checker_spark.operators.profile import (
+        numeric_profile,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_partkey", "l_suppkey"]
+    return numeric_profile(li, cols)
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -2944,6 +2996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_terms": q_trending_terms,
         "ks_drift": q_ks_drift,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "local_supplier_volume": q_local_supplier_volume,
+        "numeric_profile": q_numeric_profile,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -5538,6 +5592,75 @@ ccum AS (
 SELECT mx.grp AS source, mx.n_docs, round(mx.mdev, 6) AS ks_stat,
        CAST(at.ks_at AS BIGINT) AS ks_at
 FROM mx LEFT JOIN at ON mx.grp = at.grp
+""",
+        "local_supplier_volume": """
+SELECT n_name AS nation,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+GROUP BY 1
+""",
+        "numeric_profile": """
+SELECT 'l_quantity' AS column, count(*) AS n_rows,
+       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       count(DISTINCT CAST(l_quantity AS DOUBLE)) AS n_distinct,
+       round(min(CAST(l_quantity AS DOUBLE)), 6) AS min_value,
+       round(max(CAST(l_quantity AS DOUBLE)), 6) AS max_value,
+       round(avg(CAST(l_quantity AS DOUBLE)), 4) AS mean_value
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice' AS column, count(*) AS n_rows,
+       CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       count(DISTINCT CAST(l_extendedprice AS DOUBLE)) AS n_distinct,
+       round(min(CAST(l_extendedprice AS DOUBLE)), 6) AS min_value,
+       round(max(CAST(l_extendedprice AS DOUBLE)), 6) AS max_value,
+       round(avg(CAST(l_extendedprice AS DOUBLE)), 4) AS mean_value
+FROM lineitem
+UNION ALL
+SELECT 'l_discount' AS column, count(*) AS n_rows,
+       CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       count(DISTINCT CAST(l_discount AS DOUBLE)) AS n_distinct,
+       round(min(CAST(l_discount AS DOUBLE)), 6) AS min_value,
+       round(max(CAST(l_discount AS DOUBLE)), 6) AS max_value,
+       round(avg(CAST(l_discount AS DOUBLE)), 4) AS mean_value
+FROM lineitem
+UNION ALL
+SELECT 'l_tax' AS column, count(*) AS n_rows,
+       CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       count(DISTINCT CAST(l_tax AS DOUBLE)) AS n_distinct,
+       round(min(CAST(l_tax AS DOUBLE)), 6) AS min_value,
+       round(max(CAST(l_tax AS DOUBLE)), 6) AS max_value,
+       round(avg(CAST(l_tax AS DOUBLE)), 4) AS mean_value
+FROM lineitem
+UNION ALL
+SELECT 'l_partkey' AS column, count(*) AS n_rows,
+       CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       count(DISTINCT CAST(l_partkey AS DOUBLE)) AS n_distinct,
+       round(min(CAST(l_partkey AS DOUBLE)), 6) AS min_value,
+       round(max(CAST(l_partkey AS DOUBLE)), 6) AS max_value,
+       round(avg(CAST(l_partkey AS DOUBLE)), 4) AS mean_value
+FROM lineitem
+UNION ALL
+SELECT 'l_suppkey' AS column, count(*) AS n_rows,
+       CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       count(DISTINCT CAST(l_suppkey AS DOUBLE)) AS n_distinct,
+       round(min(CAST(l_suppkey AS DOUBLE)), 6) AS min_value,
+       round(max(CAST(l_suppkey AS DOUBLE)), 6) AS max_value,
+       round(avg(CAST(l_suppkey AS DOUBLE)), 4) AS mean_value
+FROM lineitem
 """,
         "fd_audit": """
 WITH k AS (

@@ -204,3 +204,31 @@ def test_fd_audit_violation_accounting(spark):
     assert holding["n_violating"] == 0 and holding["max_rhs_per_lhs"] == 1
     with _pytest.raises(ValueError):
         fd_audit(df, [], "v")
+def test_numeric_profile_hand_case(spark):
+    from otlp_cardinality_checker_spark.operators.profile import (
+        numeric_profile,
+    )
+
+    rows = [(1.0, 10), (2.0, 10), (None, 20), (2.0, None)]
+    df = spark.createDataFrame(rows, "a double, b int")
+    got = {r["column"]: r for r in numeric_profile(df, ["a", "b"]).collect()}
+    a = got["a"]
+    assert a["n_rows"] == 4 and a["n_nulls"] == 1 and a["n_distinct"] == 2
+    assert a["min_value"] == 1.0 and a["max_value"] == 2.0
+    assert a["mean_value"] == round((1 + 2 + 2) / 3, 4)
+    b = got["b"]
+    assert b["n_nulls"] == 1 and b["n_distinct"] == 2
+    assert b["mean_value"] == round(40 / 3, 4)
+
+
+def test_q5_join_shape_is_broadcast_heavy(spark):
+    """The Q5-shape plan must broadcast all four dims — lineitem/orders
+    is the only sort-merge/shuffle join pair allowed."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("e", "/root/repo/__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    df = m.queries()["local_supplier_volume"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4
