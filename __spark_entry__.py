@@ -2606,6 +2606,57 @@ def q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numeric_profile(li, cols)
 
 
+
+def q_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per order-priority count of orders with at least
+    one line item shipped after the order date + 60 days — the EXISTS
+    semi-join pattern (left_semi: orders never duplicate per matching
+    line item)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    late = (
+        li.join(
+            o.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select(F.col("l_orderkey").alias("k"))
+    )
+    return (
+        o.join(late, F.col("o_orderkey") == F.col("k"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+    )
+
+
+def q_big_basket_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose single orders exceed a total
+    quantity threshold — aggregate-then-filter-then-join (the HAVING
+    pushup pattern: the heavy groupBy runs BEFORE any join, so only
+    qualifying order keys reach the join)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") >= 150)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_name").alias("customer"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("total_qty").cast("long").alias("total_qty"),
+        )
+    )
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -2998,6 +3049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "local_supplier_volume": q_local_supplier_volume,
         "numeric_profile": q_numeric_profile,
+        "late_shipment_orders": q_late_shipment_orders,
+        "big_basket_customers": q_big_basket_customers,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -5661,6 +5714,27 @@ SELECT 'l_suppkey' AS column, count(*) AS n_rows,
        round(max(CAST(l_suppkey AS DOUBLE)), 6) AS max_value,
        round(avg(CAST(l_suppkey AS DOUBLE)), 4) AS mean_value
 FROM lineitem
+""",
+        "late_shipment_orders": """
+SELECT o_orderpriority, count(*) AS n_late_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY 1
+""",
+        "big_basket_customers": """
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) >= 150
+)
+SELECT c_name AS customer, o_orderkey AS orderkey,
+       o_totalprice AS totalprice, total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
 """,
         "fd_audit": """
 WITH k AS (

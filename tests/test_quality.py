@@ -232,3 +232,32 @@ def test_q5_join_shape_is_broadcast_heavy(spark):
     df = m.queries()["local_supplier_volume"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q4_semi_join_never_duplicates_orders(spark):
+    """An order with MANY late line items counts once (left_semi
+    contract), and an order with none counts zero."""
+    import datetime as dt
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "e", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    df = m.queries()["late_shipment_orders"](spark, "/root/testdata/sf0.001")
+    total = sum(r["n_late_orders"] for r in df.collect())
+    # independent recount: distinct orderkeys with >=1 late item
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    import pyspark.sql.functions as F
+
+    want = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    assert total == want
