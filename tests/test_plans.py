@@ -277,3 +277,52 @@ def test_round3_plan_shapes(spark, tiny_routed):
     )
     assert "Generate" in asv  # the explode
     assert "user_id" in asv  # the key filter is in the plan, not client-side
+
+
+def test_session6_plan_shapes(spark):
+    """Scale-shape pins for the session-6 statistical operators:
+
+    * code_detect — pure scan + ONE hash-agg: no explode (Generate), no
+      window, no join, no Python eval nodes
+    * shard_plan — NO corpus-wide single-partition sort: every Window
+      has partition keys, and no Exchange is SinglePartition except the
+      final tiny shard-grain collect
+    * ks_drift — no WindowExec at all (triangular joins only)
+    * cusum_drift — both windows share the group partitioning; the only
+      full-data exchange is the (group, bucket) hash-agg
+    """
+    import pyspark.sql.functions as F
+
+    from otlp_cardinality_checker_spark.operators.anomaly import cusum_drift
+    from otlp_cardinality_checker_spark.operators.packing import shard_plan
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        code_detect,
+        ks_drift,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+    cd = plan_of(code_detect(docs))
+    assert "Generate" not in cd and "Window" not in cd
+    assert "SortMergeJoin" not in cd and "BroadcastHashJoin" not in cd
+    assert "BatchEvalPython" not in cd and "ArrowEvalPython" not in cd
+
+    sp = plan_of(shard_plan(docs, budget=1000, block_size=64))
+    # every Window node must carry partition keys: an empty-partition
+    # window would print "windowspecdefinition(" with a leading ORDER
+    # clause only — assert the banned single-partition window is absent
+    for line in sp.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "windowspecdefinition(source" in line.replace(
+                "windowspecdefinition(gg.source", "windowspecdefinition(source"
+            ) or "source" in line.split("windowspecdefinition(")[1][:60]
+
+    ks = plan_of(ks_drift(docs))
+    assert "Window" not in ks
+
+    cu = plan_of(cusum_drift(ev))
+    # formatted mode lists Exchange args separately: assert at least one
+    # hash-partitioned exchange exists and both windows partition by grp
+    assert "hashpartitioning" in cu
+    assert "windowspecdefinition(grp" in cu
