@@ -2657,6 +2657,18 @@ def q_big_basket_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_spike_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root-cause attribution of each event type's max-z volume window:
+    top-5 user_id contributions by excess over the trailing rate."""
+    from otlp_cardinality_checker_spark.operators.anomaly import (
+        spike_attribution,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return spike_attribution(ev)
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -3051,6 +3063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_profile": q_numeric_profile,
         "late_shipment_orders": q_late_shipment_orders,
         "big_basket_customers": q_big_basket_customers,
+        "spike_attribution": q_spike_attribution,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -5735,6 +5748,56 @@ SELECT c_name AS customer, o_orderkey AS orderkey,
 FROM big
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
+""",
+        "spike_attribution": """
+WITH c AS (
+  SELECT event_type AS grp, date_trunc('hour', ts) AS ws, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT grp, ws, cnt,
+         count(*) OVER w AS bn,
+         avg(cnt) OVER w AS mean,
+         stddev_samp(cnt) OVER w AS std
+  FROM c
+  WINDOW w AS (PARTITION BY grp ORDER BY ws
+               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+), zz AS (
+  SELECT grp, ws, cnt, round((cnt - mean) / std, 6) AS z
+  FROM b WHERE bn = 6 AND std > 0
+), spike AS (
+  SELECT grp, ws FROM (
+    SELECT grp, ws,
+           row_number() OVER (PARTITION BY grp ORDER BY z DESC, ws ASC)
+             AS r
+    FROM zz
+  ) WHERE r = 1
+), ev AS (
+  SELECT event_type AS grp, user_id AS dim, date_trunc('hour', ts) AS bkt
+  FROM events
+), j AS (
+  SELECT ev.grp, ev.dim, ev.bkt, spike.ws
+  FROM ev JOIN spike USING (grp)
+  WHERE ev.bkt >= spike.ws - INTERVAL 6 HOUR AND ev.bkt <= spike.ws
+), inw AS (
+  SELECT grp, ws, dim, count(*) AS n_window
+  FROM j WHERE bkt = ws GROUP BY 1, 2, 3
+), base AS (
+  SELECT grp, dim, count(*) / 6.0 AS rate
+  FROM j WHERE bkt < ws GROUP BY 1, 2
+), att AS (
+  SELECT i.grp, i.ws, i.dim, i.n_window,
+         coalesce(base.rate, 0.0) AS rate,
+         i.n_window - coalesce(base.rate, 0.0) AS excess
+  FROM inw i LEFT JOIN base ON i.grp = base.grp AND i.dim = base.dim
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY grp
+                               ORDER BY excess DESC, dim ASC) AS rank
+  FROM att
+)
+SELECT grp AS "group", ws AS window_start, dim AS dim_value, n_window,
+       round(rate, 4) AS baseline_rate, round(excess, 4) AS excess,
+       CAST(rank AS INT) AS rank
+FROM rk WHERE rank <= 5
 """,
         "fd_audit": """
 WITH k AS (

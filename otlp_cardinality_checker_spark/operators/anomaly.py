@@ -316,3 +316,112 @@ def robust_outliers(
             "max_robust_z",
         )
     )
+
+
+def _window_seconds(window_duration: str) -> int:
+    """Seconds in a tumbling-window duration string ('2 hours',
+    '30 minutes', '45 seconds') — the subset the module's windows use."""
+    n, unit = window_duration.split()
+    mult = {"hour": 3600, "minute": 60, "second": 1}[unit.rstrip("s")]
+    return int(n) * mult
+
+
+def spike_attribution(
+    df: DataFrame,
+    group_col: str = "event_type",
+    dim_col: str = "user_id",
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    trailing: int = 6,
+    k: int = 5,
+) -> DataFrame:
+    """Root-cause attribution for the worst volume anomaly: for each
+    group's MAX-z window (from `volume_spikes`' trailing baseline), rank
+    the dimension values that drove the excess — the "which tenant/tool/
+    user caused the spike" answer on-call actually needs after the alarm
+    fires.
+
+    ``excess = count_in_spike_window - trailing_rate`` where
+    ``trailing_rate`` is the dimension value's average count over the
+    ``trailing`` windows immediately before the spike (the same horizon
+    the z-score baseline used). Top-``k`` per group by (excess desc,
+    dim asc) — the tie-break keeps the cut deterministic cross-engine.
+
+    Output grain: up to k rows per group — ``(group, window_start,
+    dim_value, n_window, baseline_rate, excess, rank)``. Groups whose
+    baseline never filled (fewer than trailing+1 windows) are absent,
+    like their z in `volume_spikes`.
+
+    Scale shape: `volume_spikes` runs on the (group, window) grain; the
+    1-row-per-group spike frame broadcasts back onto ONE re-scan of the
+    raw events, which is immediately filtered to the spike window + its
+    trailing horizon (partition pruning applies when the table is
+    time-partitioned) and aggregated per (group, dim) — bounded by the
+    horizon's active dimension values, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    vs = volume_spikes(
+        df, group_col, ts_col=ts_col,
+        window_duration=window_duration, trailing=trailing,
+    )
+    sel = Window.partitionBy("group").orderBy(
+        F.col("z").desc(), F.col("window_start").asc()
+    )
+    spike = (
+        vs.where(F.col("z").isNotNull())
+        .withColumn("_r", F.row_number().over(sel))
+        .where(F.col("_r") == 1)
+        .select(
+            F.col("group").alias("grp"),
+            F.col("window_start").alias("ws"),
+            F.col("count").alias("n_window_total"),
+        )
+    )
+    secs = _window_seconds(window_duration)
+    ev = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(dim_col).alias("dim"),
+        F.window(F.col(ts_col), window_duration).start.alias("b"),
+    )
+    j = ev.join(F.broadcast(spike), "grp").where(
+        (F.unix_timestamp("b")
+         >= F.unix_timestamp("ws") - F.lit(trailing * secs))
+        & (F.unix_timestamp("b") <= F.unix_timestamp("ws"))
+    )
+    in_w = (
+        j.where(F.col("b") == F.col("ws"))
+        .groupBy("grp", "ws", "dim")
+        .agg(F.count(F.lit(1)).alias("n_window"))
+    )
+    base = (
+        j.where(F.col("b") < F.col("ws"))
+        .groupBy("grp", "dim")
+        .agg((F.count(F.lit(1)) / F.lit(float(trailing))).alias("rate"))
+    )
+    att = in_w.join(base, ["grp", "dim"], "left").select(
+        "grp",
+        "ws",
+        "dim",
+        "n_window",
+        F.coalesce(F.col("rate"), F.lit(0.0)).alias("rate"),
+        (F.col("n_window") - F.coalesce(F.col("rate"), F.lit(0.0))).alias(
+            "excess"
+        ),
+    )
+    rk = Window.partitionBy("grp").orderBy(
+        F.col("excess").desc(), F.col("dim").asc()
+    )
+    return (
+        att.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias("group"),
+            F.col("ws").alias("window_start"),
+            F.col("dim").alias("dim_value"),
+            "n_window",
+            F.round("rate", 4).alias("baseline_rate"),
+            F.round("excess", 4).alias("excess"),
+            "rank",
+        )
+    )

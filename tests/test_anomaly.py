@@ -207,3 +207,41 @@ def test_robust_outliers_catches_what_sigma_hides(spark):
     c = got["const"]
     assert c["mad"] == 0.0
     assert c["n_outliers"] is None and c["max_robust_z"] is None
+
+
+def test_spike_attribution_finds_the_driving_dimension(spark):
+    """Stable traffic from many users, then one user floods a single
+    hour: the max-z window must be that hour and the flooder must rank
+    first with excess ~= its flood volume."""
+    import datetime as dt
+
+    from otlp_cardinality_checker_spark.operators.anomaly import (
+        spike_attribution,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # 12 hours of NOISY background (z needs baseline std > 0):
+    # users 1..4, 3 or 4 events each depending on hour parity
+    for h in range(12):
+        for u in (1, 2, 3, 4):
+            for _ in range(3 + h % 2):
+                rows.append((eid, "a", u,
+                             base + dt.timedelta(hours=h, minutes=5)))
+                eid += 1
+    # hour 10: user 99 floods 60 extra events
+    for _ in range(60):
+        rows.append((eid, "a", 99, base + dt.timedelta(hours=10, minutes=30)))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, ts timestamp"
+    )
+    got = sorted(spike_attribution(ev).collect(), key=lambda r: r["rank"])
+    assert got, "spike window must be found"
+    assert got[0]["window_start"] == base + dt.timedelta(hours=10)
+    top = got[0]
+    assert top["dim_value"] == 99 and top["n_window"] == 60
+    assert top["baseline_rate"] == 0.0 and top["excess"] == 60.0
+    # background users contribute ~zero excess (their rate wobble is
+    # the 3-vs-4 parity, well under the flood)
+    assert all(abs(r["excess"]) < 2.0 for r in got[1:])
