@@ -2669,6 +2669,69 @@ def q_spike_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spike_attribution(ev)
 
 
+
+def q_tool_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool response-latency percentiles + 2s-SLO breach rate."""
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        tool_latency,
+    )
+
+    return tool_latency(_transcripts(spark, sf_dir), slo_seconds=2.0)
+
+
+def q_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priced token accounting per role (fixed rate card)."""
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        cost_report,
+    )
+
+    return cost_report(_transcripts(spark, sf_dir), by="role")
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral supplier->customer nation revenue for
+    one ordered nation pair, by order year — the multi-condition
+    dim-pair join (both nation dims broadcast)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n1 = n.select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    # the fixture's nations are synthetic NATION_N names; 9<->10 is a
+    # high-volume bilateral pair at every sf
+    pair = (
+        (F.col("supp_nation") == "NATION_9")
+        & (F.col("cust_nation") == "NATION_10")
+    ) | (
+        (F.col("supp_nation") == "NATION_10")
+        & (F.col("cust_nation") == "NATION_9")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(
+            F.round(F.sum(rev), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -3064,6 +3127,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_shipment_orders": q_late_shipment_orders,
         "big_basket_customers": q_big_basket_customers,
         "spike_attribution": q_spike_attribution,
+        "tool_latency": q_tool_latency,
+        "cost_report": q_cost_report,
+        "nation_trade_volume": q_nation_trade_volume,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -5798,6 +5864,68 @@ SELECT grp AS "group", ws AS window_start, dim AS dim_value, n_window,
        round(rate, 4) AS baseline_rate, round(excess, 4) AS excess,
        CAST(rank AS INT) AS rank
 FROM rk WHERE rank <= 5
+""",
+        "tool_latency": f"""
+WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}')),
+l AS (
+  SELECT tool, ts,
+         lead(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+  FROM t
+), lat AS (
+  SELECT tool,
+         epoch(nxt) - epoch(ts) AS lat_s
+  FROM l WHERE tool IS NOT NULL AND nxt IS NOT NULL
+)
+SELECT tool, count(*) AS n_calls,
+       round(quantile_cont(lat_s, 0.5), 4) AS p50_s,
+       round(quantile_cont(lat_s, 0.95), 4) AS p95_s,
+       round(quantile_cont(lat_s, 0.99), 4) AS p99_s,
+       CAST(sum(CASE WHEN lat_s > 2.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_breach,
+       round(sum(CASE WHEN lat_s > 2.0 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS breach_share
+FROM lat GROUP BY 1
+""",
+        "cost_report": f"""
+WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}')),
+r AS (
+  SELECT role,
+    CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+         ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+'))
+    END AS ntok
+  FROM t
+), c AS (
+  SELECT role, ntok,
+         CAST(ntok AS DOUBLE) / 1000.0 *
+         CASE role WHEN 'assistant' THEN 3.0 WHEN 'system' THEN 1.0
+                   WHEN 'tool' THEN 0.5 WHEN 'user' THEN 1.0
+                   ELSE 1.0 END AS cost
+  FROM r
+), a AS (
+  SELECT role, count(*) AS n_turns,
+         CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         sum(cost) AS cost_raw
+  FROM c GROUP BY 1
+), tt AS (SELECT sum(cost_raw) AS total FROM a)
+SELECT role, n_turns, n_tokens,
+       round(cost_raw, 4) AS cost,
+       round(cost_raw / total, 6) AS cost_share
+FROM a CROSS JOIN tt
+""",
+        "nation_trade_volume": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+   OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9')
+GROUP BY 1, 2, 3
 """,
         "fd_audit": """
 WITH k AS (

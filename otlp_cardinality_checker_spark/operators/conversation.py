@@ -916,3 +916,106 @@ def conv_outcomes(routed: DataFrame) -> DataFrame:
         "avg_tool_calls",
         "avg_first_error_turn",
     )
+
+
+def tool_latency(turns: DataFrame, slo_seconds: float = 2.0) -> DataFrame:
+    """Per-tool response-latency percentiles + SLO breach rate: the gap
+    between a tool-call turn and the NEXT turn in its conversation is
+    the observable "tool latency" in a transcript log (the agent speaks
+    again once the result lands). The ops twin of
+    `tool_error_attribution` — that ranks tools by failure, this ranks
+    them by slowness, with exact p50/p95/p99 (the repo's bit-exact
+    `F.percentile`/`quantile_cont` pair) and a breach share against
+    ``slo_seconds``.
+
+    Output grain: one row per tool — ``(tool, n_calls, p50_s, p95_s,
+    p99_s, n_breach, breach_share)``. Calls with no following turn
+    (conversation ends on the tool call) have no observable latency and
+    are excluded, mirrored by the oracle.
+
+    Scale shape: ONE conv_id-partitioned lead() window over a 4-column
+    projection (the conversation module's standard single exchange),
+    then one map-side percentile agg per tool.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    nxt = F.lead("ts").over(w)
+    lat = (
+        turns.select("conv_id", "turn_idx", "tool", "ts")
+        .withColumn("_nxt", nxt)
+        .where(F.col("tool").isNotNull() & F.col("_nxt").isNotNull())
+        .select(
+            "tool",
+            (
+                F.unix_timestamp("_nxt").cast("double")
+                - F.unix_timestamp("ts").cast("double")
+            ).alias("lat_s"),
+        )
+    )
+    return lat.groupBy("tool").agg(
+        F.count(F.lit(1)).alias("n_calls"),
+        F.round(F.percentile(F.col("lat_s"), F.lit(0.5)), 4).alias("p50_s"),
+        F.round(F.percentile(F.col("lat_s"), F.lit(0.95)), 4).alias("p95_s"),
+        F.round(F.percentile(F.col("lat_s"), F.lit(0.99)), 4).alias("p99_s"),
+        F.sum((F.col("lat_s") > slo_seconds).cast("long")).alias("n_breach"),
+        F.round(
+            F.sum((F.col("lat_s") > slo_seconds).cast("long"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("breach_share"),
+    )
+
+
+# fixed, documented per-role token prices (arbitrary units per 1k
+# tokens) — like the classifier weights, the pipeline value is the
+# PRICED-ACCOUNTING plumbing; swap the dict for real meter rates.
+ROLE_PRICES = {"user": 1.0, "assistant": 3.0, "tool": 0.5, "system": 1.0}
+
+
+def cost_report(turns: DataFrame, by: str = "role") -> DataFrame:
+    """Priced token accounting per group: whitespace token counts times
+    a per-role rate card — the cost dashboard every agent pipeline
+    reconciles (which role/tool burns the budget, what a conversation
+    costs on average).
+
+    Output grain: one row per group — ``(by, n_turns, n_tokens, cost,
+    cost_share)``; cost = tokens/1000 * role price, share against the
+    corpus total via a broadcast 1-row agg (never an empty-partition
+    window).
+
+    Scale shape: one scan, one map-side-combined agg; the price map is a
+    CASE chain (bounded roles), the total a broadcast crossJoin.
+    """
+    ntok = F.when(
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) == 0,
+        F.lit(0),
+    ).otherwise(
+        F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"))
+    )
+    price = F.lit(1.0)
+    expr = None
+    for role, p in sorted(ROLE_PRICES.items()):
+        cond = F.col("role") == role
+        expr = F.when(cond, F.lit(p)) if expr is None else expr.when(
+            cond, F.lit(p)
+        )
+    price = expr.otherwise(F.lit(1.0))
+    rows = turns.select(
+        F.col(by).alias("grp"),
+        ntok.cast("long").alias("ntok"),
+        (ntok.cast("double") / F.lit(1000.0) * price).alias("cost"),
+    )
+    agg = rows.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("ntok").alias("n_tokens"),
+        F.sum("cost").alias("cost_raw"),
+    )
+    tot = agg.agg(F.sum("cost_raw").alias("total"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("grp").alias(by),
+        "n_turns",
+        "n_tokens",
+        F.round(F.col("cost_raw"), 4).alias("cost"),
+        F.round(F.col("cost_raw") / F.col("total"), 6).alias("cost_share"),
+    )

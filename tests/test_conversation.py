@@ -651,3 +651,53 @@ def test_conv_outcomes_last_turn_semantics(spark):
     assert got["ERROR"]["avg_first_error_turn"] == 1.0
     assert got["INFO"]["avg_turns"] == 2.0  # (3 + 1) / 2
     assert got["ERROR"]["avg_tool_calls"] == 1.0
+
+
+def test_tool_latency_excludes_terminal_calls_and_hits_slo(spark):
+    import datetime as dt
+
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        tool_latency,
+    )
+
+    b = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", 0, "user", "go", None, b),
+        ("c1", 1, "tool", "call", "t_fast", b + dt.timedelta(seconds=1)),
+        ("c1", 2, "assistant", "ok", None, b + dt.timedelta(seconds=2)),
+        ("c1", 3, "tool", "call", "t_slow", b + dt.timedelta(seconds=3)),
+        ("c1", 4, "assistant", "ok", None, b + dt.timedelta(seconds=13)),
+        # terminal tool call: no following turn -> excluded
+        ("c2", 0, "tool", "call", "t_orphan", b),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {r["tool"]: r for r in tool_latency(df, slo_seconds=2.0).collect()}
+    assert "t_orphan" not in got
+    assert got["t_fast"]["p50_s"] == 1.0 and got["t_fast"]["n_breach"] == 0
+    assert got["t_slow"]["p50_s"] == 10.0 and got["t_slow"]["breach_share"] == 1.0
+
+
+def test_cost_report_rate_card_and_shares(spark):
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        cost_report,
+    )
+
+    rows = [
+        ("c", 0, "user", "a b c d", None, None),        # 4 tok * 1.0
+        ("c", 1, "assistant", "x y", None, None),       # 2 tok * 3.0
+        ("c", 2, "tool", "k=v", None, None),            # 1 tok * 0.5
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {r["role"]: r for r in cost_report(df).collect()}
+    assert got["user"]["cost"] == round(4 / 1000 * 1.0, 4)
+    assert got["assistant"]["cost"] == round(2 / 1000 * 3.0, 4)
+    assert got["tool"]["cost"] == round(1 / 1000 * 0.5, 4)
+    assert abs(sum(r["cost_share"] for r in got.values()) - 1.0) <= 1e-5
