@@ -2732,6 +2732,101 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape over the fixture association (lineitem links
+    parts to suppliers): distinct supplier count per (brand, type,
+    size), EXCLUDING one brand via an anti-join on the part dim — the
+    NOT-IN + multi-key count-distinct pattern."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    keep = p.where(F.col("p_brand") != "Brand#1").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(keep), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of HOURLY VOLUME between event-type pairs —
+    the co-movement matrix behind alert grouping (types that always
+    spike together belong to one incident). Exact: the sums feeding r
+    are integer (hourly counts over the completed hour domain, absent
+    hours = 0 via domain completion), so r is bit-deterministic."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    gb = (
+        ev.select(
+            F.col("event_type").alias("t"),
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+        )
+        .groupBy("t", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dom = gb.select("h").distinct()
+    types = gb.select("t").distinct()
+    full = (
+        types.crossJoin(dom)
+        .join(gb, ["t", "h"], "left")
+        .select("t", "h", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    a = full.alias("a")
+    b = full.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h")) & (F.col("a.t") < F.col("b.t")),
+    ).select(
+        F.col("a.t").alias("t1"),
+        F.col("b.t").alias("t2"),
+        F.col("a.c").alias("x"),
+        F.col("b.c").alias("y"),
+    )
+    agg = j.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "t1",
+        "t2",
+        F.col("n").alias("n_hours"),
+        F.round(
+            F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), 6
+        ).alias("pearson_r"),
+    )
+
+
+def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day load profile per event type: share of the type's
+    volume landing in each UTC hour — the capacity-planning heatmap."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    gb = (
+        ev.select(
+            F.col("event_type"),
+            F.hour(F.col("ts")).alias("hod"),
+        )
+        .groupBy("event_type", "hod")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    tot = gb.groupBy("event_type").agg(F.sum("n_events").alias("tot"))
+    return gb.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hod",
+        "n_events",
+        F.round(F.col("n_events") / F.col("tot"), 6).alias("share"),
+    )
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -3130,6 +3225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_latency": q_tool_latency,
         "cost_report": q_cost_report,
         "nation_trade_volume": q_nation_trade_volume,
+        "supplier_diversity": q_supplier_diversity,
+        "type_correlation": q_type_correlation,
+        "seasonality_profile": q_seasonality_profile,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -5926,6 +6024,56 @@ JOIN nation n2 ON c_nationkey = n2.n_nationkey
 WHERE (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9')
 GROUP BY 1, 2, 3
+""",
+        "supplier_diversity": """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+GROUP BY 1, 2, 3
+""",
+        "type_correlation": """
+WITH gb AS (
+  SELECT event_type AS t, date_trunc('hour', ts) AS h, count(*) AS c
+  FROM events GROUP BY 1, 2
+), dom AS (SELECT DISTINCT h FROM gb),
+ty AS (SELECT DISTINCT t FROM gb),
+fl AS (
+  SELECT ty.t, dom.h, coalesce(gb.c, 0) AS c
+  FROM ty CROSS JOIN dom
+  LEFT JOIN gb ON gb.t = ty.t AND gb.h = dom.h
+), j AS (
+  SELECT a.t AS t1, b.t AS t2, a.c AS x, b.c AS y
+  FROM fl a JOIN fl b ON a.h = b.h AND a.t < b.t
+), agg AS (
+  SELECT t1, t2, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM j GROUP BY 1, 2
+)
+SELECT t1, t2, n AS n_hours,
+  round(CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+              AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+        THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+        END, 6) AS pearson_r
+FROM agg
+""",
+        "seasonality_profile": """
+WITH gb AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hod, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, CAST(sum(n_events) AS BIGINT) AS tot
+  FROM gb GROUP BY 1
+)
+SELECT gb.event_type, gb.hod, gb.n_events,
+       round(gb.n_events * 1.0 / tot.tot, 6) AS share
+FROM gb JOIN tot USING (event_type)
 """,
         "fd_audit": """
 WITH k AS (

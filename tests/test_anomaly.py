@@ -245,3 +245,50 @@ def test_spike_attribution_finds_the_driving_dimension(spark):
     # background users contribute ~zero excess (their rate wobble is
     # the 3-vs-4 parity, well under the flood)
     assert all(abs(r["excess"]) < 2.0 for r in got[1:])
+
+
+def test_type_correlation_exact_signs(spark):
+    """Perfectly co-moving types give r=1, anti-moving give r=-1, and a
+    type absent in some hours enters as ZERO volume (domain completion),
+    not a missing pair — all recomputed by numpy."""
+    import datetime as dt
+
+    import numpy as np
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "e", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    b = dt.datetime(2024, 1, 1)
+    series = {
+        "up": [1, 2, 3, 4],
+        "up2": [2, 4, 6, 8],
+        "down": [4, 3, 2, 1],
+        "gappy": [0, 5, 0, 5],   # hour 0/2 rows absent -> completed as 0
+    }
+    rows, eid = [], 0
+    for t, counts in series.items():
+        for h, c in enumerate(counts):
+            for _ in range(c):
+                rows.append((eid, t, 1, 1.0,
+                             b + dt.timedelta(hours=h, minutes=1)))
+                eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, event_type string, user_id long, value double, "
+        "ts timestamp",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        got = {(r["t1"], r["t2"]): r["pearson_r"]
+               for r in m.queries()["type_correlation"](spark, d).collect()}
+    for (t1, t2), r in got.items():
+        want = np.corrcoef(series[t1], series[t2])[0, 1]
+        assert abs(r - round(float(want), 6)) <= 1e-4, (t1, t2)
+    assert got[("up", "up2")] == 1.0 and got[("down", "up")] == -1.0
