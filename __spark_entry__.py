@@ -2827,6 +2827,37 @@ def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-proportional (Neyman) allocation of a 1000-row sample
+    budget across event types."""
+    from otlp_cardinality_checker_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return neyman_allocation(ev, budget=1000)
+
+
+def q_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure dry-run: rows each table loses if every
+    user_id % 97 == 7 subject is purged (the deterministic stand-in for
+    a deletion-request batch)."""
+    from otlp_cardinality_checker_spark.operators.quality import purge_audit
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    subjects = (
+        ev.select(F.col("user_id").alias("subject_id"))
+        .where(F.col("user_id") % 97 == 7)
+        .distinct()
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return purge_audit(
+        {"events": (ev, "user_id"), "orders": (orders, "o_custkey")},
+        subjects,
+    )
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -3228,6 +3259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_diversity": q_supplier_diversity,
         "type_correlation": q_type_correlation,
         "seasonality_profile": q_seasonality_profile,
+        "neyman_allocation": q_neyman_allocation,
+        "purge_audit": q_purge_audit,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -6074,6 +6107,53 @@ WITH gb AS (
 SELECT gb.event_type, gb.hod, gb.n_events,
        round(gb.n_events * 1.0 / tot.tot, 6) AS share
 FROM gb JOIN tot USING (event_type)
+""",
+        "neyman_allocation": """
+WITH v AS (
+  SELECT event_type AS grp, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+), a AS (
+  SELECT grp, count(*) AS n_rows, sum(v) AS s1, sum(v * v) AS s2
+  FROM v GROUP BY 1
+), w AS (
+  SELECT grp, n_rows,
+         sqrt(greatest((CAST(n_rows AS DOUBLE) * s2 - s1 * s1)
+                       / (CAST(n_rows AS DOUBLE)
+                          * CAST(n_rows AS DOUBLE)), 0.0)) AS sd,
+         CAST(n_rows AS DOUBLE)
+           * sqrt(greatest((CAST(n_rows AS DOUBLE) * s2 - s1 * s1)
+                           / (CAST(n_rows AS DOUBLE)
+                              * CAST(n_rows AS DOUBLE)), 0.0)) AS ns
+  FROM a
+), tt AS (SELECT sum(ns) AS tot FROM w)
+SELECT grp AS event_type, n_rows,
+       round(sd, 6) AS stddev,
+       round(ns / tot, 6) AS weight,
+       CAST(least(CAST(round(1000.0 * ns / tot, 0) AS BIGINT), n_rows)
+            AS BIGINT) AS n_alloc,
+       round(least(CAST(round(1000.0 * ns / tot, 0) AS BIGINT), n_rows)
+             * 1.0 / n_rows, 6) AS sampling_rate
+FROM w CROSS JOIN tt
+""",
+        "purge_audit": """
+WITH subj AS (
+  SELECT DISTINCT user_id AS k FROM events WHERE user_id % 97 = 7
+)
+SELECT 'events' AS "table", count(*) AS n_rows,
+       CAST(sum(CASE WHEN s.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purged,
+       round(sum(CASE WHEN s.k IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS purge_share,
+       count(DISTINCT CASE WHEN s.k IS NOT NULL THEN e.user_id END)
+         AS n_subjects_hit
+FROM events e LEFT JOIN subj s ON e.user_id = s.k
+UNION ALL
+SELECT 'orders', count(*),
+       CAST(sum(CASE WHEN s.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+       round(sum(CASE WHEN s.k IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6),
+       count(DISTINCT CASE WHEN s.k IS NOT NULL THEN o.o_custkey END)
+FROM orders o LEFT JOIN subj s ON o.o_custkey = s.k
 """,
         "fd_audit": """
 WITH k AS (

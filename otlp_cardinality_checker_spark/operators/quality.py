@@ -274,3 +274,55 @@ def fd_audit(
         F.sum(F.col("_rows") * viol).alias("violating_rows"),
         F.max("_nrhs").alias("max_rhs_per_lhs"),
     )
+
+
+def purge_audit(
+    tables: dict[str, tuple[DataFrame, str]],
+    subjects: DataFrame,
+    subject_col: str = "subject_id",
+) -> DataFrame:
+    """Right-to-erasure impact audit: given a deletion-subject list,
+    report per table how many rows (and what share) a purge would
+    remove — the compliance dry-run that runs BEFORE tombstoning, so the
+    blast radius is known and the anti-join the real purge will use is
+    already exercised.
+
+    ``tables`` maps table name -> (frame, key column matching the
+    subject ids). Output grain: one row per table — ``(table, n_rows,
+    n_purged, purge_share, n_subjects_hit)``.
+
+    Scale shape: per table, ONE semi-join-shaped aggregation against the
+    broadcast subject list (subjects are small by construction — a
+    deletion request batch); no shuffle of fact rows, counts fold
+    map-side. The real purge is the same join as an anti-join write.
+    """
+    outs = []
+    for name, (df, key) in tables.items():
+        j = df.select(F.col(key).alias("k")).join(
+            F.broadcast(subjects.select(F.col(subject_col).alias("k"))
+                        .distinct()
+                        .withColumn("_hit", F.lit(1))),
+            "k",
+            "left",
+        )
+        outs.append(
+            j.agg(
+                F.lit(name).alias("table"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)).cast("long")).alias(
+                    "n_purged"
+                ),
+                F.round(
+                    F.sum(F.coalesce(F.col("_hit"), F.lit(0)).cast("long"))
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("purge_share"),
+                F.countDistinct(
+                    F.when(F.col("_hit") == 1, F.col("k"))
+                ).alias("n_subjects_hit"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

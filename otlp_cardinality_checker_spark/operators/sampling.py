@@ -428,3 +428,62 @@ def epoch_plan(
             )
         ).alias("order_key"),
     )
+
+
+def neyman_allocation(
+    events: DataFrame,
+    budget: int = 1000,
+    by: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Neyman (variance-proportional) sample-allocation plan: split a
+    sampling ``budget`` across strata proportionally to ``N_h * S_h``
+    (stratum size x stratum std-dev) — the textbook minimum-variance
+    allocation for estimating a mean under stratified sampling, and the
+    upgrade to `stratified_sample`'s fixed-rate plan when strata differ
+    wildly in spread.
+
+    ``S_h`` is the exact population std-dev from integer-free but
+    DETERMINISTIC sums (``var = (n*s2 - s1^2)/n^2`` — the engine-order-
+    proof formulation the module's stats all use); the allocation is
+    ``n_h = round(budget * N_h*S_h / sum(N_h*S_h))`` capped at ``N_h``.
+
+    Output grain: one row per stratum — ``(by, n_rows, stddev,
+    weight, n_alloc, sampling_rate)``.
+
+    Scale shape: ONE map-side-combined agg to the stratum grain; the
+    normalizing total rides a broadcast crossJoin.
+    """
+    vals = events.where(F.col(value_col).isNotNull()).select(
+        F.col(by).alias("grp"), F.col(value_col).cast("double").alias("v")
+    )
+    agg = vals.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    n = F.col("n_rows").cast("double")
+    var = (n * F.col("s2") - F.col("s1") * F.col("s1")) / (n * n)
+    w = agg.select(
+        "grp",
+        "n_rows",
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("sd"),
+        (n * F.sqrt(F.greatest(var, F.lit(0.0)))).alias("ns"),
+    )
+    tot = w.agg(F.sum("ns").alias("tot"))
+    alloc = F.least(
+        F.round(F.lit(float(budget)) * F.col("ns") / F.col("tot"), 0).cast(
+            "long"
+        ),
+        F.col("n_rows"),
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        F.col("grp").alias(by),
+        "n_rows",
+        F.round(F.col("sd"), 6).alias("stddev"),
+        F.round(F.col("ns") / F.col("tot"), 6).alias("weight"),
+        alloc.alias("n_alloc"),
+        F.round(alloc.cast("double") / F.col("n_rows"), 6).alias(
+            "sampling_rate"
+        ),
+    )

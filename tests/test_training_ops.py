@@ -1442,3 +1442,46 @@ def test_trending_terms_rank_and_window(spark):
     h11 = sorted([r for r in got if r["bucket"].hour == 11],
                  key=lambda r: r["rank"])
     assert [(r["token"], r["n"]) for r in h11] == [("zeta", 2), ("eta", 1)]
+
+
+def test_neyman_allocation_favors_high_variance_strata(spark):
+    """Equal-size strata with 10x different spread: the noisy stratum
+    gets ~10x the allocation; totals respect the budget (up to the
+    documented per-stratum rounding/cap)."""
+    import numpy as np
+
+    from otlp_cardinality_checker_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    rows = []
+    for i in range(200):
+        rows.append((i, "quiet", 100.0 + (i % 2)))          # sd ~0.5
+        rows.append((1000 + i, "noisy", 100.0 + 10.0 * (i % 2)))  # sd ~5
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    got = {r["event_type"]: r for r in
+           neyman_allocation(ev, budget=110).collect()}
+    q = np.array([100.0 + (i % 2) for i in range(200)])
+    assert abs(got["quiet"]["stddev"] - round(float(q.std()), 6)) <= 1e-6
+    assert got["noisy"]["n_alloc"] == 10 * got["quiet"]["n_alloc"]
+    assert got["noisy"]["n_alloc"] + got["quiet"]["n_alloc"] == 110
+
+
+def test_purge_audit_counts_and_caps(spark):
+    from otlp_cardinality_checker_spark.operators.quality import purge_audit
+
+    ev = spark.createDataFrame(
+        [(i, i % 5) for i in range(50)], "event_id long, user_id long"
+    )
+    other = spark.createDataFrame(
+        [(i, 99) for i in range(10)], "row_id long, owner long"
+    )
+    subjects = spark.createDataFrame([(0,), (3,)], "subject_id long")
+    got = {r["table"]: r for r in purge_audit(
+        {"ev": (ev, "user_id"), "other": (other, "owner")}, subjects
+    ).collect()}
+    assert got["ev"]["n_purged"] == 20 and got["ev"]["n_subjects_hit"] == 2
+    assert got["ev"]["purge_share"] == 0.4
+    assert got["other"]["n_purged"] == 0 and got["other"]["n_subjects_hit"] == 0
