@@ -2858,6 +2858,18 @@ def q_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_class_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-pair separability over the embeddings: centroid distance +
+    Fisher-style ratio against within-class scatter."""
+    from otlp_cardinality_checker_spark.operators.similarity import (
+        class_separability,
+    )
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return class_separability(vecs)
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -3261,6 +3273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonality_profile": q_seasonality_profile,
         "neyman_allocation": q_neyman_allocation,
         "purge_audit": q_purge_audit,
+        "class_separability": q_class_separability,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -6154,6 +6167,34 @@ SELECT 'orders', count(*),
              / count(*), 6),
        count(DISTINCT CASE WHEN s.k IS NOT NULL THEN o.o_custkey END)
 FROM orders o LEFT JOIN subj s ON o.o_custkey = s.k
+""",
+        "class_separability": """
+WITH d AS (
+  SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+), ce AS (
+  SELECT label, pos, avg(v) AS c FROM d GROUP BY 1, 2
+), sc AS (
+  SELECT d.label, d.vec_id,
+         sum((d.v - ce.c) * (d.v - ce.c)) AS d2
+  FROM d JOIN ce ON d.label = ce.label AND d.pos = ce.pos
+  GROUP BY 1, 2
+), st AS (
+  SELECT label, count(*) AS n, avg(d2) AS scatter FROM sc GROUP BY 1
+), pair AS (
+  SELECT ca.label AS la, cb.label AS lb,
+         sum((ca.c - cb.c) * (ca.c - cb.c)) AS cd2
+  FROM ce ca JOIN ce cb ON ca.pos = cb.pos AND ca.label < cb.label
+  GROUP BY 1, 2
+)
+SELECT la AS label_a, lb AS label_b,
+       sa.n AS n_a, sb.n AS n_b,
+       round(sqrt(cd2), 6) AS centroid_dist,
+       round(cd2 / (sa.scatter + sb.scatter), 6) AS fisher_ratio
+FROM pair
+JOIN st sa ON la = sa.label
+JOIN st sb ON lb = sb.label
 """,
         "fd_audit": """
 WITH k AS (

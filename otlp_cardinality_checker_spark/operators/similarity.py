@@ -732,3 +732,79 @@ def embedding_quantization(
             4,
         ).alias("snr_db"),
     )
+
+
+def class_separability(
+    vecs: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Inter-class separability audit over labeled embeddings: for every
+    label pair, the between-centroid distance and a Fisher-style ratio
+    ``dist^2 / (scatter_a + scatter_b)`` (scatter = mean squared
+    distance to own centroid). The go/no-go number before training a
+    classifier head on an embedding column — ratios near 0 mean the
+    labels are not linearly separable in this space and a supervised
+    audit (`label_outliers`) will drown in noise.
+
+    Output grain: one row per unordered pair (a < b) — ``(label_a,
+    label_b, n_a, n_b, centroid_dist, fisher_ratio)``, rounded 6dp.
+
+    Scale shape: ONE posexplode to the (label, dim) grain for centroids
+    (map-side combined, bounded by #labels x dim); scatter via one more
+    pass with the tiny centroid ARRAY broadcast back (zip_with fold, no
+    per-dim join); the pair frame is the #labels^2 broadcast triangle.
+    """
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ex = vecs.select(F.col(label_col).alias("lbl"), F.posexplode(e))
+    cent = (
+        ex.groupBy("lbl", "pos")
+        .agg(F.avg("col").alias("m"))
+        .groupBy("lbl")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "m"))
+            ).alias("pm")
+        )
+        .select(
+            "lbl", F.transform("pm", lambda s: s["m"]).alias("centroid")
+        )
+    )
+    with_c = vecs.select(
+        F.col(label_col).alias("lbl"), e.alias("v")
+    ).join(F.broadcast(cent), "lbl")
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scat = with_c.groupBy("lbl").agg(
+        F.count(F.lit(1)).alias("n"), F.avg(d2).alias("scatter")
+    )
+    stats = scat.join(cent, "lbl")
+    a = stats.alias("a")
+    b = stats.alias("b")
+    cd2 = F.aggregate(
+        F.zip_with(
+            F.col("a.centroid"),
+            F.col("b.centroid"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a.lbl") < F.col("b.lbl"))
+        .select(
+            F.col("a.lbl").alias("label_a"),
+            F.col("b.lbl").alias("label_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.round(F.sqrt(cd2), 6).alias("centroid_dist"),
+            F.round(
+                cd2 / (F.col("a.scatter") + F.col("b.scatter")), 6
+            ).alias("fisher_ratio"),
+        )
+    )

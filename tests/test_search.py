@@ -156,3 +156,50 @@ def test_embedding_quantization_numpy_twin(spark):
 
     # zero vector contributed nothing to label-1 noise beyond vec 3
     assert got[1]["noise_power"] >= 0.0
+
+
+def test_class_separability_orders_separated_above_mixed(spark):
+    """Two tight, distant clusters give a large Fisher ratio; two
+    interleaved clusters give ~0 — numpy twin checks the numbers."""
+    import numpy as np
+
+    from otlp_cardinality_checker_spark.operators.similarity import (
+        class_separability,
+    )
+
+    rows = []
+    vid = 0
+    # labels 0/1: tight clusters far apart on dim 0
+    for lbl, center in ((0, -10.0), (1, 10.0)):
+        for i in range(8):
+            rows.append((vid, lbl, [center + 0.1 * (i % 3), 0.0, 1.0]))
+            vid += 1
+    # label 2: sits on top of label 0 (inseparable pair (0, 2))
+    for i in range(8):
+        rows.append((vid, 2, [-10.0 + 0.1 * (i % 3), 0.0, 1.0]))
+        vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    got = {(r["label_a"], r["label_b"]): r
+           for r in class_separability(df).collect()}
+
+    def twin(va, vb):
+        # the column is array<float>: route the twin through float32 so
+        # both sides quantize identically before the float64 math
+        va = np.array(va, dtype=np.float32).astype(np.float64)
+        vb = np.array(vb, dtype=np.float32).astype(np.float64)
+        ca, cb = va.mean(0), vb.mean(0)
+        cd2 = float(((ca - cb) ** 2).sum())
+        sa = float((((va - ca) ** 2).sum(1)).mean())
+        sb = float((((vb - cb) ** 2).sum(1)).mean())
+        return np.sqrt(cd2), cd2 / (sa + sb)
+
+    by_label = {}
+    for _, lbl, v in rows:
+        by_label.setdefault(lbl, []).append(v)
+    for (a, b), r in got.items():
+        dist, fisher = twin(by_label[a], by_label[b])
+        assert abs(r["centroid_dist"] - round(dist, 6)) <= 1e-4
+        assert abs(r["fisher_ratio"] - fisher) <= 1e-5 * max(fisher, 1.0)
+    assert got[(0, 1)]["fisher_ratio"] > 1000 * got[(0, 2)]["fisher_ratio"]
