@@ -2870,6 +2870,26 @@ def q_class_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return class_separability(vecs)
 
 
+
+def q_hopping_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-6h active users per 1h hop (exact distinct)."""
+    from otlp_cardinality_checker_spark.operators.rollup import (
+        hopping_distinct_users,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hopping_distinct_users(ev, size_seconds=21600, slide_seconds=3600)
+
+
+def q_dup_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair evidence: first 3 shared trigram texts per
+    qualifying pair (>= 0.5 Jaccard)."""
+    from otlp_cardinality_checker_spark.operators.dedup import dup_evidence
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dup_evidence(docs, min_jaccard=0.5, n=3, k_shingles=3)
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -3274,6 +3294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman_allocation": q_neyman_allocation,
         "purge_audit": q_purge_audit,
         "class_separability": q_class_separability,
+        "hopping_distinct_users": q_hopping_distinct_users,
+        "dup_evidence": q_dup_evidence,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -6195,6 +6217,57 @@ SELECT la AS label_a, lb AS label_b,
 FROM pair
 JOIN st sa ON la = sa.label
 JOIN st sb ON lb = sb.label
+""",
+        "hopping_distinct_users": """
+WITH ex AS (
+  SELECT user_id,
+         CAST(to_timestamp(
+           (CAST(floor(epoch(ts) / 3600) AS BIGINT) - s.i) * 3600
+         ) AS TIMESTAMP) AS window_start
+  FROM events, (SELECT unnest(range(6)) AS i) s
+  WHERE epoch(ts) >= (CAST(floor(epoch(ts) / 3600) AS BIGINT) - s.i)
+                     * 3600
+    AND epoch(ts) < (CAST(floor(epoch(ts) / 3600) AS BIGINT) - s.i)
+                    * 3600 + 21600
+)
+SELECT window_start, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM ex GROUP BY 1
+""",
+        "dup_evidence": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), shingled AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+         THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                             for i in range(1, len(t) - 1)])
+         ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+), pairs AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_common
+  FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(shingles) AS n FROM shingled),
+q AS (
+  SELECT doc_a, doc_b,
+         round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
+           AS jaccard
+  FROM pairs
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+)
+SELECT q.doc_a, q.doc_b, q.jaccard,
+       array_to_string(
+         list_sort(list_intersect(a.shingles, b.shingles))[1:3], ' | ')
+         AS shared_examples
+FROM q
+JOIN shingled a ON q.doc_a = a.doc_id
+JOIN shingled b ON q.doc_b = b.doc_id
 """,
         "fd_audit": """
 WITH k AS (

@@ -1117,3 +1117,74 @@ def jaccard_threshold_curve(
             "share"
         ),
     )
+
+
+def dup_evidence(
+    docs: DataFrame,
+    min_jaccard: float = 0.5,
+    n: int = 3,
+    k_shingles: int = 3,
+) -> DataFrame:
+    """Explainability for near-duplicate pairs: for every pair above the
+    Jaccard bar, the first ``k_shingles`` SHARED n-grams (as text, sorted)
+    — the evidence a reviewer reads before approving a dedup pass, and
+    the debugging view when a threshold seems to fuse unrelated docs
+    (cf. the conv_near_dups cap lesson: three sample shingles usually
+    reveal a boilerplate leak instantly).
+
+    Output grain: one row per qualifying pair — ``(doc_a, doc_b,
+    jaccard, shared_examples)`` where shared_examples joins the
+    lexicographically first k shared shingle TEXTS with ``' | '`` (a
+    plain string keeps the cross-engine hash stable).
+
+    Scale shape: the pair set comes from the standard inverted-index
+    join (`exact_jaccard`, capped by default upstream); the evidence
+    join-back touches only QUALIFYING pairs (two joins to the per-doc
+    string-shingle arrays, array_intersect + slice row-locally). Text
+    shingles ship only for pairs under review, never corpus-wide.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    t = F.col("_toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+    )
+    texts = F.when(
+        F.size(t) >= n, F.transform(idx, gram)
+    ).otherwise(F.array(F.concat_ws(" ", t)))
+    shingle_texts = docs.select("doc_id", toks.alias("_toks")).select(
+        "doc_id", F.array_distinct(texts).alias("sh")
+    )
+    pairs = exact_jaccard(
+        word_shingles(docs, n=n), min_jaccard=min_jaccard, max_df=None
+    ).select("doc_a", "doc_b", "jaccard")
+    return (
+        pairs.join(
+            shingle_texts.withColumnsRenamed(
+                {"doc_id": "doc_a", "sh": "sh_a"}
+            ),
+            "doc_a",
+        )
+        .join(
+            shingle_texts.withColumnsRenamed(
+                {"doc_id": "doc_b", "sh": "sh_b"}
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.concat_ws(
+                " | ",
+                F.slice(
+                    F.array_sort(F.array_intersect("sh_a", "sh_b")),
+                    1,
+                    k_shingles,
+                ),
+            ).alias("shared_examples"),
+        )
+    )

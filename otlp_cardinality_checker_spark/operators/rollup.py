@@ -153,3 +153,40 @@ def hopping_window_stats(
             "total_value",
         )
     )
+
+
+def hopping_distinct_users(
+    events: DataFrame,
+    size_seconds: int = 21600,
+    slide_seconds: int = 3600,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Trailing-window ACTIVE-USER counts: exact distinct users per
+    hopping window — the DAU/WAU-style engagement panel at event-time
+    grain. The count-distinct makes this the expensive sibling of
+    `hopping_window_stats`: rows cannot pre-aggregate by (window, user)
+    count alone, so the exchange carries (window, user) DISTINCT grain —
+    still bounded by windows x active users, never raw events (the
+    map-side distinct combine absorbs duplicates).
+
+    Swap to `F.hll_sketch_agg` for the approximate/mergeable form at
+    extreme user cardinality (then rows-only vs DuckDB, like
+    `key_stats_hll`).
+
+    Output grain: one row per window — ``(window_start, n_events,
+    n_users)``.
+    """
+    if size_seconds % slide_seconds != 0:
+        raise ValueError("size must be a multiple of slide")
+    w = F.window(
+        ts_col, f"{size_seconds} seconds", f"{slide_seconds} seconds"
+    )
+    return (
+        events.select(w.alias("w"), F.col(user_col).alias("u"))
+        .groupBy(F.col("w.start").alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("u").alias("n_users"),
+        )
+    )

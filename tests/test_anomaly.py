@@ -292,3 +292,30 @@ def test_type_correlation_exact_signs(spark):
         want = np.corrcoef(series[t1], series[t2])[0, 1]
         assert abs(r - round(float(want), 6)) <= 1e-4, (t1, t2)
     assert got[("up", "up2")] == 1.0 and got[("down", "up")] == -1.0
+
+
+def test_hopping_distinct_users_window_membership(spark):
+    """A user active at 10:30 must appear in the six windows starting
+    05:00..10:00 (6h size, 1h hop) and no others; distinct counting
+    dedups multi-event users within a window."""
+    import datetime as dt
+
+    from otlp_cardinality_checker_spark.operators.rollup import (
+        hopping_distinct_users,
+    )
+
+    b = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, 7, b + dt.timedelta(hours=10, minutes=30)),
+        (1, 7, b + dt.timedelta(hours=10, minutes=45)),   # same user
+        (2, 8, b + dt.timedelta(hours=10, minutes=50)),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {r["window_start"]: r for r in
+           hopping_distinct_users(ev, 21600, 3600).collect()}
+    starts = sorted(got)
+    assert starts[0] == b + dt.timedelta(hours=5)
+    assert starts[-1] == b + dt.timedelta(hours=10)
+    assert len(starts) == 6
+    assert all(got[s]["n_users"] == 2 and got[s]["n_events"] == 3
+               for s in starts)

@@ -802,3 +802,18 @@ def test_jaccard_curve_cumulative_and_exact(spark):
     assert got[0.9]["n_pairs"] == 1          # only the identical pair
     # shares are n_pairs / candidate_pairs
     assert got[0.9]["share"] == round(1 / 3, 6)
+
+
+def test_dup_evidence_shows_shared_shingles(spark):
+    from otlp_cardinality_checker_spark.operators.dedup import dup_evidence
+
+    a = "alpha beta gamma delta epsilon zeta"
+    rows = [(0, a), (1, a + " eta"), (2, "unrelated words entirely here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dup_evidence(docs, min_jaccard=0.5).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_a"], r["doc_b"]) == (0, 1)
+    parts = r["shared_examples"].split(" | ")
+    assert len(parts) == 3 and parts == sorted(parts)
+    assert all(p in a + " eta" for p in parts)
