@@ -71,6 +71,9 @@ def main() -> None:
         .select(
             F.col("id").alias("event_id"),
             F.concat(F.lit("t"), F.pmod(h1, F.lit(5))).alias("event_type"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(9)), F.lit(100_000)).alias(
+                "user_id"
+            ),
             # 1704067200 = 2024-01-01T00:00:00Z
             F.timestamp_seconds(
                 F.lit(1704067200) + F.pmod(h2, F.lit(hours * 3600))
@@ -91,6 +94,8 @@ def main() -> None:
         .select(
             (F.col("id") + n).alias("event_id"),
             F.lit("t0").alias("event_type"),
+            # the shift is a single hot tenant: user 42 floods t0
+            F.lit(42).cast("long").alias("user_id"),
             F.timestamp_seconds(
                 F.lit(1704067200 + (hours - 72) * 3600)
                 + F.pmod(F.xxhash64(F.col("id"), F.lit(4)),
@@ -132,6 +137,26 @@ def main() -> None:
     vs = volume_spikes(ev, group_col="event_type").count()
     out["spikes_sec"] = round(time.time() - t0, 1)
     out["spikes_rows"] = vs
+
+    # wave-4 legs: attribution re-scans only the spike horizon; the
+    # correlation pair join runs on the bucket grain; the hopping
+    # distinct-users exchange carries the (window, user) DISTINCT grain
+    from otlp_cardinality_checker_spark.operators.anomaly import (
+        spike_attribution,
+    )
+    from otlp_cardinality_checker_spark.operators.rollup import (
+        hopping_distinct_users,
+    )
+
+    t0 = time.time()
+    sa = spike_attribution(ev).collect()
+    out["attribution_sec"] = round(time.time() - t0, 1)
+    out["attribution_rows"] = len(sa)
+
+    t0 = time.time()
+    hd = hopping_distinct_users(ev, 21600, 3600).count()
+    out["hopping_users_sec"] = round(time.time() - t0, 1)
+    out["hopping_windows"] = hd
 
     sampler.stop()
     out["jvm_peak_rss_gb"] = round(sampler.peak_kb / 1024 / 1024, 2)
