@@ -2890,6 +2890,39 @@ def q_dup_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_evidence(docs, min_jaccard=0.5, n=3, k_shingles=3)
 
 
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-5 weighted (A-ES) sample per source, n_chars-proportional,
+    md5-deterministic."""
+    from otlp_cardinality_checker_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_sample(docs, k=5, by="source", weight_col="n_chars")
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints per doc, reduced to hashable
+    scalars: position/fingerprint counts + integer checksum + the first
+    three fingerprints as a string sample."""
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = winnow_fingerprints(docs, n=3, window=4)
+    return fp.select(
+        "doc_id",
+        "n_positions",
+        "n_fingerprints",
+        F.aggregate(
+            "fingerprints", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("fp_checksum"),
+        F.concat_ws(",", F.slice("fingerprints", 1, 3)).alias("fp_sample"),
+    )
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -3296,6 +3329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_separability": q_class_separability,
         "hopping_distinct_users": q_hopping_distinct_users,
         "dup_evidence": q_dup_evidence,
+        "weighted_sample": q_weighted_sample,
+        "winnow_fingerprints": q_winnow_fingerprints,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -6268,6 +6303,54 @@ SELECT q.doc_a, q.doc_b, q.jaccard,
 FROM q
 JOIN shingled a ON q.doc_a = a.doc_id
 JOIN shingled b ON q.doc_b = b.doc_id
+""",
+        "weighted_sample": """
+WITH r AS (
+  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) + 1) / 4294967297.0)
+         / CAST(n_chars AS DOUBLE) AS k
+  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+), rk AS (
+  SELECT source, doc_id, weight,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY k DESC, doc_id ASC) AS rank
+  FROM r
+)
+SELECT source, doc_id, weight, CAST(rank AS INT) AS rank
+FROM rk WHERE rank <= 5
+""",
+        "winnow_fingerprints": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+                                        '\\s+'), x -> x <> '') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         [array_to_string(t[i:least(i + 2, len(t))], ' ')
+          for i in range(1, greatest(len(t) - 2, 1) + 1)] AS grams
+  FROM toks
+), h AS (
+  SELECT doc_id,
+         list_transform(grams,
+           x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hs
+  FROM g
+), wmin AS (
+  SELECT doc_id, hs,
+         [list_min(hs[p:least(p + 3, len(hs))])
+          for p in range(1, greatest(len(hs) - 3, 1) + 1)] AS mins
+  FROM h
+), fp AS (
+  SELECT doc_id, len(hs) AS n_positions,
+         list_sort(list_distinct(mins)) AS f
+  FROM wmin
+)
+SELECT doc_id, CAST(n_positions AS INT) AS n_positions,
+       CAST(len(f) AS INT) AS n_fingerprints,
+       CAST(list_sum(f) AS BIGINT) AS fp_checksum,
+       array_to_string(f[1:3], ',') AS fp_sample
+FROM fp
 """,
         "fd_audit": """
 WITH k AS (

@@ -1188,3 +1188,70 @@ def dup_evidence(
             ).alias("shared_examples"),
         )
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    n: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every POSITIONAL n-gram, then keep the minimum
+    hash of each sliding window of ``window`` consecutive positions —
+    guaranteeing any match of length >= window+n-1 tokens shares a
+    fingerprint, at ~1/window the storage of the full shingle set. The
+    space-efficient alternative to `word_shingles` for plagiarism-style
+    span matching.
+
+    The n-gram hash is the md5-prefix integer (the cross-engine idiom —
+    the winnowing SELECTION depends on hash values, so the hash itself
+    must reproduce in the oracle; xxhash64 would not).
+
+    Output grain: ``(doc_id, fingerprints array<bigint> DISTINCT-sorted,
+    n_positions, n_fingerprints)`` — feed the array to `exact_jaccard`'s
+    machinery (or `containment_pairs`) exactly like a shingle set.
+
+    Scale shape: entirely row-local HOFs (positional grams -> hashes ->
+    window minima via element_at folds, never per-element slice); no
+    shuffle at all.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    t = F.col("_toks")
+    n_pos = F.greatest(F.size(t) - n + 1, F.lit(1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(0), n_pos - 1),
+        lambda i: F.conv(F.substring(F.md5(gram(i)), 1, 8), 16, 10).cast(
+            "long"
+        ),
+    )
+    h = F.col("_h")
+    n_wins = F.greatest(F.size(h) - window + 1, F.lit(1))
+    win_min = F.transform(
+        F.sequence(F.lit(0), n_wins - 1),
+        lambda p: F.aggregate(
+            F.sequence(F.lit(1), F.least(F.lit(window), F.size(h))),
+            F.lit(None).cast("long"),
+            lambda acc, j: F.least(
+                F.coalesce(acc, F.element_at(h, p + j)),
+                F.element_at(h, p + j),
+            ),
+        ),
+    )
+    return (
+        docs.select("doc_id", toks.alias("_toks"))
+        .select("doc_id", hashes.alias("_h"))
+        .select(
+            "doc_id",
+            F.array_sort(F.array_distinct(win_min)).alias("fingerprints"),
+            F.size(h).alias("n_positions"),
+        )
+        .withColumn("n_fingerprints", F.size("fingerprints"))
+    )

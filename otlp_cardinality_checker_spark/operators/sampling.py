@@ -487,3 +487,63 @@ def neyman_allocation(
             "sampling_rate"
         ),
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 5,
+    by: str = "source",
+    weight_col: str = "n_chars",
+    salt: str = "",
+) -> DataFrame:
+    """Exactly-k WEIGHTED sampling without replacement per stratum —
+    the Efraimidis-Spirakis A-ES scheme: rank items by ``u^(1/w)``
+    (equivalently ``ln(u)/w``, monotone) and keep the top k, which draws
+    each subset with probability proportional to its weights. The
+    third leg of the sampling family: `stratified_sample` is Bernoulli,
+    `fixed_k_sample` is uniform-k, `pps_sample` is Poisson-PPS — this is
+    k-without-replacement PPS.
+
+    ``u`` is the deterministic md5-prefix uniform (the package's
+    cross-engine idiom, salted for independent re-draws), so the sample
+    replays bit-for-bit on any engine; production swaps the hash-uniform
+    for an RNG and nothing else changes.
+
+    Output grain: up to k rows per stratum — ``(by, doc_id, weight,
+    rank)``. Zero/negative weights are excluded (they cannot be drawn
+    under PPS).
+
+    Scale shape: one scan computes keys; one per-stratum top-k window
+    (rank over the stratum grain — swap in the salted two-stage top-k
+    idiom if strata ever exceed executor memory).
+    """
+    from pyspark.sql import Window
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(1)
+    ) / F.lit(4294967297.0)
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w
+    rows = docs.where(w > 0).select(
+        F.col(by).alias("grp"),
+        "doc_id",
+        w.alias("weight"),
+        key.alias("_key"),
+    )
+    win = Window.partitionBy("grp").orderBy(
+        F.col("_key").desc(), F.col("doc_id").asc()
+    )
+    return (
+        rows.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select(F.col("grp").alias(by), "doc_id", "weight", "rank")
+    )

@@ -817,3 +817,35 @@ def test_dup_evidence_shows_shared_shingles(spark):
     parts = r["shared_examples"].split(" | ")
     assert len(parts) == 3 and parts == sorted(parts)
     assert all(p in a + " eta" for p in parts)
+
+
+def test_winnow_guarantee_and_compression(spark):
+    """Winnowing's coverage guarantee: two docs sharing a run of
+    >= window+n-1 tokens MUST share a fingerprint; and the fingerprint
+    set is materially smaller than the full positional shingle set."""
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"   # 6 tokens = window+n-1
+    rows = [
+        (0, f"x1 x2 x3 {shared} y1 y2"),
+        (1, f"z9 z8 {shared} w4 w5 w6 w7"),
+        (2, "totally different content with no overlap at all here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           winnow_fingerprints(docs, n=3, window=4).collect()}
+    f0 = set(got[0]["fingerprints"])
+    f1 = set(got[1]["fingerprints"])
+    f2 = set(got[2]["fingerprints"])
+    assert f0 & f1, "shared 6-token run must produce a shared fingerprint"
+    assert not (f0 & f2) and not (f1 & f2)
+    for r in got.values():
+        assert r["n_fingerprints"] <= r["n_positions"]
+    # ~1/window storage on a longer doc
+    long = spark.createDataFrame(
+        [(9, " ".join(f"t{i}" for i in range(200)))], "doc_id long, text string"
+    )
+    lr = winnow_fingerprints(long, n=3, window=4).collect()[0]
+    assert lr["n_fingerprints"] < lr["n_positions"] / 2

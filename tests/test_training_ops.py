@@ -1485,3 +1485,33 @@ def test_purge_audit_counts_and_caps(spark):
     assert got["ev"]["n_purged"] == 20 and got["ev"]["n_subjects_hit"] == 2
     assert got["ev"]["purge_share"] == 0.4
     assert got["other"]["n_purged"] == 0 and got["other"]["n_subjects_hit"] == 0
+
+
+def test_weighted_sample_is_deterministic_exactly_k_and_weight_biased(spark):
+    from otlp_cardinality_checker_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    # one heavy doc (weight 1000) among 40 light docs (weight 1): across
+    # 20 independent salted draws of k=1, the heavy doc must win most
+    rows = [(0, "s", 1000)] + [(i, "s", 1) for i in range(1, 41)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+
+    a = weighted_sample(docs, k=3).collect()
+    b = weighted_sample(docs, k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    assert len(a) == 3 and len({r["rank"] for r in a}) == 3
+
+    wins = 0
+    for i in range(20):
+        top = weighted_sample(docs, k=1, salt=f"s{i}").collect()[0]
+        wins += top["doc_id"] == 0
+    # P(win) = 1000/1040 per draw; 20 draws virtually never dip below 12
+    assert wins >= 12
+
+    # zero-weight docs can never be drawn
+    z = spark.createDataFrame(
+        [(1, "s", 0), (2, "s", 5)], "doc_id long, source string, n_chars long"
+    )
+    zz = weighted_sample(z, k=2).collect()
+    assert [r["doc_id"] for r in zz] == [2]
