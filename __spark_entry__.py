@@ -2923,6 +2923,81 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram language detector against the
+    fixture's lang column, with per-cell share of the true class — the
+    standard detector-evaluation view."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        language_id,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    det = language_id(docs).select("doc_id", "lang_detected")
+    j = docs.select("doc_id", "lang").join(det, "doc_id")
+    cell = j.groupBy("lang", "lang_detected").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = cell.groupBy("lang").agg(F.sum("n_docs").alias("n_true"))
+    return cell.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "lang_detected",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("n_true"), 6).alias("share_of_true"),
+    )
+
+
+def q_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed volume per event type (tau = 7 days,
+    anchored at the corpus max ts — a data-derived broadcast scalar,
+    never an empty-partition window): the 'recent activity' ranking a
+    dashboard shows instead of raw all-time counts."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tau = 7.0 * 86400.0
+    anchor = ev.agg(F.max(F.unix_timestamp("ts")).alias("tmax"))
+    wdf = ev.select("event_type", F.unix_timestamp("ts").alias("t")).crossJoin(
+        F.broadcast(anchor)
+    )
+    wgt = F.exp(-(F.col("tmax") - F.col("t")).cast("double") / F.lit(tau))
+    agg = wdf.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(wgt).alias("decayed_raw"),
+    )
+    tot = agg.agg(F.sum("decayed_raw").alias("tot"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_events",
+        F.round(F.col("decayed_raw"), 4).alias("decayed_volume"),
+        F.round(F.col("decayed_raw") / F.col("tot"), 6).alias(
+            "decayed_share"
+        ),
+    )
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in small orders — lineitems whose
+    quantity is under 20% of their part's average quantity (the
+    correlated-scalar-subquery pattern as an agg+join)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    avg_q = li.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg_q), "l_partkey")
+        .join(F.broadcast(p.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            F.round(F.sum("l_extendedprice") / F.lit(7.0), 4).alias(
+                "avg_yearly"
+            ),
+        )
+    )
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -3331,6 +3406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_evidence": q_dup_evidence,
         "weighted_sample": q_weighted_sample,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "lang_confusion": q_lang_confusion,
+        "decayed_counts": q_decayed_counts,
+        "small_quantity_revenue": q_small_quantity_revenue,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -6352,6 +6430,38 @@ SELECT doc_id, CAST(n_positions AS INT) AS n_positions,
        array_to_string(f[1:3], ',') AS fp_sample
 FROM fp
 """,
+        "lang_confusion": _lang_confusion_sql(),
+        "decayed_counts": """
+WITH a AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS tmax
+           FROM events),
+w AS (
+  SELECT event_type,
+         exp(-CAST(tmax - CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE)
+             / 604800.0) AS wgt
+  FROM events CROSS JOIN a
+), g AS (
+  SELECT event_type, count(*) AS n_events, sum(wgt) AS decayed_raw
+  FROM w GROUP BY 1
+), tt AS (SELECT sum(decayed_raw) AS tot FROM g)
+SELECT event_type, n_events,
+       round(decayed_raw, 4) AS decayed_volume,
+       round(decayed_raw / tot, 6) AS decayed_share
+FROM g CROSS JOIN tt
+""",
+        "small_quantity_revenue": """
+WITH avg_q AS (
+  SELECT l_partkey, avg(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT p_brand,
+       count(*) AS n_small_lines,
+       round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem
+JOIN avg_q USING (l_partkey)
+JOIN part ON l_partkey = p_partkey
+WHERE l_quantity < 0.2 * avg_qty
+GROUP BY 1
+""",
         "fd_audit": """
 WITH k AS (
   SELECT user_id, count(*) AS rows_, count(DISTINCT event_type) AS nrhs
@@ -7536,6 +7646,24 @@ SELECT doc_id, lang, CAST(total AS BIGINT) AS n_letters,
 FROM s
 """
 
+
+
+def _lang_confusion_sql() -> str:
+    """Confusion-matrix oracle built on the same generated detector SQL
+    as _language_id_sql (one source of truth for the marker table)."""
+    inner = _language_id_sql()
+    return f"""
+WITH det AS ({inner})
+, cell AS (
+  SELECT lang_declared AS lang, lang_detected, count(*) AS n_docs
+  FROM det GROUP BY 1, 2
+), tot AS (
+  SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_true FROM cell GROUP BY 1
+)
+SELECT cell.lang, cell.lang_detected, cell.n_docs,
+       round(cell.n_docs * 1.0 / tot.n_true, 6) AS share_of_true
+FROM cell JOIN tot USING (lang)
+"""
 
 def _language_id_sql() -> str:
     from otlp_cardinality_checker_spark.operators.text_analysis import (

@@ -453,3 +453,26 @@ def test_ks_drift_matches_numpy_two_sample(spark):
     )
     r = ks_drift(solo).collect()[0]
     assert r["ks_stat"] is None
+
+
+def test_lang_confusion_diagonal_dominates(spark):
+    """The fixture's docs carry their true lang; the detector's
+    confusion matrix must be diagonal-heavy and shares must sum to 1
+    per true class."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "e", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    rows = m.queries()["lang_confusion"](spark, "/root/testdata/sf0.001").collect()
+    by_true = {}
+    for r in rows:
+        by_true.setdefault(r["lang"], []).append(r)
+    for lang, cells in by_true.items():
+        assert abs(sum(c["share_of_true"] for c in cells) - 1.0) <= 1e-4
+        diag = [c for c in cells if c["lang_detected"] == lang]
+        if diag:  # languages without marker tables detect as 'und'
+            top = max(cells, key=lambda c: c["n_docs"])
+            assert top["lang_detected"] in (lang, "und")
