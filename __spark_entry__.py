@@ -2998,6 +2998,42 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_trending_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending terms: two ts-range micro-batches write
+    (bucket, token) count partials; sums merge + the batch rank tail —
+    hashes against the SAME oracle as the batch trending_terms."""
+    import tempfile
+    from pathlib import Path
+
+    from otlp_cardinality_checker_spark.streaming.stream import (
+        current_trending,
+        trending_stream,
+    )
+
+    turns = _transcripts(spark, sf_dir)
+    cutoff = turns.agg(
+        F.expr("percentile_approx(ts, 0.5)").alias("c")
+    ).collect()[0]["c"]
+    tmp = Path(tempfile.mkdtemp(prefix="trendstream_"))
+    src = tmp / "src"
+    _write_microbatch_sources(
+        src,
+        [turns.where(F.col("ts") < F.lit(cutoff)),
+         turns.where(F.col("ts") >= F.lit(cutoff))],
+    )
+    trending_stream(spark, str(src), str(tmp / "out"), str(tmp / "ckpt"))
+    return current_trending(spark, str(tmp / "out"), k=5)
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor of hourly volume per event type."""
+    from otlp_cardinality_checker_spark.operators.anomaly import burstiness
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return burstiness(ev)
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -3409,6 +3445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": q_lang_confusion,
         "decayed_counts": q_decayed_counts,
         "small_quantity_revenue": q_small_quantity_revenue,
+        "trending_stream": q_trending_stream,
+        "burstiness": q_burstiness,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -5961,6 +5999,25 @@ tok AS (
 SELECT bucket, tok AS token, n, CAST(rank AS INT) AS rank
 FROM rk WHERE rank <= 5
 """,
+        "trending_stream": f"""
+WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}')),
+tok AS (
+  SELECT date_trunc('hour', ts) AS bucket,
+         unnest(list_filter(
+           regexp_split_to_array(lower(coalesce(text, '')), '[^a-z]+'),
+           x -> length(x) >= 3)) AS tok
+  FROM t
+), grain AS (
+  SELECT bucket, tok, count(*) AS n FROM tok GROUP BY 1, 2
+), rk AS (
+  SELECT bucket, tok, n,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY n DESC, tok ASC) AS rank
+  FROM grain
+)
+SELECT bucket, tok AS token, n, CAST(rank AS INT) AS rank
+FROM rk WHERE rank <= 5
+""",
         "ks_drift": """
 WITH n AS (
   SELECT source AS grp,
@@ -6461,6 +6518,27 @@ JOIN avg_q USING (l_partkey)
 JOIN part ON l_partkey = p_partkey
 WHERE l_quantity < 0.2 * avg_qty
 GROUP BY 1
+""",
+        "burstiness": """
+WITH gb AS (
+  SELECT event_type AS grp, date_trunc('hour', ts) AS bucket,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), a AS (
+  SELECT grp, count(*) AS n_windows,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM gb GROUP BY 1
+)
+SELECT grp AS event_type, n_windows,
+  round(CAST(s1 AS DOUBLE) / CAST(n_windows AS DOUBLE), 4) AS mean_rate,
+  round(CASE WHEN CAST(s1 AS DOUBLE) / CAST(n_windows AS DOUBLE) > 0
+        THEN ((CAST(n_windows AS DOUBLE) * CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              / (CAST(n_windows AS DOUBLE) * CAST(n_windows AS DOUBLE)))
+             / (CAST(s1 AS DOUBLE) / CAST(n_windows AS DOUBLE))
+        END, 6) AS fano_factor
+FROM a
 """,
         "fd_audit": """
 WITH k AS (

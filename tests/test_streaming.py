@@ -522,3 +522,48 @@ def test_cusum_stream_equals_batch_and_replay_safe(spark, tmp_path):
         tuple(r) for r in current_cusum(spark, str(tmp_path / "out")).collect()
     )
     assert replayed == streamed
+
+
+def test_trending_stream_equals_batch_and_replay_safe(spark, tmp_path):
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        trending_terms,
+    )
+    from otlp_cardinality_checker_spark.sources.transcripts import (
+        load_transcripts,
+    )
+    from otlp_cardinality_checker_spark.streaming.stream import (
+        current_trending,
+        trending_stream,
+    )
+
+    turns = load_transcripts(spark, "/root/testdata/sf0.001")
+    pdf = turns.select("conv_id", "turn_idx", "role", "text", "tool", "ts").toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    n = len(pdf)
+    pdf.iloc[: n // 2].to_parquet(src / "p0.parquet", index=False)
+    pdf.iloc[n // 2 :].to_parquet(src / "p1.parquet", index=False)
+
+    nb = trending_stream(
+        spark, str(src), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    assert nb >= 2
+    streamed = sorted(
+        tuple(r) for r in current_trending(spark, str(tmp_path / "out")).collect()
+    )
+    batch = sorted(tuple(r) for r in trending_terms(turns, k=5).collect())
+    assert streamed == batch
+
+    shutil.rmtree(tmp_path / "ckpt")
+    trending_stream(
+        spark, str(src), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    replayed = sorted(
+        tuple(r) for r in current_trending(spark, str(tmp_path / "out")).collect()
+    )
+    assert replayed == streamed
