@@ -3034,6 +3034,32 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return burstiness(ev)
 
 
+
+def q_ri_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-wide referential-integrity scorecard over the TPC-H
+    fixture edges (lineitem->orders/part/supplier, orders->customer,
+    customer/supplier->nation, nation->region)."""
+    from otlp_cardinality_checker_spark.operators.quality import ri_scorecard
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return ri_scorecard({
+        "lineitem.orderkey": (li, "l_orderkey", o, "o_orderkey"),
+        "lineitem.partkey": (li, "l_partkey",
+                             spark.read.parquet(f"{sf_dir}/part.parquet"),
+                             "p_partkey"),
+        "lineitem.suppkey": (li, "l_suppkey", su, "s_suppkey"),
+        "orders.custkey": (o, "o_custkey", c, "c_custkey"),
+        "customer.nationkey": (c, "c_nationkey", n, "n_nationkey"),
+        "supplier.nationkey": (su, "s_nationkey", n, "n_nationkey"),
+        "nation.regionkey": (n, "n_regionkey", r, "r_regionkey"),
+    })
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -3447,6 +3473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_quantity_revenue": q_small_quantity_revenue,
         "trending_stream": q_trending_stream,
         "burstiness": q_burstiness,
+        "ri_scorecard": q_ri_scorecard,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -6539,6 +6566,84 @@ SELECT grp AS event_type, n_windows,
              / (CAST(s1 AS DOUBLE) / CAST(n_windows AS DOUBLE))
         END, 6) AS fano_factor
 FROM a
+""",
+        "ri_scorecard": """
+SELECT 'lineitem.orderkey' AS edge, count(*) AS n_rows,
+       CAST(sum(CASE WHEN d.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans,
+       round(sum(CASE WHEN d.o_orderkey IS NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS orphan_share,
+       count(DISTINCT CASE WHEN d.o_orderkey IS NULL THEN f.l_orderkey END)
+         AS n_distinct_orphan_keys
+FROM lineitem f LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) d
+  ON f.l_orderkey = d.o_orderkey
+WHERE f.l_orderkey IS NOT NULL
+UNION ALL
+SELECT 'lineitem.partkey' AS edge, count(*) AS n_rows,
+       CAST(sum(CASE WHEN d.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans,
+       round(sum(CASE WHEN d.p_partkey IS NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS orphan_share,
+       count(DISTINCT CASE WHEN d.p_partkey IS NULL THEN f.l_partkey END)
+         AS n_distinct_orphan_keys
+FROM lineitem f LEFT JOIN (SELECT DISTINCT p_partkey FROM part) d
+  ON f.l_partkey = d.p_partkey
+WHERE f.l_partkey IS NOT NULL
+UNION ALL
+SELECT 'lineitem.suppkey' AS edge, count(*) AS n_rows,
+       CAST(sum(CASE WHEN d.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans,
+       round(sum(CASE WHEN d.s_suppkey IS NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS orphan_share,
+       count(DISTINCT CASE WHEN d.s_suppkey IS NULL THEN f.l_suppkey END)
+         AS n_distinct_orphan_keys
+FROM lineitem f LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) d
+  ON f.l_suppkey = d.s_suppkey
+WHERE f.l_suppkey IS NOT NULL
+UNION ALL
+SELECT 'orders.custkey' AS edge, count(*) AS n_rows,
+       CAST(sum(CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans,
+       round(sum(CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS orphan_share,
+       count(DISTINCT CASE WHEN d.c_custkey IS NULL THEN f.o_custkey END)
+         AS n_distinct_orphan_keys
+FROM orders f LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) d
+  ON f.o_custkey = d.c_custkey
+WHERE f.o_custkey IS NOT NULL
+UNION ALL
+SELECT 'customer.nationkey' AS edge, count(*) AS n_rows,
+       CAST(sum(CASE WHEN d.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans,
+       round(sum(CASE WHEN d.n_nationkey IS NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS orphan_share,
+       count(DISTINCT CASE WHEN d.n_nationkey IS NULL THEN f.c_nationkey END)
+         AS n_distinct_orphan_keys
+FROM customer f LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) d
+  ON f.c_nationkey = d.n_nationkey
+WHERE f.c_nationkey IS NOT NULL
+UNION ALL
+SELECT 'supplier.nationkey' AS edge, count(*) AS n_rows,
+       CAST(sum(CASE WHEN d.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans,
+       round(sum(CASE WHEN d.n_nationkey IS NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS orphan_share,
+       count(DISTINCT CASE WHEN d.n_nationkey IS NULL THEN f.s_nationkey END)
+         AS n_distinct_orphan_keys
+FROM supplier f LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) d
+  ON f.s_nationkey = d.n_nationkey
+WHERE f.s_nationkey IS NOT NULL
+UNION ALL
+SELECT 'nation.regionkey' AS edge, count(*) AS n_rows,
+       CAST(sum(CASE WHEN d.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans,
+       round(sum(CASE WHEN d.r_regionkey IS NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS orphan_share,
+       count(DISTINCT CASE WHEN d.r_regionkey IS NULL THEN f.n_regionkey END)
+         AS n_distinct_orphan_keys
+FROM nation f LEFT JOIN (SELECT DISTINCT r_regionkey FROM region) d
+  ON f.n_regionkey = d.r_regionkey
+WHERE f.n_regionkey IS NOT NULL
 """,
         "fd_audit": """
 WITH k AS (

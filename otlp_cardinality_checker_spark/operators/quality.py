@@ -326,3 +326,55 @@ def purge_audit(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def ri_scorecard(
+    edges: dict[str, tuple[DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity scorecard across a whole schema: one row
+    per FK edge — ``(edge, n_rows, n_orphans, orphan_share,
+    n_distinct_orphan_keys)``. The multi-edge generalization of
+    `ref_integrity` (which scores one edge inside `constraint_audit`):
+    a warehouse onboarding a new source runs THIS first, because a
+    single broken edge silently nulls every downstream broadcast
+    enrichment built on it.
+
+    ``edges`` maps edge name -> (fact frame, fk column, dim frame,
+    pk column).
+
+    Scale shape: per edge, the dim's DISTINCT keys broadcast (dims are
+    dimension-sized by definition; for fact-to-fact edges swap in the
+    Bloom-membership operator) and orphan counts fold map-side; fact
+    rows never shuffle. NULL fks are not orphans (SQL FK semantics) and
+    are excluded, mirrored by the oracle.
+    """
+    outs = []
+    for name, (fact, fk, dim, pk) in edges.items():
+        keys = (
+            dim.select(F.col(pk).alias("_k"))
+            .distinct()
+            .withColumn("_present", F.lit(1))
+        )
+        j = (
+            fact.select(F.col(fk).alias("_k"))
+            .where(F.col("_k").isNotNull())
+            .join(F.broadcast(keys), "_k", "left")
+        )
+        orphan = (F.col("_present").isNull()).cast("long")
+        outs.append(
+            j.agg(
+                F.lit(name).alias("edge"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(orphan).alias("n_orphans"),
+                F.round(F.sum(orphan) / F.count(F.lit(1)), 6).alias(
+                    "orphan_share"
+                ),
+                F.countDistinct(
+                    F.when(F.col("_present").isNull(), F.col("_k"))
+                ).alias("n_distinct_orphan_keys"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -261,3 +261,20 @@ def test_q4_semi_join_never_duplicates_orders(spark):
         .count()
     )
     assert total == want
+
+
+def test_ri_scorecard_counts_orphans_exactly(spark):
+    from otlp_cardinality_checker_spark.operators.quality import ri_scorecard
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 99), (5, 99), (6, None)],
+        "row_id long, fk long",
+    )
+    dim = spark.createDataFrame([(10,), (20,)], "pk long")
+    got = {r["edge"]: r for r in
+           ri_scorecard({"fact.fk": (fact, "fk", dim, "pk")}).collect()}
+    e = got["fact.fk"]
+    assert e["n_rows"] == 5                      # NULL fk excluded
+    assert e["n_orphans"] == 2
+    assert e["n_distinct_orphan_keys"] == 1      # both orphans are key 99
+    assert e["orphan_share"] == 0.4
