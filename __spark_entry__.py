@@ -3060,6 +3060,20 @@ def q_ri_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
+
+def q_string_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass string column profile of the transcripts (nulls,
+    empties, md5-distincts, length stats per column)."""
+    from otlp_cardinality_checker_spark.operators.profile import (
+        string_profile,
+    )
+
+    t = _transcripts(spark, sf_dir).select(
+        "conv_id", "role", "text", "tool"
+    )
+    return string_profile(t, ["conv_id", "role", "text", "tool"])
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -3474,6 +3488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_stream": q_trending_stream,
         "burstiness": q_burstiness,
         "ri_scorecard": q_ri_scorecard,
+        "string_profile": q_string_profile,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -6644,6 +6659,52 @@ SELECT 'nation.regionkey' AS edge, count(*) AS n_rows,
 FROM nation f LEFT JOIN (SELECT DISTINCT r_regionkey FROM region) d
   ON f.n_regionkey = d.r_regionkey
 WHERE f.n_regionkey IS NOT NULL
+""",
+        "string_profile": f"""
+WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}'))
+SELECT 'conv_id' AS column, count(*) AS n_rows,
+       CAST(sum(CASE WHEN conv_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(sum(CASE WHEN length(trim(CAST(conv_id AS VARCHAR))) = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+       count(DISTINCT md5(CAST(conv_id AS VARCHAR))) AS n_distinct,
+       CAST(min(length(CAST(conv_id AS VARCHAR))) AS INT) AS min_length,
+       CAST(max(length(CAST(conv_id AS VARCHAR))) AS INT) AS max_length,
+       round(avg(length(CAST(conv_id AS VARCHAR))), 4) AS avg_length
+FROM t
+UNION ALL
+SELECT 'role' AS column, count(*) AS n_rows,
+       CAST(sum(CASE WHEN role IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(sum(CASE WHEN length(trim(CAST(role AS VARCHAR))) = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+       count(DISTINCT md5(CAST(role AS VARCHAR))) AS n_distinct,
+       CAST(min(length(CAST(role AS VARCHAR))) AS INT) AS min_length,
+       CAST(max(length(CAST(role AS VARCHAR))) AS INT) AS max_length,
+       round(avg(length(CAST(role AS VARCHAR))), 4) AS avg_length
+FROM t
+UNION ALL
+SELECT 'text' AS column, count(*) AS n_rows,
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(sum(CASE WHEN length(trim(CAST(text AS VARCHAR))) = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+       count(DISTINCT md5(CAST(text AS VARCHAR))) AS n_distinct,
+       CAST(min(length(CAST(text AS VARCHAR))) AS INT) AS min_length,
+       CAST(max(length(CAST(text AS VARCHAR))) AS INT) AS max_length,
+       round(avg(length(CAST(text AS VARCHAR))), 4) AS avg_length
+FROM t
+UNION ALL
+SELECT 'tool' AS column, count(*) AS n_rows,
+       CAST(sum(CASE WHEN tool IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(sum(CASE WHEN length(trim(CAST(tool AS VARCHAR))) = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+       count(DISTINCT md5(CAST(tool AS VARCHAR))) AS n_distinct,
+       CAST(min(length(CAST(tool AS VARCHAR))) AS INT) AS min_length,
+       CAST(max(length(CAST(tool AS VARCHAR))) AS INT) AS max_length,
+       round(avg(length(CAST(tool AS VARCHAR))), 4) AS avg_length
+FROM t
 """,
         "fd_audit": """
 WITH k AS (

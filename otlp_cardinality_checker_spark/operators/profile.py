@@ -47,3 +47,39 @@ def numeric_profile(df: DataFrame, columns: list[str]) -> DataFrame:
         "(column, n_rows, n_nulls, n_distinct, min_value, max_value, "
         "mean_value)"
     )
+
+
+def string_profile(df: DataFrame, columns: list[str]) -> DataFrame:
+    """String-column companion to `numeric_profile`: per column —
+    ``(column, n_rows, n_nulls, n_empty, n_distinct, min_length,
+    max_length, avg_length)``. Same one-aggregation shape (the
+    multi-count-distinct expand), same long-form unpivot; distinct
+    counting runs on md5 digests so wide text never widens the agg
+    state.
+    """
+    aggs = []
+    for c in columns:
+        col = F.col(c)
+        s = F.coalesce(col.cast("string"), F.lit(None))
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
+            F.sum((F.length(F.trim(s)) == 0).cast("long")).alias(
+                f"{c}__empty"
+            ),
+            F.countDistinct(F.md5(s)).alias(f"{c}__nd"),
+            F.min(F.length(s)).alias(f"{c}__minl"),
+            F.max(F.length(s)).alias(f"{c}__maxl"),
+            F.round(F.avg(F.length(s)), 4).alias(f"{c}__avgl"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__empty, {c}__nd, {c}__minl, "
+        f"{c}__maxl, {c}__avgl"
+        for c in columns
+    )
+    return wide.selectExpr(
+        f"stack({len(columns)}, {stacked}) AS "
+        "(column, n_rows, n_nulls, n_empty, n_distinct, min_length, "
+        "max_length, avg_length)"
+    )

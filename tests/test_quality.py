@@ -278,3 +278,22 @@ def test_ri_scorecard_counts_orphans_exactly(spark):
     assert e["n_orphans"] == 2
     assert e["n_distinct_orphan_keys"] == 1      # both orphans are key 99
     assert e["orphan_share"] == 0.4
+
+
+def test_string_profile_hand_case(spark):
+    from otlp_cardinality_checker_spark.operators.profile import (
+        string_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", ""), (None, "yy"), ("b", "  ")],
+        "s1 string, s2 string",
+    )
+    got = {r["column"]: r for r in string_profile(df, ["s1", "s2"]).collect()}
+    s1 = got["s1"]
+    assert s1["n_rows"] == 4 and s1["n_nulls"] == 1 and s1["n_distinct"] == 2
+    assert s1["min_length"] == 1 and s1["max_length"] == 1
+    s2 = got["s2"]
+    assert s2["n_empty"] == 2            # '' and whitespace-only
+    assert s2["n_distinct"] == 4 and s2["max_length"] == 2
+    assert s2["avg_length"] == round((1 + 0 + 2 + 2) / 4, 4)
