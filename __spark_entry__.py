@@ -3074,6 +3074,133 @@ def q_string_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return string_profile(t, ["conv_id", "role", "text", "tool"])
 
 
+
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-savings forecast of survivor-only dedup: per source, the
+    bytes and docs dropped if only each near-dup cluster's survivor
+    ships (jaccard_clusters' is_survivor contract)."""
+    from otlp_cardinality_checker_spark.operators.graph import (
+        jaccard_clusters,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lab = jaccard_clusters(docs, min_jaccard=0.2, n=3).select(
+        "doc_id", "is_survivor"
+    )
+    j = docs.select("doc_id", "source", "n_chars").join(lab, "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("is_survivor") == 0).cast("long")).alias(
+                "n_dropped"
+            ),
+            F.sum("n_chars").alias("bytes_total"),
+            F.sum(
+                F.when(F.col("is_survivor") == 0, F.col("n_chars")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("bytes_dropped"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dropped",
+            "bytes_total",
+            "bytes_dropped",
+            F.round(
+                F.col("bytes_dropped") / F.col("bytes_total"), 6
+            ).alias("savings_share"),
+        )
+    )
+
+
+def q_verbosity_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the assistant get terser or wordier as conversations deepen?
+    Mean assistant token count per turn-depth bucket (0-1, 2-3, 4-5,
+    6+), with the corpus mean via broadcast for a drift index."""
+    t = _transcripts(spark, sf_dir)
+    ntok = F.when(
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) == 0,
+        F.lit(0),
+    ).otherwise(
+        F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"))
+    )
+    a = t.where(F.col("role") == "assistant").select(
+        F.least(F.floor(F.col("turn_idx") / 2), F.lit(3)).cast("int").alias(
+            "depth_bucket"
+        ),
+        ntok.cast("long").alias("ntok"),
+    )
+    gb = a.groupBy("depth_bucket").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("ntok").alias("s"),
+    )
+    tot = gb.agg(
+        F.sum("s").alias("st"), F.sum("n_turns").alias("nt")
+    )
+    return gb.crossJoin(F.broadcast(tot)).select(
+        "depth_bucket",
+        "n_turns",
+        F.round(F.col("s") / F.col("n_turns"), 4).alias("mean_tokens"),
+        F.round(
+            (F.col("s") / F.col("n_turns"))
+            / (F.col("st") / F.col("nt")),
+            6,
+        ).alias("vs_corpus_mean"),
+    )
+
+
+def q_tool_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over tools: for tool pairs co-occurring
+    in the same conversation, support and lift
+    P(a,b)/(P(a)P(b)) over the conversation universe — integer counts
+    only, so lift is bit-deterministic."""
+    t = _transcripts(spark, sf_dir)
+    ct = (
+        t.where(F.col("tool").isNotNull())
+        .select("conv_id", "tool")
+        .distinct()
+    )
+    n_convs = t.select("conv_id").distinct().count()
+    a = ct.alias("a")
+    b = ct.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.conv_id") == F.col("b.conv_id"))
+            & (F.col("a.tool") < F.col("b.tool")),
+        )
+        .groupBy(F.col("a.tool").alias("tool_a"), F.col("b.tool").alias("tool_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    single = ct.groupBy("tool").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        pair.where(F.col("n_both") >= 50)
+        .join(
+            F.broadcast(single.withColumnsRenamed({"tool": "tool_a", "n": "na"})),
+            "tool_a",
+        )
+        .join(
+            F.broadcast(single.withColumnsRenamed({"tool": "tool_b", "n": "nb"})),
+            "tool_b",
+        )
+        .select(
+            "tool_a",
+            "tool_b",
+            "n_both",
+            F.round(F.col("n_both") / F.lit(float(n_convs)), 6).alias(
+                "support"
+            ),
+            F.round(
+                (F.col("n_both").cast("double") * F.lit(float(n_convs)))
+                / (F.col("na").cast("double") * F.col("nb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -3489,6 +3616,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burstiness": q_burstiness,
         "ri_scorecard": q_ri_scorecard,
         "string_profile": q_string_profile,
+        "dedup_savings": q_dedup_savings,
+        "verbosity_drift": q_verbosity_drift,
+        "tool_lift": q_tool_lift,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -6705,6 +6835,97 @@ SELECT 'tool' AS column, count(*) AS n_rows,
        CAST(max(length(CAST(tool AS VARCHAR))) AS INT) AS max_length,
        round(avg(length(CAST(tool AS VARCHAR))), 4) AS avg_length
 FROM t
+""",
+        "dedup_savings": """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), shingled AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+         THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                             for i in range(1, len(t) - 1)])
+         ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+), pairs AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_common
+  FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(shingles) AS n FROM shingled),
+edges0 AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+), edges AS (SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0),
+reach AS (
+  SELECT u AS node, v AS r FROM edges
+  UNION
+  SELECT w.node, e.v FROM reach w JOIN edges e ON w.r = e.u
+), labels AS (
+  SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node
+), lab AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+         coalesce(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       CAST(sum(n_chars) AS BIGINT) AS bytes_total,
+       CAST(sum(CASE WHEN doc_id <> cluster_id THEN n_chars ELSE 0 END)
+            AS BIGINT) AS bytes_dropped,
+       round(sum(CASE WHEN doc_id <> cluster_id THEN n_chars ELSE 0 END)
+             * 1.0 / sum(n_chars), 6) AS savings_share
+FROM lab GROUP BY 1
+""",
+        "verbosity_drift": f"""
+WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}')),
+a AS (
+  SELECT CAST(least(turn_idx // 2, 3) AS INT) AS depth_bucket,
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(coalesce(text, '')),
+                                          '\\s+'))
+         END AS ntok
+  FROM t WHERE role = 'assistant'
+), g AS (
+  SELECT depth_bucket, count(*) AS n_turns,
+         CAST(sum(ntok) AS BIGINT) AS s
+  FROM a GROUP BY 1
+), tt AS (
+  SELECT CAST(sum(s) AS BIGINT) AS st,
+         CAST(sum(n_turns) AS BIGINT) AS nt
+  FROM g
+)
+SELECT depth_bucket, n_turns,
+       round(s * 1.0 / n_turns, 4) AS mean_tokens,
+       round((s * 1.0 / n_turns) / (st * 1.0 / nt), 6) AS vs_corpus_mean
+FROM g CROSS JOIN tt
+""",
+        "tool_lift": f"""
+WITH t AS (SELECT * FROM read_parquet('{_transcripts_path()}')),
+nc AS (SELECT count(DISTINCT conv_id) AS n_convs FROM t),
+ct AS (
+  SELECT DISTINCT conv_id, tool FROM t WHERE tool IS NOT NULL
+), pair AS (
+  SELECT a.tool AS tool_a, b.tool AS tool_b, count(*) AS n_both
+  FROM ct a JOIN ct b
+    ON a.conv_id = b.conv_id AND a.tool < b.tool
+  GROUP BY 1, 2
+), single AS (
+  SELECT tool, count(*) AS n FROM ct GROUP BY 1
+)
+SELECT tool_a, tool_b, n_both,
+       round(n_both * 1.0 / n_convs, 6) AS support,
+       round((CAST(n_both AS DOUBLE) * CAST(n_convs AS DOUBLE))
+             / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)), 6) AS lift
+FROM pair
+JOIN single sa ON tool_a = sa.tool
+JOIN single sb ON tool_b = sb.tool
+CROSS JOIN nc
+WHERE n_both >= 50
 """,
         "fd_audit": """
 WITH k AS (

@@ -701,3 +701,39 @@ def test_cost_report_rate_card_and_shares(spark):
     assert got["assistant"]["cost"] == round(2 / 1000 * 3.0, 4)
     assert got["tool"]["cost"] == round(1 / 1000 * 0.5, 4)
     assert abs(sum(r["cost_share"] for r in got.values()) - 1.0) <= 1e-5
+
+
+def test_tool_lift_independent_vs_coupled(spark):
+    """Tools that always co-occur get lift >> 1; tools that never
+    co-occur produce no pair row; hand-check the lift formula."""
+    rows = []
+    # convs 0..9: tools A and B always together (perfect coupling)
+    for c in range(10):
+        rows += [(f"c{c}", 0, "tool", "x", "A", None),
+                 (f"c{c}", 1, "tool", "x", "B", None)]
+    # convs 10..19: tool C alone
+    for c in range(10, 20):
+        rows += [(f"c{c}", 0, "tool", "x", "C", None)]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    import importlib.util
+
+    from otlp_cardinality_checker_spark.operators import conversation  # noqa: F401
+    import pyspark.sql.functions as F
+
+    ct = df.where(F.col("tool").isNotNull()).select("conv_id", "tool").distinct()
+    n_convs = df.select("conv_id").distinct().count()
+    a, b = ct.alias("a"), ct.alias("b")
+    pair = (
+        a.join(b, (F.col("a.conv_id") == F.col("b.conv_id"))
+               & (F.col("a.tool") < F.col("b.tool")))
+        .groupBy(F.col("a.tool").alias("ta"), F.col("b.tool").alias("tb"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .collect()
+    )
+    assert len(pair) == 1 and pair[0]["n_both"] == 10
+    # lift = n_both * N / (na * nb) = 10*20/(10*10) = 2.0
+    assert pair[0]["n_both"] * n_convs / (10 * 10) == 2.0
