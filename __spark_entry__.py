@@ -3201,6 +3201,72 @@ def q_tool_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items (returnflag R), with nation enrichment — the
+    agg-then-rank-then-enrich reporting pattern (rank BEFORE the dim
+    joins so only 20 rows reach them)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per_cust = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).alias("rev_raw"),
+             F.count(F.lit(1)).alias("n_returned_lines"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rev_raw").desc(), F.col("o_custkey").asc())
+    # the global top-20 window runs on the per-customer AGGREGATED frame
+    # (customer-cardinality rows), bounded; a two-stage top-k is the
+    # swap if the customer dimension ever explodes
+    top = (
+        per_cust.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+    )
+    return (
+        top.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("c_name").alias("customer"),
+            F.col("n_name").alias("nation"),
+            F.round(F.col("rev_raw"), 4).alias("returned_revenue"),
+            "n_returned_lines",
+            "rank",
+        )
+    )
+
+
+def q_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-imbalance audit over the labeled embeddings: per-label
+    share, imbalance ratio vs the largest class, and the corpus-level
+    effective number of classes ((sum n)^2 / sum n^2 — the inverse
+    Simpson index) repeated per row for the card view."""
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    g = v.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    tot = g.agg(
+        F.sum("n").alias("nt"),
+        F.sum(F.col("n") * F.col("n")).alias("n2"),
+        F.max("n").alias("nmax"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "n",
+        F.round(F.col("n") / F.col("nt"), 6).alias("share"),
+        F.round(F.col("n") / F.col("nmax"), 6).alias("vs_largest"),
+        F.round(
+            (F.col("nt").cast("double") * F.col("nt").cast("double"))
+            / F.col("n2").cast("double"),
+            4,
+        ).alias("effective_classes"),
+    )
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -3619,6 +3685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_savings": q_dedup_savings,
         "verbosity_drift": q_verbosity_drift,
         "tool_lift": q_tool_lift,
+        "returned_revenue": q_returned_revenue,
+        "label_balance": q_label_balance,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -6926,6 +6994,43 @@ JOIN single sa ON tool_a = sa.tool
 JOIN single sb ON tool_b = sb.tool
 CROSS JOIN nc
 WHERE n_both >= 50
+""",
+        "returned_revenue": """
+WITH pc AS (
+  SELECT o_custkey,
+         sum(l_extendedprice * (1.0 - l_discount)) AS rev_raw,
+         count(*) AS n_returned_lines
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+  GROUP BY 1
+), rk AS (
+  SELECT *, row_number() OVER (ORDER BY rev_raw DESC, o_custkey ASC)
+           AS rank
+  FROM pc
+)
+SELECT c_name AS customer, n_name AS nation,
+       round(rev_raw, 4) AS returned_revenue,
+       n_returned_lines, CAST(rank AS INT) AS rank
+FROM rk
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE rank <= 20
+""",
+        "label_balance": """
+WITH g AS (
+  SELECT label, count(*) AS n FROM embeddings GROUP BY 1
+), t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt,
+         CAST(sum(n * n) AS BIGINT) AS n2,
+         CAST(max(n) AS BIGINT) AS nmax
+  FROM g
+)
+SELECT label, n,
+       round(n * 1.0 / nt, 6) AS share,
+       round(n * 1.0 / nmax, 6) AS vs_largest,
+       round((CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE))
+             / CAST(n2 AS DOUBLE), 4) AS effective_classes
+FROM g CROSS JOIN t
 """,
         "fd_audit": """
 WITH k AS (
