@@ -3267,6 +3267,50 @@ def q_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_corpus_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of token mass across sources — the corpus-
+    balance inequality number (0 = perfectly even mixture, ->1 = one
+    source dominates). Exact mean-absolute-difference form
+    ``G = sum_ij |x_i - x_j| / (2 n^2 mu)`` over the tiny source-grain
+    frame (O(S^2) pairs — the triangular-join idiom), so no sorting or
+    rank windows; one row out with the per-source masses' summary."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ntok = F.when(
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) == 0,
+        F.lit(0),
+    ).otherwise(
+        F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"))
+    )
+    g = docs.groupBy("source").agg(F.sum(ntok).alias("x"))
+    a = g.alias("a")
+    b = g.alias("b")
+    pairs = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(F.abs(F.col("a.x") - F.col("b.x"))).alias("sad"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("x").alias("total_tokens"),
+        F.max("x").alias("max_tokens"),
+        F.min("x").alias("min_tokens"),
+    )
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        "n_sources",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("max_tokens").cast("long").alias("max_tokens"),
+        F.col("min_tokens").cast("long").alias("min_tokens"),
+        F.round(
+            F.col("sad").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_sources").cast("double")
+                * F.col("total_tokens").cast("double")
+            ),
+            6,
+        ).alias("gini"),
+    )
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -3687,6 +3731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_lift": q_tool_lift,
         "returned_revenue": q_returned_revenue,
         "label_balance": q_label_balance,
+        "corpus_gini": q_corpus_gini,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -7031,6 +7076,29 @@ SELECT label, n,
        round((CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE))
              / CAST(n2 AS DOUBLE), 4) AS effective_classes
 FROM g CROSS JOIN t
+""",
+        "corpus_gini": """
+WITH g AS (
+  SELECT source,
+    CAST(sum(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+             ELSE len(string_split_regex(trim(coalesce(text, '')),
+                                         '\\s+')) END) AS BIGINT) AS x
+  FROM documents GROUP BY 1
+), p AS (
+  SELECT CAST(sum(abs(a.x - b.x)) AS BIGINT) AS sad
+  FROM g a CROSS JOIN g b
+), t AS (
+  SELECT count(*) AS n_sources,
+         CAST(sum(x) AS BIGINT) AS total_tokens,
+         CAST(max(x) AS BIGINT) AS max_tokens,
+         CAST(min(x) AS BIGINT) AS min_tokens
+  FROM g
+)
+SELECT n_sources, total_tokens, max_tokens, min_tokens,
+       round(CAST(sad AS DOUBLE)
+             / (2.0 * CAST(n_sources AS DOUBLE)
+                * CAST(total_tokens AS DOUBLE)), 6) AS gini
+FROM p CROSS JOIN t
 """,
         "fd_audit": """
 WITH k AS (

@@ -1515,3 +1515,41 @@ def test_weighted_sample_is_deterministic_exactly_k_and_weight_biased(spark):
     )
     zz = weighted_sample(z, k=2).collect()
     assert [r["doc_id"] for r in zz] == [2]
+
+
+def test_corpus_gini_extremes(spark):
+    """Perfectly even masses -> gini 0; one source owning nearly all
+    mass -> gini near (n-1)/n; cross-check against the sorted-rank
+    closed form."""
+    import importlib.util
+    import tempfile
+
+    spec = importlib.util.spec_from_file_location(
+        "e", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    def run(masses):
+        rows = []
+        did = 0
+        for si, mass in enumerate(masses):
+            rows.append((did, f"s{si}", "w " * mass))
+            did += 1
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.write.parquet(f"{d}/documents.parquet")
+            return m.queries()["corpus_gini"](spark, d).collect()[0]
+
+    even = run([10, 10, 10, 10])
+    assert even["gini"] == 0.0
+
+    skew = run([1, 1, 1, 997])
+    xs = sorted([1, 1, 1, 997])
+    n, tot = len(xs), sum(xs)
+    want = (2 * sum((i + 1) * x for i, x in enumerate(xs))) / (n * tot) \
+        - (n + 1) / n
+    assert abs(skew["gini"] - round(want, 6)) <= 1e-6
+    assert skew["gini"] > 0.7
