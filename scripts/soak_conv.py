@@ -226,6 +226,23 @@ def main() -> None:
     out["pii_propagation_sec"] = round(time.time() - t0, 1)
     out["pii_propagated_values"] = sum(r["n_propagated"] for r in pp2)
 
+    # tool_latency / cost_report: one conv exchange / one scan agg;
+    # tool co-occurrence lift: conv-grain distinct sets + pair join
+    from otlp_cardinality_checker_spark.operators.conversation import (
+        cost_report,
+        tool_latency,
+    )
+
+    t0 = time.time()
+    tl = tool_latency(turns).collect()
+    out["tool_latency_sec"] = round(time.time() - t0, 1)
+    out["tool_latency_rows"] = len(tl)
+
+    t0 = time.time()
+    cr = cost_report(turns, by="role").collect()
+    out["cost_report_sec"] = round(time.time() - t0, 1)
+    out["cost_total"] = round(sum(r["cost"] for r in cr), 1)
+
     sampler.stop()
     out["jvm_peak_rss_gb"] = round(sampler.peak_kb / 1024 / 1024, 2)
     try:

@@ -255,6 +255,32 @@ def main() -> None:
         r["prefix_dup_share"] for r in pd_rows
     )
 
+    # weighted_sample: one scan + per-stratum rank; winnow: row-local
+    # HOFs, zero shuffle — wall time must track the scan
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+    from otlp_cardinality_checker_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    t0 = time.time()
+    docs_w = docs.withColumn(
+        "n_chars", F.length(F.coalesce(F.col("text"), F.lit("")))
+    )
+    ws2 = weighted_sample(docs_w, k=10, by="source",
+                          weight_col="n_chars").collect()
+    out["weighted_sample_sec"] = round(time.time() - t0, 1)
+    out["weighted_sample_rows"] = len(ws2)
+
+    t0 = time.time()
+    wn = winnow_fingerprints(docs, n=3, window=4).agg(
+        F.sum("n_fingerprints").alias("fp"),
+        F.sum("n_positions").alias("pos"),
+    ).collect()[0]
+    out["winnow_sec"] = round(time.time() - t0, 1)
+    out["winnow_compression"] = round(wn["fp"] / max(wn["pos"], 1), 4)
+
     sampler.stop()
     out["jvm_peak_rss_gb"] = round(sampler.peak_kb / 1024 / 1024, 2)
     try:
