@@ -3311,6 +3311,24 @@ def q_corpus_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_daily_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(type, day) exact p50/p95 of event value — the metric-trend
+    panel behind SLO review (is the tail drifting day over day?); same
+    bit-exact percentile pair as winsorize/robust."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("value").alias("v"),
+    )
+    return d.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.percentile(F.col("v"), F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(F.col("v"), F.lit(0.95)), 6).alias("p95"),
+    )
+
+
 def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable epoch schedule under a 60k-token temperature budget:
     one row per (doc, epoch) read, full epochs + md5-threshold tail."""
@@ -3732,6 +3750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_revenue": q_returned_revenue,
         "label_balance": q_label_balance,
         "corpus_gini": q_corpus_gini,
+        "daily_value_percentiles": q_daily_value_percentiles,
         # --- pipeline sentinels (driver-green every prior round, now
         # --- just past the 50-entry window) ------------------------------
         "route_counts": q_route_counts,
@@ -7099,6 +7118,14 @@ SELECT n_sources, total_tokens, max_tokens, min_tokens,
              / (2.0 * CAST(n_sources AS DOUBLE)
                 * CAST(total_tokens AS DOUBLE)), 6) AS gini
 FROM p CROSS JOIN t
+""",
+        "daily_value_percentiles": """
+SELECT event_type, date_trunc('day', ts) AS day,
+       count(*) AS n_events,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2
 """,
         "fd_audit": """
 WITH k AS (
