@@ -323,15 +323,22 @@ def q_template_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_paginated_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """limit/offset pagination via row_number (reference server.go:90-123)."""
-    from pyspark.sql import Window
+    """limit/offset pagination via row_number (reference server.go:90-123).
+
+    Two-stage global top-k (aggregate.global_top_k) instead of a bare
+    Window.orderBy: the ranked grain is sink x key, which grows with the
+    corpus; the final rank now sees <= 16*25 salted survivors, not the
+    full frame. Ranks (and rows) are identical — (sink, key) is a total
+    order."""
+    from otlp_cardinality_checker_spark.operators.aggregate import (
+        global_top_k,
+    )
 
     ks = _key_stats_exact(spark, sf_dir).select("sink", "key", "count")
-    w = Window.orderBy(F.asc("sink"), F.asc("key"))
-    return (
-        ks.withColumn("rn", F.row_number().over(w))
-        .where((F.col("rn") > 5) & (F.col("rn") <= 25))
-    )
+    return global_top_k(
+        ks, (F.asc("sink"), F.asc("key")), k=25, salt_col="key",
+        rank_name="rn",
+    ).where(F.col("rn") > 5)
 
 
 def q_pattern_services(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,7 +412,9 @@ def q_log_patterns_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GetLogPatterns' full list contract (`/logs/patterns`,
     server.go:805-873 / store.go:486-572): severity-filtered pattern list,
     count-desc order with deterministic tiebreak, offset/limit page."""
-    from pyspark.sql import Window
+    from otlp_cardinality_checker_spark.operators.aggregate import (
+        global_top_k,
+    )
 
     routed = _routed(spark, sf_dir)
     agg = (
@@ -416,11 +425,12 @@ def q_log_patterns_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("service").alias("n_services"),
         )
     )
-    w = Window.orderBy(F.desc("count"), F.asc("template"))
-    return (
-        agg.withColumn("rn", F.row_number().over(w))
-        .where((F.col("rn") > 2) & (F.col("rn") <= 14))
-    )
+    # two-stage global rank (template grain grows with the corpus); rows
+    # and ranks identical — (count desc, template) is a total order
+    return global_top_k(
+        agg, (F.desc("count"), F.asc("template")), k=14,
+        salt_col="template", rank_name="rn",
+    ).where(F.col("rn") > 2)
 
 
 def q_metric_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3219,15 +3229,16 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev).alias("rev_raw"),
              F.count(F.lit(1)).alias("n_returned_lines"))
     )
-    from pyspark.sql import Window
+    from otlp_cardinality_checker_spark.operators.aggregate import (
+        global_top_k,
+    )
 
-    w = Window.orderBy(F.col("rev_raw").desc(), F.col("o_custkey").asc())
-    # the global top-20 window runs on the per-customer AGGREGATED frame
-    # (customer-cardinality rows), bounded; a two-stage top-k is the
-    # swap if the customer dimension ever explodes
-    top = (
-        per_cust.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 20)
+    # two-stage global top-20 (customer grain grows with the corpus):
+    # salted local rank prunes to <= 16*20 survivors before the final
+    # rank; identical rows/ranks — (rev_raw, o_custkey) is a total order
+    top = global_top_k(
+        per_cust, (F.col("rev_raw").desc(), F.col("o_custkey").asc()),
+        k=20, salt_col="o_custkey",
     )
     return (
         top.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))

@@ -392,19 +392,16 @@ def _variable_token_pred(t: Column) -> Column:
     ).otherwise(without_digit)
 
 
-def template_expr(
-    col: Column, patterns: tuple[MaskPattern, ...] | None = None
-) -> Column:
-    """Catalyst column: full template extraction (mask -> tokens -> <*>).
+def template_from_masked(masked: Column) -> Column:
+    """Tokenize + generalize an already-masked column (the template tail).
 
     NOTE: no when()/conditional may reference `masked` (or anything
-    derived from it) more than once — the mask chain is 19 stacked
-    regexp_replaces and the interpreted HOF context has no common-
-    subexpression elimination, so a second reference re-runs the whole
-    chain (measured 1.7x on the template projection). The empty-token
-    filter() stays a per-token HOF for exactly this reason.
+    derived from it) more than once when `masked` is the inline 19-pass
+    chain — the interpreted HOF context has no common-subexpression
+    elimination, so a second reference re-runs the whole chain (measured
+    1.7x on the template projection). The empty-token filter() stays a
+    per-token HOF for exactly this reason.
     """
-    masked = mask_expr(col, patterns)
     toks = F.split(F.trim(masked), _S + "+")
     toks = F.filter(toks, lambda t: t != F.lit(""))
     gen = F.transform(
@@ -412,3 +409,84 @@ def template_expr(
     )
     joined = F.array_join(gen, " ")
     return F.regexp_replace(joined, r"<\*>( <\*>)+", "<*>")
+
+
+def template_expr(
+    col: Column, patterns: tuple[MaskPattern, ...] | None = None
+) -> Column:
+    """Catalyst column: full template extraction (mask -> tokens -> <*>).
+
+    Single-Column form, kept for call sites that only have an expression
+    slot. Hot paths with a DataFrame in hand should prefer
+    :func:`masked_frame` / :func:`with_template` — the stacked-projection
+    twin with leaf-guarded pattern skips (35% faster mask chain at sf0.1,
+    measured round 6; see OPTIMIZATION_r06.md).
+    """
+    return template_from_masked(mask_expr(col, patterns))
+
+
+def masked_frame(
+    df,
+    src: str = "text",
+    out: str = "__masked",
+    patterns: tuple[MaskPattern, ...] | None = None,
+):
+    """DataFrame-level mask chain with leaf-guarded pattern skips.
+
+    Each pattern becomes its OWN projection (`withColumn`), so the
+    required-substring guard can reference the running column twice
+    (`when(guard, replace(prev)).otherwise(prev)`) without re-evaluating
+    the upstream chain: `prev` is a bound attribute of the previous
+    projection, not an inline expression tree, and CollapseProject keeps
+    the stack (it refuses to inline a non-trivial expression referenced
+    more than once). This is the fast path the single-Column
+    :func:`mask_expr` cannot take — there the same `when` would double
+    the expression tree per pattern (2^19 nodes).
+
+    Why guards pay (guide §1 measurement, sf0.1 / 500k rows / 32c):
+    Spark's `RegExpReplace` converts UTF8String -> java String -> matcher
+    -> StringBuffer -> UTF8String **even when nothing matches**, so every
+    unguarded pass costs two string conversions per row. The corpus hits
+    most guards rarely ('@' 0%, '://' 0%, 'db/query:' 4%, '"' 12%,
+    '?' 11%), and the guarded chain drops mask time 0.80 s -> 0.52 s.
+
+    Guards check the ORIGINAL text, not the evolving string (the scalar /
+    pandas engines check the evolving string). This is result-identical
+    for the builtin table: no builtin replacement literal contains (or
+    can form at a junction) any later pattern's required substring, so a
+    substring absent from the leaf is absent from every evolving state,
+    and the skipped regex could only have been the identity. Backrefs
+    only re-insert text already present. Verified by
+    test_masked_frame_equals_mask_expr plus a 500k-row corpus diff
+    (0 rows). User YAML tables get the UNGUARDED chain — an arbitrary
+    replacement literal may introduce a later guard substring, and the
+    pandas engine (evolving-string guards) would then disagree.
+    """
+    pats = patterns or MASK_PATTERNS
+    guarded = pats == MASK_PATTERNS
+    leaf = F.coalesce(F.col(src), F.lit(""))
+    cur = df.withColumn(out, leaf)
+    for p in pats:
+        rep = F.regexp_replace(F.col(out), F.lit(_j(p.regex)), F.lit(p.repl))
+        if guarded and p.required_substring:
+            rep = F.when(
+                F.contains(leaf, F.lit(p.required_substring)), rep
+            ).otherwise(F.col(out))
+        cur = cur.withColumn(out, rep)
+    return cur
+
+
+def with_template(
+    df,
+    src: str = "text",
+    out: str = "template",
+    patterns: tuple[MaskPattern, ...] | None = None,
+):
+    """DataFrame-level template extraction: :func:`masked_frame` + the
+    tokenize/generalize tail. Output rows are identical to
+    ``df.withColumn(out, template_expr(F.col(src), patterns))`` (pinned by
+    test_masked_frame_equals_mask_expr); this form is ~30% cheaper on the
+    mask chain. The intermediate masked column is dropped."""
+    tmp = f"__masked_for_{out}"
+    m = masked_frame(df, src=src, out=tmp, patterns=patterns)
+    return m.withColumn(out, template_from_masked(F.col(tmp))).drop(tmp)

