@@ -29,6 +29,37 @@ SF01 = "/root/testdata/sf0.01"
 # ---------------------------------------------------------------------------
 
 
+_SCRATCH_DIRS: list[str] = []
+
+
+def _stream_scratch(prefix: str):
+    """Micro-batch scratch (source files, sink parquet, state-store
+    checkpoints) on tmpfs when available: streaming state commits fsync
+    one delta file per state partition per batch, and this box's single
+    virtio disk (~380 MB/s, high variance) makes that I/O the dominant
+    cost of every foreachBatch / applyInPandasWithState gate query —
+    the same judgment bench.py's _bench_out_dir documents (tmpfs models
+    a cluster executor's local SSD; the virtio disk models nothing).
+    Results are unaffected: only the scratch location changes. Dirs are
+    removed at interpreter exit — on tmpfs they live in RAM."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    d = tempfile.mkdtemp(prefix=prefix, dir=shm)
+    if not _SCRATCH_DIRS:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(x, ignore_errors=True) for x in _SCRATCH_DIRS
+            ]
+        )
+    _SCRATCH_DIRS.append(d)
+    return Path(d)
+
+
 def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otlp_cardinality_checker_spark.plans.pipeline import routed_turns
 
@@ -762,7 +793,7 @@ def q_events_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime as _dt
 
     cutoff = tmax - _dt.timedelta(hours=2)
-    tmp = Path(tempfile.mkdtemp(prefix="evstream_"))
+    tmp = _stream_scratch("evstream_")
     src = tmp / "src"
     _write_microbatch_sources(
         src,
@@ -819,7 +850,7 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
-    tmp = Path(tempfile.mkdtemp(prefix="dedupstream_"))
+    tmp = _stream_scratch("dedupstream_")
     src = tmp / "src"
     n = len(pdf)
     _write_microbatch_sources(
@@ -861,7 +892,7 @@ def q_cms_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = ev.agg(
         F.expr("percentile_approx(ts, 0.5)").alias("c")
     ).collect()[0]["c"]
-    tmp = Path(tempfile.mkdtemp(prefix="cmsstream_"))
+    tmp = _stream_scratch("cmsstream_")
     src = tmp / "src"
     _write_microbatch_sources(
         src,
@@ -904,7 +935,7 @@ def q_card_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = ev.agg(
         F.expr("percentile_approx(ts, 0.5)").alias("c")
     ).collect()[0]["c"]
-    tmp = Path(tempfile.mkdtemp(prefix="cardstream_"))
+    tmp = _stream_scratch("cardstream_")
     src = tmp / "src"
     _write_microbatch_sources(
         src,
@@ -939,7 +970,7 @@ def q_quantile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pdf = docs.toPandas()
     n = len(pdf)
-    tmp = Path(tempfile.mkdtemp(prefix="quantstream_"))
+    tmp = _stream_scratch("quantstream_")
     src = tmp / "src"
     _write_microbatch_sources(
         src,
@@ -991,7 +1022,7 @@ def q_conv_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmax = turns.agg(F.max("ts").alias("m")).collect()[0]["m"]
     cutoff = tmax - _dt.timedelta(hours=2)
-    tmp = Path(tempfile.mkdtemp(prefix="convsess_"))
+    tmp = _stream_scratch("convsess_")
     src = tmp / "src"
     _write_microbatch_sources(
         src,
@@ -1621,7 +1652,7 @@ def q_loop_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "turn_idx",
         template_expr(F.col("text")).alias("template"),
     )
-    tmp = Path(tempfile.mkdtemp(prefix="loopstream_"))
+    tmp = _stream_scratch("loopstream_")
     src = tmp / "src"
     # one masking pass: materialize the templated turns once, slice the
     # pandas frame (the 19-regexp template chain is the dominant cost;
@@ -1972,7 +2003,7 @@ def q_attribution_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime as _dt
 
     cutoff = pdf["ts"].max() - _dt.timedelta(days=15)
-    tmp = Path(tempfile.mkdtemp(prefix="ssjoin_"))
+    tmp = _stream_scratch("ssjoin_")
     for name, etype in (("clicks", "click"), ("purchases", "purchase")):
         side = pdf[pdf["event_type"] == etype]
         _write_microbatch_sources(
@@ -2506,7 +2537,7 @@ def q_cusum_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = ev.agg(
         F.expr("percentile_approx(ts, 0.5)").alias("c")
     ).collect()[0]["c"]
-    tmp = Path(tempfile.mkdtemp(prefix="cusumstream_"))
+    tmp = _stream_scratch("cusumstream_")
     src = tmp / "src"
     _write_microbatch_sources(
         src,
@@ -3025,7 +3056,7 @@ def q_trending_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = turns.agg(
         F.expr("percentile_approx(ts, 0.5)").alias("c")
     ).collect()[0]["c"]
-    tmp = Path(tempfile.mkdtemp(prefix="trendstream_"))
+    tmp = _stream_scratch("trendstream_")
     src = tmp / "src"
     _write_microbatch_sources(
         src,
@@ -3460,7 +3491,7 @@ def q_markers_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = turns.agg(
         F.expr("percentile_approx(ts, 0.5)").alias("c")
     ).collect()[0]["c"]
-    tmp = Path(tempfile.mkdtemp(prefix="markstream_"))
+    tmp = _stream_scratch("markstream_")
     src = tmp / "src"
     _write_microbatch_sources(
         src,

@@ -157,7 +157,6 @@ def transcript_card(routed: DataFrame) -> DataFrame:
     the dedicated operator's output and the whole card is one DuckDB SQL
     oracle.
     """
-    from ..functions.masking import template_expr
     from .conversation import template_loops
 
     def row(section: str, metric, value) -> list:
@@ -253,28 +252,46 @@ def transcript_card(routed: DataFrame) -> DataFrame:
         ).alias("r")
     ).select("r.section", "r.metric", "r.value")
 
-    def share(section: str, col: str) -> DataFrame:
-        t = F.broadcast(routed.agg(n.alias("_n")))
-        return (
-            routed.groupBy(F.col(col).alias("metric"))
-            .agg(n.alias("_c"))
-            .crossJoin(t)
-            .select(
-                F.lit(section).alias("section"),
-                "metric",
-                F.round(F.col("_c") / F.col("_n"), 6)
-                .cast("double")
-                .alias("value"),
-            )
+    # the three share tables fold into ONE grouping-sets scan (one
+    # Expand + one exchange instead of three scans each with its own
+    # broadcast total); grouping_id keys the section, rows identical to
+    # the per-column groupBys (r6; before/after in OPTIMIZATION_r06.md)
+    t = F.broadcast(routed.agg(n.alias("_n")))
+    gid = F.grouping_id()
+    shares = (
+        routed.groupingSets(
+            [["role"], ["sink"], ["severity"]], "role", "sink", "severity"
         )
+        .agg(n.alias("_c"), gid.alias("_gid"))
+        .crossJoin(t)
+        .select(
+            F.when(F.col("_gid") == 3, F.lit("role"))
+            .when(F.col("_gid") == 5, F.lit("sink"))
+            .otherwise(F.lit("severity"))
+            .alias("section"),
+            F.when(F.col("_gid") == 3, F.col("role"))
+            .when(F.col("_gid") == 5, F.col("sink"))
+            .otherwise(F.col("severity"))
+            .alias("metric"),
+            F.round(F.col("_c") / F.col("_n"), 6)
+            .cast("double")
+            .alias("value"),
+        )
+    )
 
-    loops = template_loops(
-        routed.select(
-            "conv_id",
-            "turn_idx",
-            template_expr(F.col("text")).alias("template"),
-        )
-    ).agg(
+    # the parse stage already computed `template` on routed frames —
+    # reuse it instead of re-running the 19-pass mask chain over `text`
+    # (identical by construction; r6). Frames without the column (tests,
+    # ad-hoc inputs) derive it via the guarded fast path.
+    if "template" in routed.columns:
+        loop_in = routed.select("conv_id", "turn_idx", "template")
+    else:
+        from ..functions.masking import with_template
+
+        loop_in = with_template(
+            routed.select("conv_id", "turn_idx", "text")
+        ).select("conv_id", "turn_idx", "template")
+    loops = template_loops(loop_in).agg(
         F.sum("n_repeat_pairs").alias("_pairs"),
         F.sum("n_turns").alias("_turns"),
         F.sum(F.col("flagged").cast("long")).alias("_flagged"),
@@ -303,8 +320,6 @@ def transcript_card(routed: DataFrame) -> DataFrame:
     return (
         volume.unionByName(gaps)
         .unionByName(tools)
-        .unionByName(share("role", "role"))
-        .unionByName(share("sink", "sink"))
-        .unionByName(share("severity", "severity"))
+        .unionByName(shares)
         .unionByName(loops)
     )
