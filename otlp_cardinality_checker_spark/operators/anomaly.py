@@ -320,10 +320,25 @@ def robust_outliers(
 
 def _window_seconds(window_duration: str) -> int:
     """Seconds in a tumbling-window duration string ('2 hours',
-    '30 minutes', '45 seconds') — the subset the module's windows use."""
+    '30 minutes', '45 seconds', '1 day', '2 weeks') — every unit
+    F.window itself accepts for these shapes; anything else fails fast
+    with a clear error instead of a bare KeyError after the expensive
+    upstream pass has already run (r6, advisor note)."""
     n, unit = window_duration.split()
-    mult = {"hour": 3600, "minute": 60, "second": 1}[unit.rstrip("s")]
-    return int(n) * mult
+    units = {
+        "week": 604800,
+        "day": 86400,
+        "hour": 3600,
+        "minute": 60,
+        "second": 1,
+    }
+    u = unit.rstrip("s")
+    if u not in units:
+        raise ValueError(
+            f"unsupported window_duration unit {unit!r}; "
+            f"supported: {sorted(units)} (+ plural forms)"
+        )
+    return int(n) * units[u]
 
 
 def spike_attribution(

@@ -1223,8 +1223,16 @@ def winnow_fingerprints(
     )
     t = F.col("_toks")
     n_pos = F.greatest(F.size(t) - n + 1, F.lit(1))
+    # try_element_at: docs with fewer than n tokens (including empty
+    # text) still produce their single partial gram instead of raising
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI mode — out-of-range
+    # positions yield NULL, which concat_ws skips, so the gram is the
+    # whole (short) token list. For size >= n every index is in range
+    # and this is byte-identical to element_at (the oracle only ever
+    # sees >= n-token fixtures; short docs are a Spark-side-only
+    # robustness case, pinned by test_winnow_short_docs).
     gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+        " ", *[F.try_element_at(t, i + j + 1) for j in range(n)]
     )
     hashes = F.transform(
         F.sequence(F.lit(0), n_pos - 1),

@@ -470,18 +470,25 @@ def neyman_allocation(
         F.sqrt(F.greatest(var, F.lit(0.0))).alias("sd"),
         (n * F.sqrt(F.greatest(var, F.lit(0.0)))).alias("ns"),
     )
-    tot = w.agg(F.sum("ns").alias("tot"))
+    tot = w.agg(
+        F.sum("ns").alias("tot"), F.sum("n_rows").alias("tot_n")
+    )
+    # all-constant strata make sum(N_h * S_h) == 0; Neyman weights are
+    # then undefined (0/0 -> NaN), so fall back to allocation
+    # proportional to stratum size (r6, advisor note). Fixtures always
+    # carry variance, so oracle-checked outputs are unchanged.
+    share = F.when(
+        F.col("tot") > 0, F.col("ns") / F.col("tot")
+    ).otherwise(F.col("n_rows").cast("double") / F.col("tot_n"))
     alloc = F.least(
-        F.round(F.lit(float(budget)) * F.col("ns") / F.col("tot"), 0).cast(
-            "long"
-        ),
+        F.round(F.lit(float(budget)) * share, 0).cast("long"),
         F.col("n_rows"),
     )
     return w.crossJoin(F.broadcast(tot)).select(
         F.col("grp").alias(by),
         "n_rows",
         F.round(F.col("sd"), 6).alias("stddev"),
-        F.round(F.col("ns") / F.col("tot"), 6).alias("weight"),
+        F.round(share, 6).alias("weight"),
         alloc.alias("n_alloc"),
         F.round(alloc.cast("double") / F.col("n_rows"), 6).alias(
             "sampling_rate"
@@ -508,6 +515,17 @@ def weighted_sample(
     cross-engine idiom, salted for independent re-draws), so the sample
     replays bit-for-bit on any engine; production swaps the hash-uniform
     for an RNG and nothing else changes.
+
+    Residual cross-engine risk (documented, r6 advisor note): the rank
+    key ``ln(u)/w`` is a float whose last ulp depends on the engine's
+    libm (JVM ``Math.log`` vs DuckDB ``ln``), unlike the package's pure
+    integer-threshold samplers. A near-tie between two keys could in
+    principle flip rank order across engines; with the fixture corpora
+    the nearest observed key pairs are separated by far more than one
+    ulp, and the oracle gate has held at both scales every round. The
+    alternative — quantizing the key on both sides — would change the
+    declared query's results, which a frozen-oracle optimization round
+    must not do.
 
     Output grain: up to k rows per stratum — ``(by, doc_id, weight,
     rank)``. Zero/negative weights are excluded (they cannot be drawn

@@ -344,3 +344,20 @@ def test_burstiness_separates_poisson_from_bursty(spark):
     # burst type has ONE non-empty window -> var 0 over its own windows:
     # n_windows counts NON-EMPTY windows (documented gap semantics)
     assert got["burst"]["n_windows"] == 1
+
+
+def test_window_seconds_units(spark):
+    """r6 (advisor): day/week durations are valid F.window strings and
+    must map; unsupported units raise a clear ValueError up front, not a
+    KeyError after the expensive upstream pass."""
+    import pytest as _pytest
+
+    from otlp_cardinality_checker_spark.operators.anomaly import (
+        _window_seconds,
+    )
+
+    assert _window_seconds("1 day") == 86400
+    assert _window_seconds("2 weeks") == 2 * 604800
+    assert _window_seconds("30 minutes") == 1800
+    with _pytest.raises(ValueError, match="unsupported window_duration"):
+        _window_seconds("3 fortnights")

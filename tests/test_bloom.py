@@ -123,3 +123,30 @@ def test_prefix_fingerprint_semantics(spark):
         "the quick brown fox jumps over the lazy",
         "short one",
     ]
+
+
+def test_bloom_driver_budget(spark):
+    """r6 (VERDICT #6): a 4096-partition input must not collect 4096
+    bitmaps — the position frame coalesces so the driver transfer stays
+    under driver_budget_bytes, and the OR-reduced filter is bit-identical
+    under any partitioning."""
+    import pandas as pd
+
+    from otlp_cardinality_checker_spark.operators.bloom import (
+        _collect_partition_cap,
+        build_bloom_bitmap,
+    )
+
+    m, k = 1024, 3  # nbytes = 128
+    # cap math: 4096 partitions x 128B bitmaps vs a 512-byte budget -> 4
+    assert _collect_partition_cap(4096, 128, 512) == 4
+    assert _collect_partition_cap(2, 128, 512) == 2  # never exceeds input
+    assert _collect_partition_cap(10, 128, 1) == 1  # floor at 1
+
+    vals = spark.createDataFrame(
+        pd.DataFrame({"v": [f"val{i}" for i in range(500)]})
+    ).repartition(4096)
+    tight = build_bloom_bitmap(vals, "v", m, k, driver_budget_bytes=512)
+    default = build_bloom_bitmap(vals, "v", m, k)
+    assert tight == default
+    assert len(tight) == m // 8

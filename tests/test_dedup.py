@@ -849,3 +849,44 @@ def test_winnow_guarantee_and_compression(spark):
     )
     lr = winnow_fingerprints(long, n=3, window=4).collect()[0]
     assert lr["n_fingerprints"] < lr["n_positions"] / 2
+
+
+def test_winnow_short_docs(spark):
+    """r6 (advisor): docs with fewer than n tokens — including empty and
+    whitespace-only text — must fingerprint instead of raising
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI mode; docs with >= n
+    tokens are byte-identical to the unguarded form (oracle fixtures all
+    have >= n tokens, so gate hashes are untouched)."""
+    import pandas as pd
+
+    from otlp_cardinality_checker_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["empty", "blank", "one", "two", "full"],
+                "text": ["", "   ", "alpha", "alpha beta",
+                         "alpha beta gamma delta epsilon zeta"],
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in
+            winnow_fingerprints(docs, n=3, window=4).collect()}
+    assert set(rows) == {"empty", "blank", "one", "two", "full"}
+    for r in rows.values():
+        assert r["n_positions"] >= 1
+        assert r["n_fingerprints"] >= 1
+    # short docs hash their single partial gram
+    assert rows["one"]["n_positions"] == 1
+    assert rows["two"]["n_positions"] == 1
+    # a full-length doc's fingerprints equal the pre-guard algorithm's
+    # (positional 3-grams, window-4 minima) — recompute independently
+    import hashlib
+
+    toks = "alpha beta gamma delta epsilon zeta".split()
+    grams = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    wins = sorted({min(hs[p:p + 4]) for p in range(max(len(hs) - 3, 1))})
+    assert list(rows["full"]["fingerprints"]) == wins

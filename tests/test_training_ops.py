@@ -1553,3 +1553,37 @@ def test_corpus_gini_extremes(spark):
         - (n + 1) / n
     assert abs(skew["gini"] - round(want, 6)) <= 1e-6
     assert skew["gini"] > 0.7
+
+
+def test_neyman_all_constant_strata_fallback(spark):
+    """r6 (advisor): when every stratum has zero variance the Neyman
+    denominator sum(N_h*S_h) is 0 — weights must fall back to
+    proportional-to-size allocation, never NaN."""
+    import math
+
+    import pandas as pd
+
+    from otlp_cardinality_checker_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [f"d{i}" for i in range(8)],
+                "source": ["a"] * 6 + ["b"] * 2,
+                "n_chars": [7] * 6 + [3] * 2,  # constant within stratum
+            }
+        )
+    )
+    rows = {r["source"]: r for r in
+            neyman_allocation(
+                docs, budget=4, by="source", value_col="n_chars"
+            ).collect()}
+    for r in rows.values():
+        assert not math.isnan(r["weight"])
+        assert not math.isnan(r["sampling_rate"])
+    assert abs(rows["a"]["weight"] - 0.75) < 1e-9
+    assert abs(rows["b"]["weight"] - 0.25) < 1e-9
+    assert rows["a"]["n_alloc"] == 3
+    assert rows["b"]["n_alloc"] == 1
