@@ -3655,74 +3655,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness gate records the FIRST 50
-    # entries only.  Rounds 1-3 recorded the pipeline/session/endpoint
-    # family; round 4 rotated the dedup/ANN/text/PII/streaming families in.
-    # Round 5 rotates the 17 round-4 additions (never driver-recorded)
-    # into positions 1-17, follows with the 17 round-5 session-2 queries,
-    # the 9 session-3 ones (dup_spans .. conv_near_dups, positions 35-43)
-    # and the 7 session-4 ones (psi_drift .. split_assignment, positions
-    # 44-50) — so every registry entry has a driver-green CORRECTNESS row
-    # in some round (the displaced pipeline sentinels have rows from
-    # EVERY prior round).  Entries past position 50 remain runnable via
-    # scripts/check_oracle.py (the round-5 full sf0.01 and sf0.1 sweeps
-    # ran ALL of them — see BENCH.md).
+    # entries only; each round rotates never-yet-recorded entries to the
+    # front (r1-r3: pipeline/session/endpoint; r4: dedup/ANN/text/PII/
+    # streaming; r5: the r4+r5 waves; r6: the 70 entries added after the
+    # r5 window was fixed - 50 now, 20 staged for r7).
     return {
-        # --- 17 round-4 queries, first driver recording (round 5) -------
-        "constraint_audit": q_constraint_audit,
-        "heavy_hitters": q_heavy_hitters,
-        "tool_bigrams": q_tool_bigrams,
-        "role_transitions": q_role_transitions,
-        "conv_depth_stats": q_conv_depth_stats,
-        "turn_gaps": q_turn_gaps,
-        "bloom_contamination": q_bloom_contamination,
-        "volume_spikes": q_volume_spikes,
-        "jpeg_tile_stats": q_jpeg_tile_stats,
-        "jpeg_color_stats": q_jpeg_color_stats,
-        "jpeg420_stats": q_jpeg420_stats,
-        "user_sessions": q_user_sessions,
-        "repetition_stats": q_repetition_stats,
-        "jpeg_prog_stats": q_jpeg_prog_stats,
-        "quantile_sketch": q_quantile_sketch,
-        "attribution_join_stream": q_attribution_join_stream,
-        "bpe_tokens": q_bpe_tokens,
-        # --- 3 round-5 additions, first driver recording ----------------
-        "fuzzy_name_pairs": q_fuzzy_name_pairs,
-        "pps_sample": q_pps_sample,
-        "quantile_stream": q_quantile_stream,
-        "cms_events_stream": q_cms_events_stream,
-        "simhash_hamming": q_simhash_hamming,
-        "dataset_card": q_dataset_card,
-        "card_diff": q_card_diff,
-        "bm25_search": q_bm25_search,
-        "bigram_perplexity": q_bigram_perplexity,
-        "pack_sequences": q_pack_sequences,
-        "dedup_incremental": q_dedup_incremental,
-        "template_loops": q_template_loops,
-        "tool_errors": q_tool_errors,
-        "quality_classifier": q_quality_classifier,
-        "loop_stream": q_loop_stream,
-        "dsir_weights": q_dsir_weights,
-        "transcript_card": q_transcript_card,
-        # --- round-5 session-3 additions, first driver recording ---------
-        "dup_spans": q_dup_spans,
-        "boilerplate_turns": q_boilerplate_turns,
-        "mixture_weights": q_mixture_weights,
-        "compression_stats": q_compression_stats,
-        "card_stream": q_card_stream,
-        "ngram_novelty": q_ngram_novelty,
-        "chunk_docs": q_chunk_docs,
-        "conv_dedup": q_conv_dedup,
-        "conv_near_dups": q_conv_near_dups,
-        # --- round-5 session-4 additions, first driver recording ---------
-        "psi_drift": q_psi_drift,
-        "k_anonymity": q_k_anonymity,
-        "context_budget": q_context_budget,
-        "data_budget": q_data_budget,
-        "hopping_windows": q_hopping_windows,
-        "fixed_k_sample": q_fixed_k_sample,
-        "split_assignment": q_split_assignment,
-        # --- round-5 session-5 additions (past the 50-entry window;
-        # --- verified via the gate replica at sf0.01 + sf0.1) ------------
+        # --- Round-6 rotation (VERDICT r5 #1): positions 1-50 are the
+        # 50 oldest never-driver-graded entries (sft_pairs .. ks_drift
+        # + the oldest of the TPC-H/profiling wave), so the driver's
+        # 50-entry CORRECTNESS_r06 window finally records them.  The
+        # 20 remaining never-graded entries sit at positions 51-70,
+        # staged FIRST for the r7 window.  Registry growth is frozen
+        # this round.  Every entry stays runnable via
+        # scripts/check_oracle.py (r6 ran full sweeps at both scales).
         "sft_pairs": q_sft_pairs,
         "loss_spans": q_loss_spans,
         "curriculum_stages": q_curriculum_stages,
@@ -3773,6 +3718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_correlation": q_type_correlation,
         "seasonality_profile": q_seasonality_profile,
         "neyman_allocation": q_neyman_allocation,
+        # --- positions 51-70: staged first for the r7 window ------------
         "purge_audit": q_purge_audit,
         "class_separability": q_class_separability,
         "hopping_distinct_users": q_hopping_distinct_users,
@@ -3793,8 +3739,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_balance": q_label_balance,
         "corpus_gini": q_corpus_gini,
         "daily_value_percentiles": q_daily_value_percentiles,
-        # --- pipeline sentinels (driver-green every prior round, now
-        # --- just past the 50-entry window) ------------------------------
+        # --- previously driver-graded entries (rounds 1-5) --------------
+        "constraint_audit": q_constraint_audit,
+        "heavy_hitters": q_heavy_hitters,
+        "tool_bigrams": q_tool_bigrams,
+        "role_transitions": q_role_transitions,
+        "conv_depth_stats": q_conv_depth_stats,
+        "turn_gaps": q_turn_gaps,
+        "bloom_contamination": q_bloom_contamination,
+        "volume_spikes": q_volume_spikes,
+        "jpeg_tile_stats": q_jpeg_tile_stats,
+        "jpeg_color_stats": q_jpeg_color_stats,
+        "jpeg420_stats": q_jpeg420_stats,
+        "user_sessions": q_user_sessions,
+        "repetition_stats": q_repetition_stats,
+        "jpeg_prog_stats": q_jpeg_prog_stats,
+        "quantile_sketch": q_quantile_sketch,
+        "attribution_join_stream": q_attribution_join_stream,
+        "bpe_tokens": q_bpe_tokens,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "pps_sample": q_pps_sample,
+        "quantile_stream": q_quantile_stream,
+        "cms_events_stream": q_cms_events_stream,
+        "simhash_hamming": q_simhash_hamming,
+        "dataset_card": q_dataset_card,
+        "card_diff": q_card_diff,
+        "bm25_search": q_bm25_search,
+        "bigram_perplexity": q_bigram_perplexity,
+        "pack_sequences": q_pack_sequences,
+        "dedup_incremental": q_dedup_incremental,
+        "template_loops": q_template_loops,
+        "tool_errors": q_tool_errors,
+        "quality_classifier": q_quality_classifier,
+        "loop_stream": q_loop_stream,
+        "dsir_weights": q_dsir_weights,
+        "transcript_card": q_transcript_card,
+        "dup_spans": q_dup_spans,
+        "boilerplate_turns": q_boilerplate_turns,
+        "mixture_weights": q_mixture_weights,
+        "compression_stats": q_compression_stats,
+        "card_stream": q_card_stream,
+        "ngram_novelty": q_ngram_novelty,
+        "chunk_docs": q_chunk_docs,
+        "conv_dedup": q_conv_dedup,
+        "conv_near_dups": q_conv_near_dups,
+        "psi_drift": q_psi_drift,
+        "k_anonymity": q_k_anonymity,
+        "context_budget": q_context_budget,
+        "data_budget": q_data_budget,
+        "hopping_windows": q_hopping_windows,
+        "fixed_k_sample": q_fixed_k_sample,
+        "split_assignment": q_split_assignment,
         "route_counts": q_route_counts,
         "routed_fingerprint": q_routed_fingerprint,
         "key_stats_exact": q_key_stats_exact,
@@ -3810,7 +3805,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complexity": q_complexity,
         "template_topk": q_template_topk,
         "dedup_exact": q_dedup_exact,
-        # --- 18 oldest-green entries (last driver row r2/r3) ------------
         "metric_shapes": q_metric_shapes,
         "severity_pivot": q_severity_pivot,
         "severity_cube": q_severity_cube,
@@ -3829,8 +3823,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "service_attributes": q_service_attributes,
         "log_patterns_filtered": q_log_patterns_filtered,
         "attribute_telemetry": q_attribute_telemetry,
-        # --- beyond the 50-entry driver window (driver-green in r3/r4;
-        # --- re-verifiable any time via scripts/check_oracle.py) --------
         "event_funnel": q_event_funnel,
         "events_windowed_stream": q_events_windowed_stream,
         "dedup_stream": q_dedup_stream,
