@@ -569,6 +569,14 @@ def sft_pairs(
     (context_turns + 1) rendered chars — the inherent cost of
     materializing per-example context, and the reason ``context_turns``
     is a required cap rather than unbounded history.
+
+    Measured amplification (sf0.1, 500k turns / 31.8M input chars;
+    BENCH.md r6 has the table): rendered output is ~1.2x the input at
+    context_turns=2, 2.0x at 4, 3.4x at 8, 5.1x at 16 — roughly
+    ``0.6 + 0.28 * context_turns`` times the corpus. At a 100 TB corpus
+    the cap IS the output budget: 8 means ~340 TB of rendered pairs.
+    Recommendation: default to 4 unless the training recipe demands
+    deeper context, and size the sink for input_bytes x amplification.
     """
     if context_turns <= 0:
         raise ValueError(
