@@ -1640,18 +1640,18 @@ def q_loop_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathlib import Path
 
     from otlp_cardinality_checker_spark.functions.masking import (
-        template_expr,
+        with_template,
     )
     from otlp_cardinality_checker_spark.streaming.stream import (
         current_loops,
         loop_stream,
     )
 
-    turns = _transcripts(spark, sf_dir).select(
-        "conv_id",
-        "turn_idx",
-        template_expr(F.col("text")).alias("template"),
-    )
+    # with_template: the r6 guarded stacked-projection mask chain —
+    # row-identical to template_expr, ~35% cheaper on the mask passes
+    turns = with_template(
+        _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "text")
+    ).select("conv_id", "turn_idx", "template")
     tmp = _stream_scratch("loopstream_")
     src = tmp / "src"
     # one masking pass: materialize the templated turns once, slice the
@@ -1703,15 +1703,15 @@ def q_template_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
     datagen truth templates — the same cross-implementation pinning as
     template_stats."""
     from otlp_cardinality_checker_spark.functions.masking import (
-        template_expr,
+        with_template,
     )
     from otlp_cardinality_checker_spark.operators.conversation import (
         template_loops,
     )
 
-    turns = _transcripts(spark, sf_dir).select(
-        "conv_id", "turn_idx", template_expr(F.col("text")).alias("template")
-    )
+    turns = with_template(
+        _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "text")
+    ).select("conv_id", "turn_idx", "template")
     return template_loops(turns)
 
 

@@ -758,19 +758,17 @@ def preference_pairs(
     templates cost one partial row per task — no skew exposure, no
     pair-join anywhere (the group IS the candidate set).
     """
-    from ..functions.masking import template_expr
+    from ..functions.masking import with_template
 
     if min_candidates < 2:
         raise ValueError(
             f"min_candidates must be >= 2, got {min_candidates}"
         )
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    staged = turns.select(
-        "conv_id",
-        "turn_idx",
-        "role",
-        "text",
-        template_expr(F.col("text")).alias("_tpl"),
+    # with_template: guarded stacked-projection chain (r6) — identical
+    # output, ~35% cheaper masks than the inline template_expr form
+    staged = with_template(
+        turns.select("conv_id", "turn_idx", "role", "text"), out="_tpl"
     ).select(
         "conv_id",
         "turn_idx",
