@@ -358,14 +358,17 @@ def template_series(s, compiled=None):
     # run-boundary scan over the label array — measured ~4x faster than
     # groupby(level=0).agg(" ".join) at 650k tokens
     idx = exs.index.to_numpy()
-    change = np.flatnonzero(idx[1:] != idx[:-1]) + 1
-    starts = np.concatenate(([0], change))
-    ends = np.concatenate((change, [len(vals)]))
-    joined = pd.Series(
-        [" ".join(vals[a:b]) for a, b in zip(starts, ends)],
-        index=idx[starts],
-        dtype=object,
-    )
+    if len(idx):
+        change = np.flatnonzero(idx[1:] != idx[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(vals)]))
+        joined = pd.Series(
+            [" ".join(vals[a:b]) for a, b in zip(starts, ends)],
+            index=idx[starts],
+            dtype=object,
+        )
+    else:  # no tokens anywhere (all-empty/whitespace batch)
+        joined = pd.Series([], index=pd.Index([]), dtype=object)
     out = pd.Series("", index=s.index, dtype=object)
     out.loc[joined.index] = joined.str.replace(_COLLAPSE_WILDCARD, "<*>", regex=True)
     return out
