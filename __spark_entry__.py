@@ -40,8 +40,12 @@ def _stream_scratch(prefix: str):
     cost of every foreachBatch / applyInPandasWithState gate query —
     the same judgment bench.py's _bench_out_dir documents (tmpfs models
     a cluster executor's local SSD; the virtio disk models nothing).
-    Results are unaffected: only the scratch location changes. Dirs are
-    removed at interpreter exit — on tmpfs they live in RAM."""
+    Results are unaffected: only the scratch location changes. Peak
+    usage is bounded: only the newest few scratch dirs are kept (the
+    gate/bench collect each streaming query before building the next,
+    so older queries' sources/sinks are dead by then — a full-registry
+    sweep must not accumulate every stream's state in RAM), and the
+    survivors are removed at interpreter exit."""
     import atexit
     import os
     import shutil
@@ -57,6 +61,8 @@ def _stream_scratch(prefix: str):
             ]
         )
     _SCRATCH_DIRS.append(d)
+    while len(_SCRATCH_DIRS) > 3:
+        shutil.rmtree(_SCRATCH_DIRS.pop(0), ignore_errors=True)
     return Path(d)
 
 

@@ -155,6 +155,8 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     args = ap.parse_args()
 
+    if args.repeats < 1:
+        ap.error("--repeats must be >= 1 (pass 0 is the untimed warm pass)")
     result = {}
     if args.pipeline:
         result["pipeline_stages"] = time_pipeline_stages(

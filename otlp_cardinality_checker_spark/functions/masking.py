@@ -317,6 +317,14 @@ def template_series(s, compiled=None):
     import numpy as np
 
     masked = mask_series(s, compiled)
+    # positional frame: the run-boundary join below requires each row's
+    # tokens to form ONE contiguous run, which duplicate input labels
+    # would break (r6 review). RangeIndex guarantees it; the caller's
+    # index is restored on the way out, and rows that share a label each
+    # get their OWN template — matching the scalar template_of contract
+    # (the old groupby(level=0) form concatenated such rows' tokens).
+    orig_index = masked.index
+    masked = masked.reset_index(drop=True)
     toks = masked.str.findall(_NS + "+")
     ex = toks.explode()
     present = ex.notna()
@@ -369,8 +377,9 @@ def template_series(s, compiled=None):
         )
     else:  # no tokens anywhere (all-empty/whitespace batch)
         joined = pd.Series([], index=pd.Index([]), dtype=object)
-    out = pd.Series("", index=s.index, dtype=object)
+    out = pd.Series("", index=masked.index, dtype=object)
     out.loc[joined.index] = joined.str.replace(_COLLAPSE_WILDCARD, "<*>", regex=True)
+    out.index = orig_index
     return out
 
 

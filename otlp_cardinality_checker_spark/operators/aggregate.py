@@ -141,40 +141,41 @@ def global_top_k(
     k: int,
     salt_col: str,
     rank_name: str = "rank",
-    n_salt: int = 16,
+    n_salt: int = 16,  # kept for API stability; unused since the r6 soak
 ) -> DataFrame:
-    """Two-stage GLOBAL top-k with exact ranks 1..k (the partitionless
-    sibling of :func:`salted_top_k`).
+    """GLOBAL top-k with exact ranks 1..k, bounded at any scale.
 
-    A bare ``Window.orderBy(...)`` moves the WHOLE frame to one reducer
-    (WindowExec's single-partition warning) — fine for a 9-row result,
-    a scale-killer when the ranked grain grows with the corpus. Here any
-    row in the global top-k ranks <= k within its hash salt, so stage 1
-    prunes to <= n_salt * k survivors and only those reach the final
-    rank. The final window partitions on a constant: still one reducer,
-    but over the bounded survivor set, never the data-sized frame.
+    ``row_number`` over a partition spec that is a NON-FOLDABLE constant
+    (``pmod(hash(salt_col), 1)`` == 0 for every row). Why this exact
+    shape (soaked at 20M rows, scripts/soak_global_topk.py):
 
-    ``order_cols`` must be a total order (ties fully broken) — then the
-    survivor ranks equal the single-window ranks exactly: a row outside
-    its salt's top-k has >= k rows ordered before it globally, so its
-    global rank exceeds k and the single-window form would drop it too.
+    * With a non-empty partition spec and a ``rank <= k`` filter, the
+      optimizer inserts **WindowGroupLimit** (SPARK-37099): each map
+      partition keeps only its local top-k BEFORE the exchange, so the
+      single reducer sees <= k x #partitions survivors, never the
+      data-sized frame — the engine performs the two-stage top-k this
+      helper used to hand-build with salts (the hand-built form measured
+      4.3 s vs 0.2 s warm at 20M rows: its stage-1 shuffled ALL rows
+      into n_salt partitions, which WindowGroupLimit never does).
+    * A bare ``Window.orderBy(...)`` is also optimized (limit pushdown,
+      SPARK-37867) but keeps the empty partition spec, so WindowExec
+      logs its "moving all data to a single partition" warning on every
+      run; the constant spec retires the warning so sweep logs only
+      ever flag genuinely unbounded windows.
+    * The constant must be non-foldable — a plain ``lit(0)`` is
+      constant-folded away and the empty spec (and the warning) return.
+
+    ``order_cols`` must be a total order (ties fully broken) so ranks
+    are deterministic; equality with the naive single-window form is
+    pinned by test_global_rank_windows_are_two_stage and the 20M-row
+    soak.
     """
-    w1 = Window.partitionBy("_salt").orderBy(*order_cols)
-    # pmod(_salt, 1) == 0 for every row — one reducer, as a global rank
-    # requires — but written as a non-foldable expression so the
-    # optimizer cannot erase the partition spec back to the empty form
-    # (a bare lit(0) is constant-folded away and WindowExec then logs
-    # the single-partition warning this helper exists to retire)
-    w2 = Window.partitionBy(F.pmod(F.col("_salt"), F.lit(1))).orderBy(
+    w = Window.partitionBy(F.pmod(F.hash(salt_col), F.lit(1))).orderBy(
         *order_cols
     )
     return (
-        df.withColumn("_salt", F.pmod(F.hash(salt_col), F.lit(n_salt)))
-        .withColumn("_r", F.row_number().over(w1))
-        .where(F.col("_r") <= k)
-        .withColumn(rank_name, F.row_number().over(w2))
+        df.withColumn(rank_name, F.row_number().over(w))
         .where(F.col(rank_name) <= k)
-        .drop("_salt", "_r")
     )
 
 

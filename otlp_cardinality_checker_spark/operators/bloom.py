@@ -60,11 +60,11 @@ def build_bloom_bitmap(train_vals: DataFrame, value_col: str, m: int,
     """The m-bit filter as bytes: per-partition numpy bitmaps OR-reduced
     on the driver.
 
-    Driver transfer is #collected-partitions x m/8, so the partition
-    count is CAPPED automatically: when the input has more partitions
-    than ``driver_budget_bytes`` allows, the position frame is
-    ``coalesce``d (narrow — no shuffle) before the bitmap pass, keeping
-    the collect under the budget regardless of input layout (r6,
+    Driver transfer is #collected-rows x m/8, so it is CAPPED
+    automatically: when the input has more partitions than
+    ``driver_budget_bytes`` allows, the per-partition bitmaps (computed
+    at FULL scan parallelism) are shuffled into <= cap partitions and
+    OR-folded there, so only <= cap bitmaps reach the driver (r6,
     VERDICT directive; formerly a docstring plea). OR-reduction is
     associative/commutative, so the result is bit-identical under any
     partitioning — pinned by test_bloom_driver_budget."""
@@ -85,18 +85,30 @@ def build_bloom_bitmap(train_vals: DataFrame, value_col: str, m: int,
         yield pd.DataFrame({"bm": [bm.tobytes()]})
 
     import numpy as np
+    import pandas as pd
 
     pos_df = _positions(train_vals, value_col, m, k).select("pos")
-    cap = _collect_partition_cap(
-        pos_df.rdd.getNumPartitions(), nbytes, driver_budget_bytes
-    )
-    if pos_df.rdd.getNumPartitions() > cap:
-        pos_df = pos_df.coalesce(cap)
-    parts = (
-        pos_df
-        .mapInPandas(to_bitmap, schema="bm binary")
-        .collect()
-    )
+    bm_df = pos_df.mapInPandas(to_bitmap, schema="bm binary")
+    n_parts = pos_df.rdd.getNumPartitions()
+    cap = _collect_partition_cap(n_parts, nbytes, driver_budget_bytes)
+    if n_parts > cap:
+        # shuffle barrier, NOT coalesce: a narrow coalesce would
+        # propagate below the mapInPandas and serialize the whole
+        # scan/hash job into `cap` tasks (r6 review). repartition keeps
+        # the hashing at full parallelism, moves only the one-bitmap-
+        # per-partition rows (distributed shuffle, not driver memory),
+        # and the OR-fold below returns <= cap rows to collect.
+        def or_fold(batches):
+            acc = np.zeros(nbytes, dtype=np.uint8)
+            for pdf in batches:
+                for b in pdf["bm"]:
+                    acc |= np.frombuffer(b, dtype=np.uint8)
+            yield pd.DataFrame({"bm": [acc.tobytes()]})
+
+        bm_df = bm_df.repartition(cap).mapInPandas(
+            or_fold, schema="bm binary"
+        )
+    parts = bm_df.collect()
     acc = np.zeros(nbytes, dtype=np.uint8)
     for row in parts:
         acc |= np.frombuffer(row["bm"], dtype=np.uint8)

@@ -281,8 +281,12 @@ def transcript_card(routed: DataFrame) -> DataFrame:
 
     # the parse stage already computed `template` on routed frames —
     # reuse it instead of re-running the 19-pass mask chain over `text`
-    # (identical by construction; r6). Frames without the column (tests,
-    # ad-hoc inputs) derive it via the guarded fast path.
+    # (identical for default-pattern pipelines, which is what the
+    # declared query runs; for a patterns_yaml pipeline the card's loop
+    # section now reflects the pipeline's OWN templates rather than
+    # silently re-masking with the builtin table — deliberate, r6).
+    # Frames without the column (tests, ad-hoc inputs) derive it with
+    # the builtin table via the guarded fast path.
     if "template" in routed.columns:
         loop_in = routed.select("conv_id", "turn_idx", "template")
     else:

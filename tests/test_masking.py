@@ -372,3 +372,21 @@ def test_masked_frame_user_patterns_unguarded(spark, tmp_path):
     )
     for r in got:
         assert r["m"] == r["m_col"]
+
+
+def test_template_series_duplicate_index_labels():
+    """r6 review: duplicate input labels (public-API edge; the engines
+    always pass unique RangeIndex) must not crash the run-boundary join,
+    and each ROW keeps its own template — the scalar template_of
+    contract — rather than the old groupby form's token concatenation."""
+    import pandas as pd
+
+    from otlp_cardinality_checker_spark.functions.masking import (
+        template_of,
+        template_series,
+    )
+
+    s = pd.Series(["alpha 11", "beta 22", "gamma 33"], index=[0, 1, 0])
+    got = template_series(s)
+    assert list(got.index) == [0, 1, 0]
+    assert got.tolist() == [template_of(x) for x in s.tolist()]

@@ -330,11 +330,12 @@ def test_session6_plan_shapes(spark):
 
 def test_global_rank_windows_are_two_stage(spark, tiny_routed):
     """r6: no declared pagination/top-k query may rank a data-sized frame
-    on one reducer via a partitionless Window. global_top_k's stage-1
-    salt must appear in the plan, and no Window may run with an empty
-    partition spec (the WindowExec single-partition warning shape):
-    every `windowspecdefinition(` in the plan must carry a partition
-    expression before its ORDER BY clause."""
+    on one reducer via a partitionless Window. global_top_k must get the
+    optimizer's WindowGroupLimit (map-side top-k before the exchange —
+    the engine's two-stage form, see the 20M-row soak), and no Window
+    may run with an empty partition spec (the WindowExec
+    single-partition warning shape): every `windowspecdefinition(` must
+    carry a partition expression before its ORDER BY clause."""
     import re
 
     import pandas as pd
@@ -365,7 +366,7 @@ def test_global_rank_windows_are_two_stage(spark, tiny_routed):
     )
     ranked = global_top_k(df, (F.desc("c"), F.asc("k")), k=5, salt_col="k")
     plan = plan_of(ranked)
-    assert "_salt" in plan
+    assert "WindowGroupLimit" in plan  # engine-side map-local top-k
     assert_no_empty_partition_window(plan)
     # exact equivalence with the naive single-window form
     from pyspark.sql import Window
@@ -381,9 +382,9 @@ def test_global_rank_windows_are_two_stage(spark, tiny_routed):
         map(tuple, naive.collect())
     )
 
-    # the swapped call sites keep the two-stage shape
+    # the swapped call sites keep the bounded shape
     plan = plan_of(logs_by_service(tiny_routed, limit=8, offset=1))
-    assert "_salt" in plan
+    assert "WindowGroupLimit" in plan
     assert_no_empty_partition_window(plan)
 
     cat = spark.createDataFrame(
@@ -399,5 +400,5 @@ def test_global_rank_windows_are_two_stage(spark, tiny_routed):
         )
     )
     plan = plan_of(list_attributes(cat, limit=3, offset=1))
-    assert "_salt" in plan
+    assert "WindowGroupLimit" in plan
     assert_no_empty_partition_window(plan)
