@@ -260,12 +260,17 @@ def char_entropy(docs: DataFrame, engine: str = "sql") -> DataFrame:
     Dual-engine (the parse stage's pattern): ``engine="sql"`` is entirely
     scalar Catalyst expressions — 26 `replace`-based letter counts per row,
     then the entropy sum with a zero-count guard; no explode, no shuffle,
-    no Python. The ~100-subexpression tree exceeds the 64KB whole-stage-
-    codegen method limit, so Spark logs one compile error and falls back to
-    interpreted expression eval (documented Spark behavior; still JVM-side
-    and linear in text bytes). The DuckDB oracle evaluates the identical
-    arithmetic in the identical term order, so IEEE parity is exact after
-    round(…, 4).  ``engine="pandas"`` is the vectorized Arrow twin for when
+    no Python. The counts/total/entropy are STACKED PROJECTIONS (lower →
+    counts → total → entropy), so every generated method stays small and
+    the whole stage compiles: the r5 single-expression form inlined each
+    length/replace count 3x into the entropy sum (~16k generated lines),
+    blew the 64KB codegen method limit, and fell back to interpreted eval
+    recomputing `lower(text)` 52x per row. CollapseProject cannot undo the
+    stack (each level's defining expressions are non-trivial and referenced
+    more than once above). The arithmetic — term order, operations,
+    operand values — is unchanged, so results are bit-identical and the
+    DuckDB oracle's IEEE parity after round(…, 4) is untouched.
+    ``engine="pandas"`` is the vectorized Arrow twin for when
     entropy lands on a hot path: one np.bincount over the batch's
     concatenated lowercased bytes, fully codegen-independent; the two
     engines are property-tested equal (test_text_analysis).
@@ -274,13 +279,26 @@ def char_entropy(docs: DataFrame, engine: str = "sql") -> DataFrame:
         return _char_entropy_pandas(docs)
     if engine != "sql":
         raise ValueError(f"unknown char_entropy engine: {engine!r}")
-    lower = F.lower(F.col("text"))
-    counts = {
-        c: F.length(lower) - F.length(F.replace(lower, F.lit(c), F.lit("")))
-        for c in "abcdefghijklmnopqrstuvwxyz"
-    }
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    lo = F.col("_ce_lower")
+    staged = docs.select(
+        "doc_id", "lang", F.lower(F.col("text")).alias("_ce_lower")
+    ).select(
+        "doc_id",
+        "lang",
+        *[
+            (
+                F.length(lo) - F.length(F.replace(lo, F.lit(c), F.lit("")))
+            ).alias(f"_ce_{c}")
+            for c in letters
+        ],
+    )
+    counts = {c: F.col(f"_ce_{c}") for c in letters}
     total = sum(counts.values(), start=F.lit(0))
-    safe_total = F.greatest(total, F.lit(1)).cast("double")
+    staged = staged.select(
+        "doc_id", "lang", *counts.values(), total.alias("_ce_total")
+    )
+    safe_total = F.greatest(F.col("_ce_total"), F.lit(1)).cast("double")
     ent = sum(
         (
             F.when(
@@ -291,10 +309,10 @@ def char_entropy(docs: DataFrame, engine: str = "sql") -> DataFrame:
         ),
         start=F.lit(0.0),
     )
-    return docs.select(
+    return staged.select(
         "doc_id",
         "lang",
-        total.cast("long").alias("n_letters"),
+        F.col("_ce_total").cast("long").alias("n_letters"),
         F.round(ent, 4).alias("entropy"),
     )
 

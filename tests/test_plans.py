@@ -402,3 +402,37 @@ def test_global_rank_windows_are_two_stage(spark, tiny_routed):
     plan = plan_of(list_attributes(cat, limit=3, offset=1))
     assert "WindowGroupLimit" in plan
     assert_no_empty_partition_window(plan)
+
+
+def test_char_entropy_projection_stack_compiles(spark):
+    """char_entropy's sql engine must stay a STACKED projection chain:
+    the single-expression form inlined each length/replace count 3x into
+    the entropy sum, blew the 64KB codegen method limit, and silently
+    fell back to interpreted eval recomputing lower(text) 52x/row (2.3x
+    slower at sf0.1). Pin: counts and total are bound attributes in the
+    final projection (CollapseProject must not undo the stack)."""
+    from otlp_cardinality_checker_spark.operators.text_analysis import (
+        char_entropy,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(char_entropy(docs))
+    # four Project nodes: lower, 26 counts, total, entropy
+    assert plan.count("Project") >= 4
+    # the entropy projection consumes the total ATTRIBUTE, not an
+    # inlined 26-term re-sum of length/replace expressions: log() and
+    # replace() must live in DIFFERENT Project detail sections
+    assert "_ce_total" in plan
+    for section in plan.split("\n\n"):
+        assert not ("replace(" in section and " LOG(" in section.upper()), (
+            "entropy projection re-inlined the replace-based counts"
+        )
+    # results identical to the Arrow twin (spot value check)
+    rows = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    twin = {
+        r["doc_id"]: r for r in char_entropy(docs, engine="pandas").collect()
+    }
+    assert rows.keys() == twin.keys()
+    for k in rows:
+        assert rows[k]["n_letters"] == twin[k]["n_letters"]
+        assert abs(rows[k]["entropy"] - twin[k]["entropy"]) < 1e-9
